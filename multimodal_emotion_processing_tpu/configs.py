@@ -1,0 +1,210 @@
+"""Typed configurations — one per reference entry point.
+
+The reference keeps hyperparameters as module-level constants at the top of each
+script (cmu-mosei/run.py:27-42, rencecps/run.py:18-27, Ren-MME/run.py:25-39,
+others/realformer.py:19-38, robot_demo.py:31-43).  Here each script becomes a
+frozen dataclass over one engine; values below are the acceptance checklist.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of one cross-modal grid encoder + head."""
+
+    # modality feature dims / fixed sequence lengths
+    l_dim: int = 300
+    v_dim: int = 35
+    a_dim: int = 74
+    l_len: int = 20
+    v_len: int = 100
+    a_len: int = 200
+    # encoder
+    dim: int = 96
+    n_heads: int = 6
+    n_layers: int = 1
+    ffn: int = 1
+    dropout: float = 0.0
+    # block variant: 'minus' (cmu-mosei/run.py:217-262, Ren-MME/run.py:169-214)
+    # or 'realformer' (others/realformer.py:154-209, robot_demo.py:324-374)
+    block: str = "minus"
+    # learned position embeddings (realformer/robot only)
+    use_position_embedding: bool = False
+    # unify projection: 'linear' (bias-free Linear), 'linear_ln' (Ren-MME shared
+    # LayerNorm), 'conv' (realformer 1x1 conv), 'conv_multires' (robot 3-slot video)
+    unify: str = "linear"
+    # number of emotion logits out of the grid classifier
+    n_emotions: int = 7
+    # head on top of the grid(s): 'concat_trans' (rank-3 transition),
+    # 'state_transfer' (recurrent), 'grid_only' (robot: classifier direct)
+    head: str = "concat_trans"
+    # paragraph window length (realformer State_Transfer only)
+    p_len: int = 6
+    # robot multi-resolution video input dims
+    v_dims_multires: Tuple[int, int, int] = (256, 512, 1024)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization & schedule — reference defaults per script."""
+
+    batch_size: int = 64
+    lr: float = 1e-3
+    epochs: int = 999
+    grad_clip: float = 1.0
+    optimizer: str = "adamw"  # realformer uses plain adam (others/realformer.py:342)
+    plateau_factor: float = 0.1
+    plateau_patience: int = 4
+    early_stop: int = 9
+    # only save checkpoints with valid_loss > this (cmu-mosei/run.py:413 etc.);
+    # None = always save best (realformer, robot)
+    save_guard: Optional[float] = 0.009
+    n_folds: int = 4
+    # Ren-MME R-Drop: duplicate each sample and add symmetric KL (Ren-MME/run.py:143-146,332-334)
+    rdrop_kl: bool = False
+    # realformer: multiply per-clip loss by clip-validity mask (others/realformer.py:312)
+    clip_mask_loss: bool = False
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    name: str
+    model: ModelConfig
+    train: TrainConfig
+    # per-emotion decision thresholds at test time (reference-tuned)
+    thresholds: Tuple[float, ...] = ()
+    # evaluated emotion names, index into the logit vector
+    emotion_names: Tuple[str, ...] = ()
+    emotion_index: Tuple[int, ...] = ()
+
+
+def mosei_trans() -> ExperimentConfig:
+    """CMU-MOSEI sentence-pair emotion-transition model (cmu-mosei/run.py)."""
+    return ExperimentConfig(
+        name="mosei_trans",
+        model=ModelConfig(
+            l_dim=300, v_dim=35, a_dim=74,
+            l_len=20, v_len=100, a_len=200,
+            dim=96, n_heads=6, n_layers=1, ffn=1, dropout=0.0,
+            block="minus", use_position_embedding=False, unify="linear",
+            n_emotions=7, head="concat_trans",
+        ),
+        train=TrainConfig(
+            batch_size=64, lr=1e-3, epochs=999, grad_clip=1.0,
+            optimizer="adamw", plateau_patience=4, early_stop=9,
+            save_guard=0.009, n_folds=4,
+        ),
+        # cmu-mosei/run.py:481-486 — fixed per-emotion thresholds
+        thresholds=(0.1, -0.3, -0.5, -0.3, -0.6, -0.5),
+        emotion_names=("happ", "sadn", "ange", "disg", "surp", "fear"),
+        emotion_index=(0, 1, 2, 3, 4, 5),
+    )
+
+
+def mosei_realformer() -> ExperimentConfig:
+    """CMU-MOSEI RealFormer paragraph model (others/realformer.py)."""
+    return ExperimentConfig(
+        name="mosei_realformer",
+        model=ModelConfig(
+            l_dim=300, v_dim=35, a_dim=74,
+            l_len=50, v_len=50, a_len=50,
+            dim=96, n_heads=6, n_layers=2, ffn=2, dropout=0.0,
+            block="realformer", use_position_embedding=True, unify="conv",
+            n_emotions=6, head="state_transfer", p_len=6,
+        ),
+        train=TrainConfig(
+            batch_size=64, lr=1e-3, epochs=99, grad_clip=1.0,
+            optimizer="adam", plateau_patience=2, early_stop=4,
+            save_guard=None, n_folds=5, clip_mask_loss=True,
+        ),
+        emotion_names=("happ", "sadn", "ange", "surp", "disg", "fear"),
+        emotion_index=(0, 1, 2, 3, 4, 5),
+    )
+
+
+def rencecps() -> ExperimentConfig:
+    """Ren-CECps Chinese-text 8-emotion classifier (rencecps/run.py)."""
+    return ExperimentConfig(
+        name="rencecps",
+        model=ModelConfig(
+            l_dim=768 * 3, v_dim=0, a_dim=0, l_len=2, v_len=0, a_len=0,
+            dim=768 * 3, dropout=0.1,
+            block="minus", unify="linear", n_emotions=9, head="concat_linear",
+        ),
+        train=TrainConfig(
+            batch_size=64, lr=1e-3, epochs=99, grad_clip=1.0,
+            optimizer="adamw", plateau_patience=6, early_stop=15,
+            save_guard=0.009, n_folds=4,
+        ),
+        # rencecps/run.py:288-295
+        thresholds=(-0.7, -0.8, -0.3, -0.2, -0.2, -0.8, -0.8, -0.9),
+        emotion_names=("love", "anxi", "sorr", "joyy", "expe", "hate", "ange", "surp"),
+        emotion_index=(0, 1, 2, 3, 4, 5, 6, 7),
+    )
+
+
+def ren_mme() -> ExperimentConfig:
+    """Ren-MME TV-drama multimodal 9-emotion trainer (Ren-MME/run.py)."""
+    return ExperimentConfig(
+        name="ren_mme",
+        model=ModelConfig(
+            l_dim=768, v_dim=640, a_dim=205,
+            l_len=40, v_len=76, a_len=275,
+            dim=128, n_heads=8, n_layers=1, ffn=1, dropout=0.1,
+            block="minus", use_position_embedding=False, unify="linear_ln",
+            n_emotions=9, head="concat_trans",
+        ),
+        train=TrainConfig(
+            batch_size=16, lr=1e-3, epochs=999, grad_clip=1.0,
+            optimizer="adamw", plateau_patience=1, early_stop=3,
+            save_guard=0.009, n_folds=4, rdrop_kl=True,
+        ),
+        # Ren-MME/run.py:735-742
+        thresholds=(-3.6, -1.2, -1.4, -3.4, -2.0, -1.4, -2.6, -3.8),
+        emotion_names=("love", "anxi", "sorr", "joyy", "expe", "hate", "ange", "surp"),
+        emotion_index=(0, 1, 2, 3, 4, 5, 6, 7),
+    )
+
+
+def robot_demo() -> ExperimentConfig:
+    """Streaming single-sample inference demo (robot_demo.py)."""
+    return ExperimentConfig(
+        name="robot_demo",
+        model=ModelConfig(
+            l_dim=768, v_dim=0, a_dim=40,
+            l_len=25, v_len=100, a_len=100,
+            dim=192, n_heads=6, n_layers=2, ffn=2, dropout=0.1,
+            block="realformer", use_position_embedding=True, unify="conv_multires",
+            n_emotions=7, head="grid_only",
+            v_dims_multires=(256, 512, 1024),
+        ),
+        train=TrainConfig(
+            batch_size=64, lr=1e-3, epochs=99, grad_clip=1.0,
+            optimizer="adamw", plateau_patience=3, early_stop=7,
+            save_guard=None, n_folds=4,
+        ),
+        # robot_demo.py:609 — calibrated-sigmoid offsets (serving path)
+        thresholds=(0.1, 0.1, -0.1, 0.0, 0.1, 0.0),
+        emotion_names=("happ", "sadn", "ange", "disg", "surp", "fear"),
+        emotion_index=(0, 1, 2, 3, 4, 5),
+    )
+
+
+REGISTRY = {
+    "mosei_trans": mosei_trans,
+    "mosei_realformer": mosei_realformer,
+    "rencecps": rencecps,
+    "ren_mme": ren_mme,
+    "robot_demo": robot_demo,
+}
+
+
+def get(name: str) -> ExperimentConfig:
+    if name not in REGISTRY:
+        raise KeyError(f"unknown config {name!r}; choose from {sorted(REGISTRY)}")
+    return REGISTRY[name]()

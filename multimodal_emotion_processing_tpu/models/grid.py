@@ -1,0 +1,156 @@
+"""The 9-stream cross-modal attention grid.
+
+For modalities L, V, A the reference runs nine directed attention streams
+(ll, lv, la, vv, vl, va, aa, al, av), each a chain of `n_layers` blocks that
+thread one residual-score lineage (`scores = None` reset before each stream),
+then concatenates per target modality on the feature axis, concatenates the
+three targets on the sequence axis **in the order [l, a, v]**, and pools with
+mean+max over the combined sequence (cmu-mosei/run.py:265-319,
+Ren-MME/run.py:217-271, others/realformer.py:211-264, robot_demo.py:377-441).
+
+Stream weights are distinct and the (q_len, kv_len) combinations are
+heterogeneous, so streams are unrolled; XLA overlaps/fuses the nine small
+chains far better than a hand-rolled batcher would at these sizes
+(q,kv ≤ 275 — see SURVEY §7.3.4).
+
+Output heads differ per reference model:
+  * collect="per_layer", out="classifier"     — Multi_ATTN: every layer output
+    of every stream is kept, classifier Linear(dim*6*n_layers → E, no bias)
+    (cmu-mosei/run.py:271, Ren-MME/run.py:223)
+  * collect="per_layer", out="classifier_bias"— robot Multi_class
+    (robot_demo.py:389, FC path commented out at :440)
+  * collect="final",     out="feature"        — realformer Multi_class: only
+    stream finals, FC+LN+ReLU to (B, dim) (others/realformer.py:258-264)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import initializers as init
+from . import layers
+
+# (stream key, query modality, key/value modality) — reference order.
+STREAMS = (
+    ("ll", "l", "l"), ("lv", "l", "v"), ("la", "l", "a"),
+    ("vv", "v", "v"), ("vl", "v", "l"), ("va", "v", "a"),
+    ("aa", "a", "a"), ("al", "a", "l"), ("av", "a", "v"),
+)
+# which list each stream's outputs land in (l_list / v_list / a_list)
+TARGET = {"ll": "l", "lv": "l", "la": "l",
+          "vv": "v", "vl": "v", "va": "v",
+          "aa": "a", "al": "a", "av": "a"}
+
+
+def init_grid(key, cfg):
+    """cfg is a ModelConfig. Returns grid params (projection + 9*n_layers blocks
+    + head)."""
+    keys = jax.random.split(key, 16)
+    p = {}
+    if cfg.unify == "linear":
+        p["unify"] = layers.init_unify_linear(keys[0], cfg.l_dim, cfg.v_dim,
+                                              cfg.a_dim, cfg.dim)
+    elif cfg.unify == "linear_ln":
+        p["unify"] = layers.init_unify_linear(keys[0], cfg.l_dim, cfg.v_dim,
+                                              cfg.a_dim, cfg.dim, shared_ln=True)
+    elif cfg.unify == "conv":
+        p["unify"] = layers.init_unify_conv(keys[0], cfg.l_dim, cfg.v_dim,
+                                            cfg.a_dim, cfg.dim)
+    elif cfg.unify == "conv_multires":
+        p["unify"] = layers.init_unify_conv_multires(
+            keys[0], cfg.l_dim, cfg.v_dims_multires, cfg.a_dim, cfg.dim)
+    else:
+        raise ValueError(cfg.unify)
+
+    if cfg.use_position_embedding:
+        p["pos_l"] = layers.init_position_embedding(keys[1], cfg.l_len, cfg.dim)
+        p["pos_v"] = layers.init_position_embedding(keys[2], cfg.v_len, cfg.dim)
+        p["pos_a"] = layers.init_position_embedding(keys[3], cfg.a_len, cfg.dim)
+
+    bkeys = jax.random.split(keys[4], 9 * cfg.n_layers)
+    blocks = {}
+    for s, (name, _, _) in enumerate(STREAMS):
+        blocks[name] = [
+            layers.init_block(bkeys[cfg.n_layers * s + i], cfg.block, cfg.dim, cfg.ffn)
+            for i in range(cfg.n_layers)
+        ]
+    p["blocks"] = blocks
+    return p
+
+
+def init_grid_head(key, cfg, collect: str, out: str):
+    """Head params on top of the pooled grid feature."""
+    if out == "classifier":
+        return {"classifier": init.linear(key, cfg.dim * 6 * cfg.n_layers,
+                                          cfg.n_emotions)}
+    if out == "classifier_bias":
+        return {"classifier": init.linear(key, cfg.dim * 6 * cfg.n_layers,
+                                          cfg.n_emotions, bias=True)}
+    if out == "feature":
+        return {"fc": init.linear(key, cfg.dim * 6, cfg.dim, bias=True),
+                "ln": init.layer_norm(cfg.dim)}
+    raise ValueError(out)
+
+
+def apply_grid(
+    p, cfg, l, v, a, l_mask, v_mask, a_mask, *,
+    rng=None, train: bool = False, impl: str = "xla",
+    collect: str = "per_layer",
+):
+    """Run projection (+pos) and the nine streams; returns pooled (B, dim*6*k)
+    where k = n_layers for collect='per_layer', 1 for 'final'."""
+    rate = cfg.dropout
+    n_rngs = 2 + 9 * cfg.n_layers
+    rngs = list(jax.random.split(rng, n_rngs)) if rng is not None else [None] * n_rngs
+
+    if cfg.unify in ("linear", "linear_ln"):
+        l, v, a = layers.apply_unify_linear(p["unify"], l, v, a)
+    elif cfg.unify == "conv":
+        l, v, a = layers.apply_unify_conv(p["unify"], l, v, a,
+                                          rate=rate, rng=rngs[0], train=train)
+    else:  # conv_multires: `v` is a tuple (v256, v512, v1024)
+        l, v, a = layers.apply_unify_conv_multires(
+            p["unify"], l, v[0], v[1], v[2], a, rate=rate, rng=rngs[0], train=train)
+
+    if cfg.use_position_embedding:
+        l = layers.apply_position_embedding(p["pos_l"], l)
+        v = layers.apply_position_embedding(p["pos_v"], v)
+        a = layers.apply_position_embedding(p["pos_a"], a)
+
+    src = {"l": l, "v": v, "a": a}
+    masks = {"l": l_mask, "v": v_mask, "a": a_mask}
+    collected = {"l": [], "v": [], "a": []}
+    ridx = 2
+    for name, qm, kvm in STREAMS:
+        q = src[qm]
+        scores = None
+        finals = None
+        for i in range(cfg.n_layers):
+            q, scores = layers.apply_block(
+                p["blocks"][name][i], cfg.block,
+                q, src[kvm], src[kvm], masks[kvm], scores,
+                n_heads=cfg.n_heads, rate=rate, rng=rngs[ridx], train=train,
+                impl=impl,
+            )
+            ridx += 1
+            if collect == "per_layer":
+                collected[TARGET[name]].append(q)
+            finals = q
+        if collect == "final":
+            collected[TARGET[name]].append(finals)
+
+    lc = jnp.concatenate(collected["l"], axis=2)
+    vc = jnp.concatenate(collected["v"], axis=2)
+    ac = jnp.concatenate(collected["a"], axis=2)
+    # reference sequence-concat order is [l, a, v] (cmu-mosei/run.py:317)
+    x = jnp.concatenate([lc, ac, vc], axis=1)
+    return jnp.concatenate([jnp.mean(x, axis=1), jnp.max(x, axis=1)], axis=1)
+
+
+def apply_grid_head(hp, cfg, pooled, *, out: str, rng=None, train: bool = False):
+    if out in ("classifier", "classifier_bias"):
+        return init.apply_linear(hp["classifier"], pooled)
+    # realformer feature head: Drop(ReLU(LN(FC(x)))) (others/realformer.py:263)
+    x = jax.nn.relu(init.apply_layer_norm(hp["ln"], init.apply_linear(hp["fc"], pooled)))
+    return layers.dropout(rng, x, cfg.dropout, train)

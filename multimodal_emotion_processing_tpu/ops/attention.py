@@ -1,0 +1,100 @@
+"""Residual-score ("RealFormer") multi-head attention — the framework's hot op.
+
+Semantics reproduced exactly from the reference's `multi_head_attention`
+(identical math in cmu-mosei/run.py:236-257, Ren-MME/run.py:188-209,
+others/realformer.py:182-204, robot_demo.py:347-369):
+
+    scores = Q·Kᵀ / sqrt(d_head)            (+ c * scores_prev when chained)
+    scores -= 1e8 * (1 - mask)               (additive key mask)
+    out     = softmax(scores) · V
+    return out, scores                       (the *masked* scores are emitted)
+
+Two deliberate reference quirks are preserved, not "fixed":
+
+* the emitted scores are post-mask, so along a stream the -1e8 mask penalty is
+  applied cumulatively (scaled by the learned gate c each hop) — the next block
+  re-masks on top (cmu-mosei/run.py:247-257);
+* the scale uses the per-head dim of K after head-splitting.
+
+Because every downstream block *consumes the full score tensor*, a flash-style
+streaming kernel that never materializes S cannot implement this. Sequence
+lengths are bounded by construction (≤275), so S fits VMEM comfortably; the
+fused Pallas path (ops/pallas_attention.py) keeps S resident and emits it.
+
+This module is the einsum reference implementation (the correctness oracle and
+the default XLA path); `impl="pallas"` dispatches to the fused TPU kernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+MASK_PENALTY = 1.0e8
+
+
+def split_heads(x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
+    """(B, L, D) -> (B, H, L, D/H)."""
+    b, l, d = x.shape
+    return x.reshape(b, l, n_heads, d // n_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, L, Dh) -> (B, L, H*Dh)."""
+    b, h, l, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * dh)
+
+
+def _broadcast_mask(mask: jnp.ndarray, n_heads: int) -> jnp.ndarray:
+    """Reference mask broadcast: (B,Lkv)->(B,1,1,Lkv); (B,Lq,Lkv)->(B,H,Lq,Lkv)."""
+    if mask.ndim == 2:
+        return mask[:, None, None, :]
+    if mask.ndim == 3:
+        return jnp.repeat(mask[:, None, :, :], n_heads, axis=1)
+    raise ValueError(f"mask must be 2-D or 3-D, got shape {mask.shape}")
+
+
+@partial(jax.jit, static_argnames=("n_heads", "impl"))
+def scored_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    scores_prev: Optional[jnp.ndarray],
+    c: jnp.ndarray,
+    *,
+    n_heads: int,
+    impl: str = "xla",
+):
+    """Residual-score attention.
+
+    Args:
+      q: (B, Lq, D); k, v: (B, Lkv, D); mask: None | (B, Lkv) | (B, Lq, Lkv);
+      scores_prev: None | (B, H, Lq, Lkv) masked scores from the previous block
+        in this stream; c: (1,) learned residual gate.
+
+    Returns:
+      (context (B, Lq, D), scores (B, H, Lq, Lkv)) — scores are post-mask.
+    """
+    if impl == "pallas":
+        from .pallas_attention import scored_attention_pallas
+
+        return scored_attention_pallas(q, k, v, mask, scores_prev, c, n_heads=n_heads)
+
+    qh = split_heads(q, n_heads)
+    kh = split_heads(k, n_heads)
+    vh = split_heads(v, n_heads)
+    d_head = kh.shape[-1]
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.asarray(d_head, dtype=qh.dtype))
+    if scores_prev is not None:
+        scores = scores + c * scores_prev
+    if mask is not None:
+        scores = scores - MASK_PENALTY * (1.0 - _broadcast_mask(mask, n_heads))
+    att = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", att, vh, preferred_element_type=jnp.float32)
+    return merge_heads(ctx.astype(q.dtype)), scores

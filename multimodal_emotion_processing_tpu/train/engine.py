@@ -1,0 +1,187 @@
+"""Jitted training engine: one engine, five configs (the reference's five
+hand-rolled train/valid/run loops — cmu-mosei/run.py:354-420 and friends —
+become data over this module).
+
+Design notes (TPU):
+  * the whole step (forward, ZLPR loss, optional R-Drop KL / clip-mask, backward,
+    global-norm clip, Adam(W) update) is a single jitted function — one XLA
+    program per step, no host round-trips except the scalar loss fetch;
+  * the learning rate rides `optax.inject_hyperparams` so the host-side
+    ReduceLROnPlateau controller (schedule.py) can change it between epochs
+    without recompiling;
+  * under a device mesh the same step is jitted with sharded in/out specs
+    (parallel/mesh.py); gradients are reduced by XLA-inserted psums over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ops.loss import zlpr_loss, symmetric_sigmoid_kl
+from . import schedule
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+    step: jax.Array
+
+
+def make_optimizer(tcfg):
+    """AdamW (torch defaults: wd=0.01) or Adam, after global-norm clipping at
+    CLIP=1.0 — order matches the reference (clip then step,
+    cmu-mosei/run.py:368-369)."""
+
+    def factory(learning_rate):
+        if tcfg.optimizer == "adamw":
+            opt = optax.adamw(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+                              weight_decay=0.01)
+        elif tcfg.optimizer == "adam":
+            opt = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+        else:
+            raise ValueError(tcfg.optimizer)
+        return optax.chain(optax.clip_by_global_norm(tcfg.grad_clip), opt)
+
+    return optax.inject_hyperparams(factory)(learning_rate=tcfg.lr)
+
+
+def batch_loss(model, tcfg, params, batch, rng, train: bool, impl: str):
+    """The reference loss contract: ZLPR mean (+ clip-validity masking for the
+    paragraph model, + symmetric KL in training for Ren-MME R-Drop)."""
+    logits = model.apply(params, batch, rng=rng, train=train, impl=impl)
+    per_sample = zlpr_loss(logits, batch["label"])
+    if tcfg.clip_mask_loss:
+        loss = jnp.mean(per_sample * batch["clip_mask"])
+    else:
+        loss = jnp.mean(per_sample)
+    if tcfg.rdrop_kl and train:
+        loss = loss + symmetric_sigmoid_kl(logits)
+    return loss
+
+
+def make_train_step(model, tcfg, *, impl: str = "xla", donate: bool = True):
+    tx = make_optimizer(tcfg)
+
+    def step(state: TrainState, batch):
+        rng, sub = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            return batch_loss(model, tcfg, params, batch, sub, True, impl)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, rng, state.step + 1), loss
+
+    return tx, jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, tcfg, *, impl: str = "xla"):
+    def step(params, batch):
+        return batch_loss(model, tcfg, params, batch, None, False, impl)
+
+    return jax.jit(step)
+
+
+def make_predict_step(model, *, impl: str = "xla"):
+    def step(params, batch):
+        return model.apply(params, batch, train=False, impl=impl)
+
+    return jax.jit(step)
+
+
+def init_state(model, tx, seed: int) -> TrainState:
+    k_params, k_rng = jax.random.split(jax.random.PRNGKey(seed))
+    params = model.init(k_params)
+    return TrainState(params, tx.init(params), k_rng, jnp.zeros((), jnp.int32))
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    """Update the LR injected by inject_hyperparams without recompiling."""
+    hp = dict(state.opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+    opt_state = state.opt_state._replace(hyperparams=hp)  # NamedTuple
+    return dataclasses.replace(state, opt_state=opt_state)
+
+
+@dataclasses.dataclass
+class EpochStats:
+    train_loss: float
+    valid_loss: float
+    steps: int
+    samples: int
+    seconds: float
+
+    @property
+    def samples_per_sec(self) -> float:
+        return self.samples / max(self.seconds, 1e-9)
+
+
+class Trainer:
+    """Epoch driver: fresh loaders per epoch, plateau LR, early stop, best-ckpt.
+
+    `train_loader` / `valid_loader` are zero-arg callables returning an iterable
+    of batch dicts (device-ready numpy/jnp), mirroring the reference's
+    regenerate-generators-per-epoch pattern (cmu-mosei/run.py:404-405).
+    """
+
+    def __init__(self, model, tcfg, *, impl: str = "xla",
+                 checkpoint_cb: Optional[Callable] = None,
+                 log_cb: Optional[Callable] = None):
+        self.model = model
+        self.tcfg = tcfg
+        self.tx, self.train_step = make_train_step(model, tcfg, impl=impl)
+        self.eval_step = make_eval_step(model, tcfg, impl=impl)
+        self.checkpoint_cb = checkpoint_cb
+        self.log_cb = log_cb
+
+    def fit(self, train_loader, valid_loader, *, state: Optional[TrainState] = None,
+            epochs: Optional[int] = None, seed: Optional[int] = None):
+        tcfg = self.tcfg
+        state = state if state is not None else init_state(
+            self.model, self.tx, tcfg.seed if seed is None else seed)
+        plateau = schedule.PlateauState(lr=tcfg.lr, factor=tcfg.plateau_factor,
+                                        patience=tcfg.plateau_patience)
+        stopper = schedule.EarlyStop(patience=tcfg.early_stop,
+                                     save_guard=tcfg.save_guard)
+        history = []
+        n_epochs = tcfg.epochs if epochs is None else epochs
+        for epoch in range(n_epochs):
+            t0 = time.perf_counter()
+            tr_loss, n_steps, n_samples = 0.0, 0, 0
+            for batch in train_loader():
+                state, loss = self.train_step(state, batch)
+                tr_loss += float(loss)
+                n_steps += 1
+                n_samples += int(batch["label"].shape[0])
+            va_loss, va_steps = 0.0, 0
+            for batch in valid_loader():
+                va_loss += float(self.eval_step(state.params, batch))
+                va_steps += 1
+            stats = EpochStats(
+                train_loss=tr_loss / max(n_steps, 1),
+                valid_loss=va_loss / max(va_steps, 1),
+                steps=n_steps, samples=n_samples,
+                seconds=time.perf_counter() - t0,
+            )
+            history.append(stats)
+            if self.log_cb:
+                self.log_cb(epoch, stats)
+            new_lr = plateau.step(stats.valid_loss)
+            state = set_learning_rate(state, new_lr)
+            save, stop = stopper.step(stats.valid_loss)
+            if save and self.checkpoint_cb:
+                self.checkpoint_cb(state, epoch, stats.valid_loss)
+            if stop:
+                break
+        return state, history
