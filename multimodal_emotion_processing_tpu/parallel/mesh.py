@@ -1,0 +1,123 @@
+"""Device mesh + sharding specs.
+
+The reference has no distributed code at all (single `cuda:0`, SURVEY §2.4);
+parallelism here is native to the new framework and fully XLA-driven: pick a
+`Mesh`, annotate `NamedSharding`s, and let pjit/GSPMD insert the collectives
+(gradient psums ride ICI; no hand-written comm layer).
+
+Axes:
+  * `data`  — batch sharding; the primary (and at these model sizes,
+    sufficient) strategy.  Gradients are reduced by XLA-inserted psum.
+  * `model` — optional tensor parallelism for demonstration/scaling: attention
+    projection kernels shard on their output feature axis, which (heads being
+    a reshape of that axis) head-shards the score tensors; classifiers shard
+    on their input axis.  Head counts (6/8) divide evenly.
+
+Pipeline/expert parallelism are unsupported by design (1-2 layer models, no
+MoE — SURVEY §2.4); sequence/context parallelism is bounded by construction
+(max 275 tokens) and unnecessary.
+
+Multi-host: call `jax.distributed.initialize()` before `make_mesh`; per-host
+batch slicing is the loader's job.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    n = n_data * n_model
+    if n > len(devices):
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    grid = np.asarray(devices[:n]).reshape(n_data, n_model)
+    return Mesh(grid, ("data", "model"))
+
+
+def batch_spec(batch) -> dict:
+    """PartitionSpec pytree: every batch leaf sharded on axis 0 over 'data'."""
+    return jax.tree.map(lambda _: P("data"), batch)
+
+
+def batch_sharding(mesh: Mesh, batch) -> dict:
+    return jax.tree.map(lambda _: NamedSharding(mesh, P("data")), batch)
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _is_matrix(x) -> bool:
+    return hasattr(x, "ndim") and x.ndim == 2
+
+
+def tp_param_spec(params, enable: bool = True):
+    """Tensor-parallel spec: 2-D kernels inside attention blocks shard on the
+    output axis (P(None, 'model')); everything else replicates.  GSPMD
+    propagates through the head-split reshapes and inserts the collectives.
+    Demonstrative at these sizes — replicate (enable=False) is the default."""
+
+    def spec_for(path, leaf):
+        if not enable or not _is_matrix(leaf):
+            return P()
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        in_block = "blocks" in names
+        if in_block and names[-1] == "w":
+            parent = names[-2] if len(names) >= 2 else ""
+            if parent in ("proj", "wq", "wk", "wv", "ffn1"):
+                return P(None, "model")
+            if parent in ("minus", "ffn2"):
+                return P("model", None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_params(mesh: Mesh, params, *, tp: bool = False):
+    specs = tp_param_spec(params, enable=tp)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+def make_sharded_train_step(model, tcfg, mesh: Mesh, *, impl: str = "xla",
+                            tp: bool = False):
+    """Jit the train step over the mesh: batch sharded on 'data', state
+    replicated (or TP-sharded); XLA emits the gradient all-reduce."""
+    from ..train import engine as eng
+
+    tx, _ = eng.make_train_step(model, tcfg, impl=impl, donate=False)
+
+    def step(state, batch):
+        rng, sub = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            return eng.batch_loss(model, tcfg, params, batch, sub, True, impl)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        import optax
+        params = optax.apply_updates(state.params, updates)
+        return eng.TrainState(params, opt_state, rng, state.step + 1), loss
+
+    def place_state(state):
+        pspecs = tp_param_spec(state.params, enable=tp)
+        put = lambda x, s: jax.device_put(x, NamedSharding(mesh, s))
+        params = jax.tree.map(put, state.params, pspecs)
+        # optimizer moments mirror the param shardings; scalars replicate
+        def opt_put(x):
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        opt_state = jax.tree.map(opt_put, state.opt_state)
+        return eng.TrainState(params, opt_state,
+                              jax.device_put(state.rng, NamedSharding(mesh, P())),
+                              jax.device_put(state.step, NamedSharding(mesh, P())))
+
+    jitted = jax.jit(step)
+    return tx, jitted, place_state

@@ -57,15 +57,27 @@ def make_optimizer(tcfg):
 
 def batch_loss(model, tcfg, params, batch, rng, train: bool, impl: str):
     """The reference loss contract: ZLPR mean (+ clip-validity masking for the
-    paragraph model, + symmetric KL in training for Ren-MME R-Drop)."""
+    paragraph model, + symmetric KL in training for Ren-MME R-Drop).
+
+    Batches may be zero-padded to a static size (data/loader.py); the optional
+    `sample_weight` (1 for real rows, 0 for padding) makes the weighted mean
+    equal the reference's mean over the unpadded batch — no recompiles, no
+    semantic drift.
+    """
     logits = model.apply(params, batch, rng=rng, train=train, impl=impl)
     per_sample = zlpr_loss(logits, batch["label"])
     if tcfg.clip_mask_loss:
-        loss = jnp.mean(per_sample * batch["clip_mask"])
-    else:
+        per_sample = per_sample * batch["clip_mask"]  # (B, P)
+    w = batch.get("sample_weight")
+    if w is None:
         loss = jnp.mean(per_sample)
+    else:
+        denom = jnp.sum(w) * (per_sample.shape[1] if per_sample.ndim == 2 else 1)
+        wb = w[:, None] if per_sample.ndim == 2 else w
+        loss = jnp.sum(per_sample * wb) / jnp.maximum(denom, 1.0)
     if tcfg.rdrop_kl and train:
-        loss = loss + symmetric_sigmoid_kl(logits)
+        loss = loss + symmetric_sigmoid_kl(
+            logits, pair_weight=None if w is None else w[::2])
     return loss
 
 
