@@ -1,0 +1,103 @@
+"""Benchmark: CMU-MOSEI flagship train+infer samples/sec/chip vs torch-CPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
+
+value        = samples/sec through one train step + one inference pass
+               (harmonic combination: B / (t_train + t_infer)) on this chip.
+vs_baseline  = value / (same quantity for the torch-CPU reference replica).
+Diagnostics go to stderr; the JSON line is the only stdout output.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_batch(m, b, seed=0):
+    r = np.random.default_rng(seed)
+    return {
+        "l": r.standard_normal((b, 2, m.l_len, m.l_dim)).astype(np.float32),
+        "v": r.standard_normal((b, 2, m.v_len, m.v_dim)).astype(np.float32),
+        "a": r.standard_normal((b, 2, m.a_len, m.a_dim)).astype(np.float32),
+        "l_mask": np.ones((b, 2, m.l_len), np.float32),
+        "v_mask": np.ones((b, 2, m.v_len), np.float32),
+        "a_mask": np.ones((b, 2, m.a_len), np.float32),
+        "label": (r.random((b, m.n_emotions)) > 0.7).astype(np.int32),
+    }
+
+
+def measure_jax(exp, batch, *, steps=20, warmup=3, impl="xla"):
+    import jax
+
+    from multimodal_emotion_processing_tpu.models import build_model
+    from multimodal_emotion_processing_tpu.train import engine as eng
+
+    model = build_model(exp)
+    tx, train_step = eng.make_train_step(model, exp.train, impl=impl)
+    state = eng.init_state(model, tx, seed=0)
+    dev_batch = jax.device_put(batch)
+    bsz = batch["label"].shape[0]
+
+    for _ in range(warmup):
+        state, loss = train_step(state, dev_batch)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss = train_step(state, dev_batch)
+    jax.block_until_ready(loss)
+    train_sps = bsz * steps / (time.perf_counter() - t0)
+
+    predict = eng.make_predict_step(model, impl=impl)
+    out = predict(state.params, dev_batch)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = predict(state.params, dev_batch)
+    jax.block_until_ready(out)
+    infer_sps = bsz * steps / (time.perf_counter() - t0)
+    return train_sps, infer_sps
+
+
+def combined(train_sps, infer_sps, bsz):
+    return bsz / (bsz / train_sps + bsz / infer_sps)
+
+
+def main():
+    from multimodal_emotion_processing_tpu import configs
+    from multimodal_emotion_processing_tpu.bench.torch_baseline import measure_torch_cpu
+
+    exp = configs.get("mosei_trans")
+    m = exp.model
+    b = exp.train.batch_size
+    batch = make_batch(m, b)
+
+    import jax
+    log(f"devices: {jax.devices()}")
+
+    jax_train, jax_infer = measure_jax(exp, batch)
+    log(f"jax: train {jax_train:.1f} samples/s, infer {jax_infer:.1f} samples/s")
+
+    torch_train, torch_infer = measure_torch_cpu(m, batch)
+    log(f"torch-cpu: train {torch_train:.1f} samples/s, infer {torch_infer:.1f} samples/s")
+
+    ours = combined(jax_train, jax_infer, b)
+    base = combined(torch_train, torch_infer, b)
+    print(json.dumps({
+        "metric": "cmu-mosei flagship train+infer samples/sec/chip",
+        "value": round(ours, 2),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(ours / base, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
