@@ -1,0 +1,125 @@
+"""Feature sources: where raw per-sentence feature sequences come from.
+
+The reference binds directly to CMU MultimodalSDK `.csd` HDF5 files
+(cmu-mosei/run.py:45-46) and loose `.npy`/`.pk` trees.  Here sources implement
+one interface so the pair/paragraph batchers work identically over real
+corpora, in-memory dicts, and deterministic synthetic features (tests/bench).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, Iterable, Optional
+
+import numpy as np
+
+
+class FeatureSource:
+    """get(name) -> raw (length, dim) float sequence for one sentence id."""
+
+    def get(self, name: str) -> np.ndarray:
+        raise NotImplementedError
+
+    def __contains__(self, name: str) -> bool:
+        raise NotImplementedError
+
+    def names(self) -> Iterable[str]:
+        raise NotImplementedError
+
+
+class DictSource(FeatureSource):
+    def __init__(self, table: Dict[str, np.ndarray]):
+        self.table = table
+
+    def get(self, name):
+        return self.table[name]
+
+    def __contains__(self, name):
+        return name in self.table
+
+    def names(self):
+        return self.table.keys()
+
+
+class SyntheticSource(FeatureSource):
+    """Deterministic pseudo-features keyed by sentence name — shape-faithful
+    stand-in for a .csd computational sequence."""
+
+    def __init__(self, names, dim: int, max_len: int, *, seed: int = 0,
+                 pollute: bool = False):
+        self._names = set(names)
+        self.dim = dim
+        self.max_len = max_len
+        self.seed = seed
+        self.pollute = pollute
+
+    def _rng(self, name):
+        h = hashlib.blake2s(f"{self.seed}:{name}".encode(), digest_size=8).digest()
+        return np.random.default_rng(int.from_bytes(h, "little"))
+
+    def get(self, name):
+        rng = self._rng(name)
+        n = int(rng.integers(1, self.max_len + 1))
+        x = rng.standard_normal((n, self.dim)).astype(np.float32)
+        if self.pollute and rng.random() < 0.3:
+            x[rng.integers(0, n), rng.integers(0, self.dim)] = np.inf
+        return x
+
+    def __contains__(self, name):
+        return name in self._names
+
+    def names(self):
+        return self._names
+
+
+class CsdSource(FeatureSource):
+    """CMU MultimodalSDK computational sequence (.csd = HDF5).  Layout:
+    one group per sentence id with a 'features' dataset
+    (cmu-mosei/run.py:170: data[name]["features"][:])."""
+
+    def __init__(self, path: str, root: Optional[str] = None):
+        import h5py  # part of the baked image via torch deps
+
+        self._f = h5py.File(path, "r")
+        # csd layout: /<computational sequence name>/data/<sentence id>/features
+        if root is None:
+            top = list(self._f.keys())[0]
+            root = f"{top}/data" if "data" in self._f[top] else top
+        self._data = self._f[root]
+
+    def get(self, name):
+        return np.asarray(self._data[name]["features"][:], dtype=np.float32)
+
+    def __contains__(self, name):
+        return name in self._data
+
+    def names(self):
+        return self._data.keys()
+
+
+class NpyDirSource(FeatureSource):
+    """Directory of per-sentence .npy files (Ren-MME/rencecps/robot layout)."""
+
+    def __init__(self, dirpath: str, *, transpose: bool = False):
+        import os
+
+        self.dir = dirpath
+        self.transpose = transpose
+        self._os = os
+
+    def _path(self, name):
+        return self._os.path.join(self.dir, name + ".npy")
+
+    def get(self, name):
+        x = np.load(self._path(name))
+        if self.transpose:
+            x = np.transpose(x)
+        return np.asarray(x, dtype=np.float32)
+
+    def __contains__(self, name):
+        return self._os.path.exists(self._path(name))
+
+    def names(self):
+        for fn in self._os.listdir(self.dir):
+            if fn.endswith(".npy"):
+                yield fn[:-4]

@@ -1,0 +1,310 @@
+"""Data-layer tests: masking semantics, corpus parsers over synthetic
+filesystem fixtures, batcher behavior."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from multimodal_emotion_processing_tpu import configs
+from multimodal_emotion_processing_tpu.data import masking, mosei, rencecps, ren_mme, robot
+from multimodal_emotion_processing_tpu.data.loader import Batcher
+from multimodal_emotion_processing_tpu.data.sources import (
+    DictSource, SyntheticSource, NpyDirSource)
+
+
+# ---------------------------------------------------------------------------
+# masking
+# ---------------------------------------------------------------------------
+
+def test_summary_masking_short_sequence():
+    m = np.arange(12, dtype=np.float32).reshape(4, 3)
+    feats, masks = masking.summary_masking(m, m_len=10)
+    assert len(feats) == 1
+    f, mk = feats[0], masks[0]
+    assert f.shape == (10, 3)
+    np.testing.assert_array_equal(f[0], m.max(0))   # max
+    np.testing.assert_array_equal(f[1], m.min(0))   # min
+    np.testing.assert_array_equal(f[2], m.mean(0))  # mean
+    np.testing.assert_array_equal(f[3:7], m)
+    np.testing.assert_array_equal(f[7:], 0)
+    np.testing.assert_array_equal(mk, [1]*7 + [0]*3)
+
+
+def test_summary_masking_two_crops():
+    m = np.arange(20, dtype=np.float32).reshape(10, 2)
+    feats, masks = masking.summary_masking(m, m_len=8)  # 10 >= 8-3
+    assert len(feats) == 2
+    head, tail = feats
+    np.testing.assert_array_equal(head[3:], m[:5])       # head-anchored crop
+    np.testing.assert_array_equal(tail[3:], m[10 - 5:])  # tail-anchored crop
+    np.testing.assert_array_equal(head[:3], tail[:3])    # shared summary tokens
+    assert masks[0].all() and masks[1].all()
+
+
+def test_summary_masking_sanitizes_audio():
+    m = np.ones((4, 3), np.float32)
+    m[1, 2] = np.inf
+    m[2, 0] = np.nan
+    feats, _ = masking.summary_masking(m, 10, is_audio=True)
+    assert np.isfinite(feats[0]).all()
+    assert feats[0][4, 2] == masking.SANITIZE_VALUE  # row 1 is at offset 3+1
+
+
+def test_simple_masking_sanitizes_after_pad():
+    m = np.full((3, 2), np.inf, np.float32)
+    f, mk = masking.simple_masking(m, 5)
+    assert (f[:3] == masking.SANITIZE_VALUE).all()
+    assert (f[3:] == 0).all()
+    np.testing.assert_array_equal(mk, [1, 1, 1, 0, 0])
+
+
+def test_pad_or_subsample_stride_off_by_one():
+    # reference: gap = 10 // 4 = 2 -> indices 0,2,4,6,8 -> first 4 kept
+    m = np.arange(10, dtype=np.float32)[:, None]
+    f, mk = masking.pad_or_subsample(m, 4)
+    np.testing.assert_array_equal(f[:, 0], [0, 2, 4, 6])
+    assert mk.all()
+
+
+# ---------------------------------------------------------------------------
+# CMU-MOSEI
+# ---------------------------------------------------------------------------
+
+LABELS_TXT = """name,start_time,end_time,happy,sad,angry,disgust,surprise,fear,neutral
+vidA[0],5.0,6.0,1,0,0,0,0,0,0
+vidA[1],1.0,2.0,0,1,0,0,0,0,0
+vidA[2],3.0,4.0,0,0,1,0,0,0,0
+vidB[0],0.0,1.0,0,0,0,1,0,0,0
+vidB[1],2.0,3.0,0,0,0,0,1,0,0
+"""
+
+
+def test_parse_labels_orders_and_pairs(tmp_path):
+    p = tmp_path / "labels.txt"
+    p.write_text(LABELS_TXT)
+    train, test, labels = mosei.parse_labels(str(p), test_videos={"vidB"})
+    # vidA ordered by start time: [1], [2], [0] -> pairs (no_name,1),(1,2),(2,0)
+    assert train == [["no_name", "vidA[1]"], ["vidA[1]", "vidA[2]"],
+                     ["vidA[2]", "vidA[0]"]]
+    assert test == [["no_name", "vidB[0]"], ["vidB[0]", "vidB[1]"]]
+    assert labels["vidA[0]"] == [1, 0, 0, 0, 0, 0, 0]
+    assert labels["vidB[1]"] == [0, 0, 0, 0, 1, 0, 0]
+
+
+def test_paragraph_windows():
+    present = {f"v[{i}]" for i in range(7)}
+    wins = mosei.paragraph_windows(["v"], present, p_len=6, max_clips=11)
+    # 12 slots -> windows [0..5] (valid) and [6..11] (first clip v[6] exists)
+    assert len(wins) == 2
+    assert wins[0] == [f"v[{i}]" for i in range(6)]
+    assert wins[1][0] == "v[6]" and wins[1][2] == "no_name"
+
+
+def test_pair_assembler_two_crop_and_no_name():
+    import dataclasses
+    m = dataclasses.replace(configs.get("mosei_trans").model,
+                            l_len=6, v_len=8, a_len=8, l_dim=4, v_dim=3, a_dim=5)
+    names = ["x[0]", "x[1]"]
+    # long text (>= l_len-3) triggers two-crop for both sentences
+    l_src = DictSource({n: np.random.default_rng(1).standard_normal((10, 4)).astype(np.float32)
+                        for n in names})
+    v_src = DictSource({n: np.ones((3, 3), np.float32) for n in names})
+    a_src = DictSource({n: np.ones((4, 5), np.float32) for n in names})
+    labels = {n: [1, 0, 0, 0, 0, 0, 0] for n in names}
+    asm = mosei.PairSampleAssembler(m, l_src, v_src, a_src, labels)
+
+    out = asm.samples_for_pair(["no_name", "x[1]"])
+    assert len(out) == 2  # extra tail-crop sample first, then main
+    for s in out:
+        assert s["l"].shape == (2, 6, 4)
+        np.testing.assert_array_equal(s["l"][0], 0)       # no_name prev zeros
+        np.testing.assert_array_equal(s["l_mask"][0], 0)
+        assert s["v"].shape == (2, 8, 3)
+
+    out2 = asm.samples_for_pair(["x[0]", "x[1]"])
+    assert len(out2) == 2
+    assert not np.allclose(out2[0]["l"][1], out2[1]["l"][1])  # tail vs head crop
+    # short modalities have only one crop; extra sample reuses it ([-1] == [0])
+    np.testing.assert_array_equal(out2[0]["v"][1], out2[1]["v"][1])
+
+
+# ---------------------------------------------------------------------------
+# Ren-CECps
+# ---------------------------------------------------------------------------
+
+CET_TXT = (
+    "title line\n"
+    "s1:0.1,0.0,0.0,0.0,0.0,0.0,0.0,0.0:中文/w  句子/n\n"
+    "s2:0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0:另一/w  句/n\n"
+    "s3:0.0,0.3,0.0,0.0,0.0,0.0,0.0,0.2:/n\n"
+    "s4:0.0,0.0,0.5,0.0,0.0,0.0,0.0,0.0:第三/w  句/n\n"
+)
+CET_XML = (
+    "<doc>\n"
+    "<S_no>第1段第1句</S_no>\n"
+    "<S_no>第1段第2句</S_no>\n"
+    "<S_no>第2段第1句</S_no>\n"
+    "<S_no>第2段第2句</S_no>\n"
+    "</doc>\n"
+)
+
+
+def _write_ren_doc(tmp_path, num):
+    (tmp_path / "txt").mkdir(exist_ok=True)
+    (tmp_path / "xml").mkdir(exist_ok=True)
+    (tmp_path / "txt" / f"cet_{num}.txt").write_text(CET_TXT)
+    (tmp_path / "xml" / f"cet_{num}.xml").write_text(CET_XML)
+
+
+def test_rencecps_parsing(tmp_path):
+    _write_ren_doc(tmp_path, 1)
+    labels, skipped = rencecps.parse_label_file(str(tmp_path / "txt" / "cet_1.txt"))
+    assert skipped == [3]  # '/n' text line skipped
+    assert labels[0] == [1, 0, 0, 0, 0, 0, 0, 0, 0]
+    assert labels[1] == [0, 0, 0, 0, 0, 0, 0, 0, 1]  # all-zero -> neutral
+    assert labels[2] == [0, 0, 1, 0, 0, 0, 0, 0, 0]
+    paras, sents = rencecps.parse_xml_ids(str(tmp_path / "xml" / "cet_1.xml"), skipped)
+    assert list(zip(paras, sents)) == [("1", "1"), ("1", "2"), ("2", "2")]
+
+
+def test_rencecps_pairs_reset_at_doc_start():
+    entries = [{"name": "5_1_1", "label": [1] + [0]*8},
+               {"name": "5_1_2", "label": [0, 1] + [0]*7},
+               {"name": "5_2_1", "label": [0, 0, 1] + [0]*6},
+               {"name": "6_1_1", "label": [0]*8 + [1]}]
+    pairs = rencecps.pair_list(entries)
+    assert pairs[0][0]["name"] == "no_name"
+    assert pairs[1][0]["name"] == "5_1_1"
+    assert pairs[2][0]["name"] == "5_1_2"      # crosses paragraph boundary
+    assert pairs[3][0]["name"] == "no_name"    # doc start resets
+
+
+def test_flatten_bert():
+    t = np.arange(12, dtype=np.float32).reshape(4, 3)
+    f = rencecps.flatten_bert(t)
+    assert f.shape == (9,)
+    np.testing.assert_array_equal(f[:3], t[0])
+    np.testing.assert_array_equal(f[3:6], t[1:].max(0))
+    np.testing.assert_array_equal(f[6:], t[1:].mean(0))
+
+
+# ---------------------------------------------------------------------------
+# Ren-MME
+# ---------------------------------------------------------------------------
+
+def test_ren_mme_label_table(tmp_path):
+    csv_path = tmp_path / "labels.csv"
+    header = "Episode,Dialogue,Sentence," + ",".join(ren_mme.EMOTIONS)
+    rows = ["1,1,1,1,0,0,0,0,0,0,0,0", "9,2,1,0,1,0,0,0,0,0,0,0"]
+    csv_path.write_text(header + "\n" + "\n".join(rows) + "\n")
+    train, test = ren_mme.load_label_table(str(csv_path))
+    assert train == [("1_1_1", [1, 0, 0, 0, 0, 0, 0, 0, 0])]
+    assert test == [("9_2_1", [0, 1, 0, 0, 0, 0, 0, 0, 0])]
+
+
+def test_ren_mme_video_fallback_and_transpose(tmp_path):
+    import dataclasses
+    m = dataclasses.replace(configs.get("ren_mme").model,
+                            l_len=4, v_len=5, a_len=6, l_dim=3, v_dim=2, a_dim=4)
+    for d in ("text", "video", "audio"):
+        (tmp_path / d).mkdir()
+    rng = np.random.default_rng(0)
+    for name in ("2_3_1", "2_3_2"):
+        np.save(tmp_path / "text" / f"{name}.npy",
+                rng.standard_normal((3, 3)).astype(np.float32))
+        np.save(tmp_path / "audio" / f"{name}.npy",
+                rng.standard_normal((4, 8)).astype(np.float32))  # stored (dim, T)
+    # only 2_3_1 has video; 2_3_2 must fall back to 2_3_1
+    np.save(tmp_path / "video" / "2_3_1.npy",
+            rng.standard_normal((2, 2)).astype(np.float32))
+
+    asm = ren_mme.RenMmeAssembler(
+        m,
+        NpyDirSource(str(tmp_path / "text")),
+        NpyDirSource(str(tmp_path / "video")),
+        NpyDirSource(str(tmp_path / "audio"), transpose=True),
+    )
+    s = asm.sample_for("2_3_2", [0] * 9)
+    assert s["l"].shape == (2, 4, 3)
+    assert s["a"].shape == (2, 6, 4)  # transposed: (8,4) -> padded to 6? truncated
+    # pre of 2_3_2 is 2_3_1 (sentence - 1)
+    v1 = asm._video("2_3_1")[0]
+    np.testing.assert_array_equal(s["v"][1], v1)  # fallback hit the same file
+
+    # missing everywhere -> zeros with ALL-ONES mask (reference quirk)
+    f, mk = asm._video("2_9_9")
+    np.testing.assert_array_equal(f, 0)
+    assert mk.all()
+
+
+def test_previous_name():
+    assert ren_mme.previous_name("3_4_1") == "3_4_1"
+    assert ren_mme.previous_name("3_4_7") == "3_4_6"
+
+
+# ---------------------------------------------------------------------------
+# robot demo
+# ---------------------------------------------------------------------------
+
+def test_video_multires_majority(tmp_path):
+    rng = np.random.default_rng(0)
+    frames = ([rng.standard_normal(512).astype(np.float32) for _ in range(5)]
+              + [rng.standard_normal(1024).astype(np.float32) for _ in range(3)])
+    p = tmp_path / "v.pk"
+    with open(p, "wb") as f:
+        pickle.dump(frames, f)
+    f256, f512, f1024, mask = robot.load_video_multires(str(p), v_len=4)
+    assert (f256 == 0).all() and (f1024 == 0).all()
+    assert not (f512 == 0).all()
+    # 5 frames >= 4 -> gap=1 subsample, first 4 kept
+    np.testing.assert_array_equal(f512, np.stack(frames[:4]))
+    assert mask.all()
+
+
+def test_ren_to_mosei_label_mapping(tmp_path):
+    txt = (
+        "x\n"
+        "s1:0.0,0.0,0.7,0.0,0.0,0.0,0.0,0.0:中文/w\n"     # Sorrow -> sad
+        "s2:0.5,0.0,0.0,0.0,0.0,0.0,0.6,0.0:中文/w\n"     # Love+Anger -> happ+ange
+        "s3:0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0:中文/w\n"     # none -> neutral
+        "s4:0.9,0.0,0.0,0.0,0.0,0.0,0.0,0.0:english/w\n"  # non-Chinese skipped
+    )
+    p = tmp_path / "cet_1.txt"
+    p.write_text(txt)
+    labels, skipped = robot.ren_to_mosei_labels(str(p))
+    assert labels == ["0100000", "1010000", "0000001"]
+    assert skipped == [4]
+
+
+def test_substitution_rotation():
+    sub = robot.SubstitutionSampler({"1000000": ["a", "b"], "0000001": ["n"]})
+    assert sub.pick("1000000") == "a"
+    assert sub.pick("1000000") == "b"
+    assert sub.pick("1000000") == "a"      # rotated back
+    assert sub.pick("1111111") == "n"      # unknown label -> neutral fallback
+
+
+# ---------------------------------------------------------------------------
+# batcher
+# ---------------------------------------------------------------------------
+
+def test_batcher_pads_final_and_weights():
+    samples = [{"x": np.full((2,), i, np.float32), "label": np.zeros(3, np.int32)}
+               for i in range(5)]
+    b = Batcher(samples, batch_size=2, shuffle=False)
+    batches = list(b())
+    assert len(batches) == 3 == b.steps_per_epoch()
+    last = batches[-1]
+    assert last["x"].shape == (2, 2)
+    np.testing.assert_array_equal(last["sample_weight"], [1, 0])
+    np.testing.assert_array_equal(last["x"][1], 0)
+
+
+def test_batcher_rdrop_duplicate_adjacent():
+    samples = [{"x": np.full((1,), i, np.float32)} for i in range(3)]
+    b = Batcher(samples, batch_size=2, shuffle=False, duplicate=True)
+    batches = list(b())
+    first = batches[0]["x"][:, 0]
+    np.testing.assert_array_equal(first[0], first[1])  # duplicates adjacent
