@@ -1,0 +1,107 @@
+"""Ensembling and threshold selection.
+
+The reference reloads k loss-tagged checkpoints and averages logits at test
+time (cmu-mosei/run.py:446-477: mean/4; others/realformer.py:420: 0.6/0.4
+blend; Ren-MME/run.py:727: sum).  Its realformer threshold sweep re-runs full
+inference 400 times (others/realformer.py:411-441); here logits are computed
+ONCE — the k member forwards run as a single vmapped pass over stacked
+parameter pytrees — and every threshold is evaluated from the cached logits
+(SURVEY §7.3.7).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..train import metrics
+
+
+class Ensemble:
+    """k same-architecture members, evaluated in one vmapped forward."""
+
+    def __init__(self, model, params_list: Sequence, weights: Optional[Sequence[float]] = None,
+                 *, combine: str = "mean", impl: str = "xla"):
+        self.model = model
+        self.k = len(params_list)
+        self.stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+        if weights is not None:
+            self.weights = jnp.asarray(weights, jnp.float32)
+        elif combine == "mean":
+            self.weights = jnp.full((self.k,), 1.0 / self.k, jnp.float32)
+        else:  # 'sum' (Ren-MME)
+            self.weights = jnp.ones((self.k,), jnp.float32)
+
+        def member_logits(params, batch):
+            return model.apply(params, batch, train=False, impl=impl)
+
+        self._vmapped = jax.jit(jax.vmap(member_logits, in_axes=(0, None)))
+
+    def logits(self, batch) -> jnp.ndarray:
+        """Weighted-combined ensemble logits for one batch."""
+        per_member = self._vmapped(self.stacked, batch)  # (k, B, ...)
+        w = self.weights.reshape((self.k,) + (1,) * (per_member.ndim - 1))
+        return jnp.sum(per_member * w, axis=0)
+
+    def predict_all(self, loader) -> np.ndarray:
+        """Concatenated combined logits over a loader; honors sample_weight
+        padding by dropping padded rows."""
+        outs = []
+        for batch in loader() if callable(loader) else loader:
+            lg = np.asarray(self.logits(batch))
+            w = batch.get("sample_weight")
+            if w is not None:
+                lg = lg[np.asarray(w) > 0]
+            outs.append(lg)
+        return np.concatenate(outs, axis=0)
+
+
+def apply_thresholds(logits: np.ndarray, thresholds: Sequence[float],
+                     emotion_index: Sequence[int]) -> np.ndarray:
+    """Binary predictions: pred[:, j] = logits[:, emotion_index[j]] > thresholds[j]."""
+    logits = np.asarray(logits)
+    cols = np.stack([logits[:, idx] for idx in emotion_index], axis=1)
+    return (cols > np.asarray(thresholds)[None, :]).astype(np.int32)
+
+
+def threshold_sweep(
+    logits: np.ndarray,
+    labels: np.ndarray,
+    thresholds: Sequence[float],
+    emotion_index: Sequence[int],
+    emotion_names: Sequence[str],
+    *,
+    metric: Callable = metrics.weighted_f1,
+) -> Dict[str, Dict[str, float]]:
+    """Per-emotion best threshold by the given metric, from CACHED logits —
+    one inference pass total (vs the reference's sweep re-running inference
+    per threshold).  Returns {emotion: {t, f1, acc}}."""
+    logits = np.asarray(logits)
+    labels = np.asarray(labels)
+    best = {}
+    for j, name in enumerate(emotion_names):
+        col = logits[:, emotion_index[j]]
+        lab = labels[:, emotion_index[j]]
+        b = {"t": 0.0, "f1": -1.0, "acc": 0.0}
+        for t in thresholds:
+            pred = (col > t).astype(np.int32)
+            f1 = metric(lab, pred)
+            if f1 > b["f1"]:
+                b = {"t": float(t), "f1": float(f1),
+                     "acc": metrics.accuracy(lab, pred)}
+        best[name] = b
+    return best
+
+
+def realformer_threshold_grid(n: int = 400):
+    """The reference's sweep grid: t/200 - 1 for t in range(400)
+    (others/realformer.py:411-412)."""
+    return [t / 200 - 1.0 for t in range(n)]
+
+
+def robot_threshold_grid(n: int = 13):
+    """robot_demo.py:532-533: i/10 - 1 for i in range(13)."""
+    return [i / 10 - 1.0 for i in range(n)]

@@ -1,0 +1,54 @@
+"""Streaming single-sample inference — the robot-demo p50-latency path
+(robot_demo.py:594-640).
+
+TPU-native design: the k ensemble members run as ONE vmapped, jitted forward
+(the reference loops 4 sequential model calls per sample, robot_demo.py:611-614);
+batch-1 shapes are compiled once and reused; the calibrated per-emotion sigmoid
+(offsets at robot_demo.py:609) is fused into the same program.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class StreamingPredictor:
+    def __init__(self, model, params_list: Sequence, offsets: Sequence[float],
+                 *, impl: str = "xla"):
+        self.model = model
+        self.k = len(params_list)
+        self.stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+        self.offsets = jnp.asarray(offsets, jnp.float32)
+
+        def run(stacked, batch):
+            logits = jax.vmap(
+                lambda p: model.apply(p, batch, train=False, impl=impl)
+            )(stacked)                                  # (k, 1, E)
+            pred = jnp.mean(logits, axis=0)[0]          # (E,)
+            probs = jax.nn.sigmoid(pred[: self.offsets.shape[0]] - self.offsets)
+            return pred, probs
+
+        self._run = jax.jit(run)
+
+    def warmup(self, sample: Dict[str, np.ndarray]) -> None:
+        jax.block_until_ready(self._run(self.stacked, self._batch1(sample)))
+
+    @staticmethod
+    def _batch1(sample: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        return {k: np.expand_dims(np.asarray(v), 0) for k, v in sample.items()
+                if k != "label"}
+
+    def predict(self, sample: Dict[str, np.ndarray]):
+        """Returns (raw ensemble logits (E,), calibrated probabilities)."""
+        pred, probs = self._run(self.stacked, self._batch1(sample))
+        return np.asarray(pred), np.asarray(probs)
+
+    def emotions(self, sample, names: Sequence[str]) -> Dict[str, float]:
+        """The demo printout: emotion -> rounded calibrated probability
+        (robot_demo.py:616-622)."""
+        _, probs = self.predict(sample)
+        return {n: round(float(p), 2) for n, p in zip(names, probs)}

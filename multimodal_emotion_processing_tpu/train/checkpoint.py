@@ -1,0 +1,99 @@
+"""Checkpointing: Orbax-backed checkpoints with a JSON manifest.
+
+The reference saves best-only model weights to loss-tagged filenames
+(`{name}_{str(valid_loss)[:4]}.pt`, cmu-mosei/run.py:415) and reloads them by
+hard-coded names (cmu-mosei/run.py:446-453); optimizer/scheduler state is
+never saved and there is no resume.  Here each member saves BOTH a params-only
+checkpoint (for ensembling/serving) and the full train state (params +
+optimizer + RNG + step, for restart-resume — the actual elasticity story on
+TPU pods), and a manifest records best path/loss/epoch so ensembles reload
+programmatically instead of by loss-tagged filename.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import shutil
+from typing import Any, Dict, List
+
+import jax
+import numpy as np
+
+
+def _tree_to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+class CheckpointStore:
+    """Directory layout:
+        <root>/manifest.json
+        <root>/<name>/params/   (orbax pytree: model params only)
+        <root>/<name>/full/     (orbax pytree: full TrainState dict)
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._manifest_path = os.path.join(root, "manifest.json")
+        self.manifest: Dict[str, Dict] = {}
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                self.manifest = json.load(f)
+
+    def _write_manifest(self):
+        with open(self._manifest_path, "w") as f:
+            json.dump(self.manifest, f, indent=2)
+
+    def _dir(self, name: str, kind: str) -> str:
+        return os.path.abspath(os.path.join(self.root, name, kind))
+
+    def _save_tree(self, path: str, tree) -> None:
+        import orbax.checkpoint as ocp
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, tree)
+        ckptr.wait_until_finished()
+
+    def save_best(self, name: str, state, epoch: int, valid_loss: float) -> None:
+        self._save_tree(self._dir(name, "params"), _tree_to_numpy(state.params))
+        self._save_tree(self._dir(name, "full"), _state_dict(state))
+        self.manifest[name] = {
+            "params": self._dir(name, "params"),
+            "full": self._dir(name, "full"),
+            "valid_loss": float(valid_loss),
+            "epoch": int(epoch),
+        }
+        self._write_manifest()
+
+    def restore_params(self, name: str, params_like) -> Any:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(self.manifest[name]["params"],
+                             _tree_to_numpy(params_like))
+
+    def restore_state(self, name: str, state_like) -> Any:
+        import orbax.checkpoint as ocp
+
+        from .engine import TrainState
+
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(self.manifest[name]["full"],
+                                 _state_dict(state_like))
+        return TrainState(**restored)
+
+    def best_members(self, prefix: str = "") -> List[str]:
+        return sorted(n for n in self.manifest if n.startswith(prefix))
+
+
+def _state_dict(state) -> Dict:
+    return {
+        "params": _tree_to_numpy(state.params),
+        "opt_state": _tree_to_numpy(state.opt_state),
+        "rng": np.asarray(state.rng),
+        "step": np.asarray(state.step),
+    }

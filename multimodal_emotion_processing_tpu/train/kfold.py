@@ -1,0 +1,67 @@
+"""k-fold bagging driver: the reference's one-model-per-contiguous-fold scheme
+(cmu-mosei/run.py:422-444: shuffle once, carve k fixed-size validation folds,
+train one model on the complement of each; realformer uses 20% folds,
+others/realformer.py:366-386)."""
+
+from __future__ import annotations
+
+import random
+from typing import Callable, List, Optional, Sequence, Tuple
+
+from .engine import Trainer
+from .checkpoint import CheckpointStore
+
+
+def contiguous_folds(n: int, k: int, fold_size: Optional[int] = None
+                     ) -> List[Tuple[slice, List[range]]]:
+    """Fold i validates on [i*size, (i+1)*size) and trains on the rest."""
+    size = fold_size if fold_size is not None else n // k
+    out = []
+    for i in range(k):
+        lo, hi = i * size, (i + 1) * size
+        out.append((slice(lo, hi), [range(0, lo), range(hi, n)]))
+    return out
+
+
+def run_kfold(
+    samples: Sequence,
+    make_loaders: Callable,
+    model,
+    tcfg,
+    *,
+    store: Optional[CheckpointStore] = None,
+    name_prefix: str = "model",
+    fold_size: Optional[int] = None,
+    epochs: Optional[int] = None,
+    impl: str = "xla",
+    shuffle_seed: int = 0,
+    log_cb=None,
+):
+    """Train tcfg.n_folds models.  `make_loaders(train_samples, valid_samples)`
+    -> (train_loader, valid_loader) zero-arg callables.
+
+    Returns list of (final TrainState, history) per fold; best checkpoints go
+    to `store` under '{name_prefix}_{i+1}'.
+    """
+    samples = list(samples)
+    rng = random.Random(shuffle_seed)
+    rng.shuffle(samples)  # shuffle ONCE, before carving (cmu-mosei/run.py:423)
+    results = []
+    for i, (valid_sl, train_ranges) in enumerate(
+            contiguous_folds(len(samples), tcfg.n_folds, fold_size)):
+        valid = samples[valid_sl]
+        train = [samples[j] for r in train_ranges for j in r]
+        name = f"{name_prefix}_{i + 1}"
+
+        def ckpt_cb(state, epoch, valid_loss, _name=name):
+            if store is not None:
+                store.save_best(_name, state, epoch, valid_loss)
+
+        trainer = Trainer(model, tcfg, impl=impl, checkpoint_cb=ckpt_cb,
+                          log_cb=(lambda e, s, _n=name: log_cb(_n, e, s))
+                          if log_cb else None)
+        train_loader, valid_loader = make_loaders(train, valid)
+        state, history = trainer.fit(train_loader, valid_loader,
+                                     epochs=epochs, seed=tcfg.seed + i)
+        results.append((state, history))
+    return results

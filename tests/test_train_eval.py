@@ -1,0 +1,208 @@
+"""Engine / eval / serve / checkpoint tests: metrics vs sklearn, ensemble
+equivalence, threshold sweep, checkpoint round-trip, k-fold smoke, schedules."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_emotion_processing_tpu import configs
+from multimodal_emotion_processing_tpu.data.loader import Batcher
+from multimodal_emotion_processing_tpu.data.synthetic import synthetic_dataset
+from multimodal_emotion_processing_tpu.eval import Ensemble, threshold_sweep, apply_thresholds
+from multimodal_emotion_processing_tpu.eval.report import evaluate, transition_matrix
+from multimodal_emotion_processing_tpu.models import build_model
+from multimodal_emotion_processing_tpu.serve import StreamingPredictor
+from multimodal_emotion_processing_tpu.train import engine as eng
+from multimodal_emotion_processing_tpu.train import metrics, schedule
+from multimodal_emotion_processing_tpu.train.checkpoint import CheckpointStore
+from multimodal_emotion_processing_tpu.train.kfold import contiguous_folds, run_kfold
+
+
+def tiny_exp(name="rencecps", **overrides):
+    exp = configs.get(name)
+    m = exp.model
+    if name == "rencecps":
+        m = dataclasses.replace(m, dim=16)
+    else:
+        m = dataclasses.replace(m, l_len=4, v_len=6, a_len=8, dim=12, n_heads=2,
+                                l_dim=5, v_dim=4, a_dim=3, p_len=3,
+                                v_dims_multires=(4, 6, 8))
+    t = dataclasses.replace(exp.train, batch_size=8, **overrides)
+    return dataclasses.replace(exp, model=m, train=t)
+
+
+# ---------------------------------------------------------------------------
+# metrics vs sklearn
+# ---------------------------------------------------------------------------
+
+def test_metrics_match_sklearn():
+    sk = pytest.importorskip("sklearn.metrics")
+    rng = np.random.default_rng(0)
+    y = rng.integers(0, 2, 200)
+    p = rng.integers(0, 2, 200)
+    assert metrics.accuracy(y, p) == pytest.approx(sk.accuracy_score(y, p))
+    assert metrics.weighted_f1(y, p) == pytest.approx(
+        sk.f1_score(y, p, average="weighted"))
+    Y = rng.integers(0, 2, (100, 8))
+    P = rng.integers(0, 2, (100, 8))
+    ours = metrics.micro_macro_prf(Y, P)
+    assert ours["micro_f1"] == pytest.approx(sk.f1_score(Y, P, average="micro"))
+    assert ours["macro_f1"] == pytest.approx(sk.f1_score(Y, P, average="macro"))
+    assert ours["micro_precision"] == pytest.approx(
+        sk.precision_score(Y, P, average="micro"))
+    assert ours["macro_recall"] == pytest.approx(
+        sk.recall_score(Y, P, average="macro"))
+
+
+# ---------------------------------------------------------------------------
+# schedules
+# ---------------------------------------------------------------------------
+
+def test_plateau_matches_torch_semantics():
+    p = schedule.PlateauState(lr=1.0, factor=0.1, patience=2)
+    # improving
+    assert p.step(1.0) == 1.0
+    assert p.step(0.5) == 1.0
+    # stagnating: patience 2 -> reduce on the 3rd bad epoch
+    assert p.step(0.5) == 1.0
+    assert p.step(0.5) == 1.0
+    assert p.step(0.5) == pytest.approx(0.1)
+
+
+def test_early_stop_save_guard_quirk():
+    s = schedule.EarlyStop(patience=2, save_guard=0.009)
+    save, stop = s.step(0.5)
+    assert save and not stop
+    # new min BELOW guard: no save AND counter increments (reference `and`)
+    save, stop = s.step(0.001)
+    assert not save and not stop
+    save, stop = s.step(0.002)
+    assert not save and stop  # bad == patience
+
+
+# ---------------------------------------------------------------------------
+# ensemble / thresholds
+# ---------------------------------------------------------------------------
+
+def test_ensemble_matches_individual_mean():
+    exp = tiny_exp("rencecps")
+    model = build_model(exp)
+    ps = [model.init(jax.random.PRNGKey(i)) for i in range(3)]
+    batch = {"feat": jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, 2, 16)).astype(np.float32))}
+    ens = Ensemble(model, ps)
+    got = np.asarray(ens.logits(batch))
+    want = np.mean([np.asarray(model.apply(p, batch)) for p in ps], axis=0)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+    weighted = Ensemble(model, ps[:2], weights=[0.6, 0.4])
+    got_w = np.asarray(weighted.logits(batch))
+    want_w = 0.6 * np.asarray(model.apply(ps[0], batch)) + \
+        0.4 * np.asarray(model.apply(ps[1], batch))
+    np.testing.assert_allclose(got_w, want_w, rtol=2e-5, atol=2e-6)
+
+
+def test_threshold_sweep_and_apply():
+    rng = np.random.default_rng(1)
+    logits = rng.standard_normal((500, 3)).astype(np.float32)
+    labels = (logits + 0.3 * rng.standard_normal((500, 3)) > 0.4).astype(np.int32)
+    sweep = threshold_sweep(logits, labels, [t / 20 - 1 for t in range(40)],
+                            emotion_index=(0, 1, 2), emotion_names=("a", "b", "c"))
+    for emo in ("a", "b", "c"):
+        assert 0.2 < sweep[emo]["t"] < 0.6  # recovers the generating threshold
+        assert sweep[emo]["f1"] > 0.8
+    preds = apply_thresholds(logits, [sweep[e]["t"] for e in ("a", "b", "c")],
+                             (0, 1, 2))
+    assert preds.shape == (500, 3)
+
+
+def test_evaluate_report_shape():
+    rng = np.random.default_rng(2)
+    logits = rng.standard_normal((100, 9)).astype(np.float32)
+    labels = rng.integers(0, 2, (100, 9))
+    rep = evaluate(logits, labels, thresholds=[0.0] * 8,
+                   emotion_index=tuple(range(8)),
+                   emotion_names=tuple("abcdefgh"))
+    assert set(rep["per_emotion"]) == set("abcdefgh")
+    assert "micro_f1" in rep and "macro_f1" in rep
+
+
+# ---------------------------------------------------------------------------
+# end-to-end smoke: k-fold train -> checkpoint -> ensemble -> thresholds
+# ---------------------------------------------------------------------------
+
+def test_kfold_checkpoint_ensemble_smoke(tmp_path):
+    exp = tiny_exp("rencecps", n_folds=2, epochs=999)
+    model = build_model(exp)
+    samples = synthetic_dataset("rencecps", exp.model, n=64, seed=0)
+    store = CheckpointStore(str(tmp_path / "ckpts"))
+
+    def make_loaders(train, valid):
+        return (Batcher(train, exp.train.batch_size, seed=1),
+                Batcher(valid, exp.train.batch_size, shuffle=False))
+
+    results = run_kfold(samples, make_loaders, model, exp.train, store=store,
+                        name_prefix="m", epochs=3)
+    assert len(results) == 2
+    for _, hist in results:
+        assert hist[-1].train_loss < hist[0].train_loss  # learning
+
+    names = store.best_members("m")
+    assert names == ["m_1", "m_2"]
+    params_like = model.init(jax.random.PRNGKey(0))
+    members = [store.restore_params(n, params_like) for n in names]
+    ens = Ensemble(model, members)
+    test_loader = Batcher(samples[:16], 8, shuffle=False)
+    logits = ens.predict_all(test_loader)
+    assert logits.shape == (16, 9)
+    labels = np.stack([s["label"] for s in samples[:16]])
+    rep = evaluate(logits, labels, exp.thresholds, exp.emotion_index,
+                   exp.emotion_names)
+    assert "per_emotion" in rep
+    # transition-matrix dump (T9)
+    tm = transition_matrix(members)
+    assert tm.shape == (9, 9, 9) and np.isfinite(tm).all()
+
+
+def test_checkpoint_full_state_roundtrip(tmp_path):
+    exp = tiny_exp("rencecps")
+    model = build_model(exp)
+    tx, step = eng.make_train_step(model, exp.train, donate=False)
+    state = eng.init_state(model, tx, seed=3)
+    batch = next(iter(Batcher(synthetic_dataset("rencecps", exp.model, 8), 8)()))
+    state, _ = step(state, batch)
+    store = CheckpointStore(str(tmp_path))
+    store.save_best("m", state, epoch=0, valid_loss=1.23)
+
+    fresh = eng.init_state(model, tx, seed=99)
+    restored = store.restore_state("m", fresh)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == 1
+    # resumed state steps identically to the original
+    s1, l1 = step(state, batch)
+    s2, l2 = step(restored, batch)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_streaming_predictor():
+    exp = tiny_exp("robot_demo")
+    model = build_model(exp)
+    ps = [model.init(jax.random.PRNGKey(i)) for i in range(4)]
+    sample = synthetic_dataset("robot_demo", exp.model, 1, seed=5)[0]
+    sp = StreamingPredictor(model, ps, offsets=exp.thresholds)
+    sp.warmup(sample)
+    pred, probs = sp.predict(sample)
+    assert pred.shape == (7,) and probs.shape == (6,)
+    assert ((probs >= 0) & (probs <= 1)).all()
+    emos = sp.emotions(sample, exp.emotion_names)
+    assert set(emos) == set(exp.emotion_names)
+    # calibrated sigmoid: prob = sigmoid(logit - offset)
+    np.testing.assert_allclose(
+        probs, 1 / (1 + np.exp(-(pred[:6] - np.asarray(exp.thresholds)))),
+        rtol=1e-5)
