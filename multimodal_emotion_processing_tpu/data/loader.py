@@ -65,6 +65,8 @@ class Batcher:
             batch = {}
             for k in self._keys:
                 first = np.asarray(self.samples[idx[0]][k])
+                # numpy row-assign measured faster than the native gather on
+                # this host (memcpy-bound either way) — see runtime docstring
                 buf = np.zeros((bs,) + first.shape, dtype=first.dtype)
                 for row, i in enumerate(idx):
                     buf[row] = self.samples[i][k]
