@@ -1,0 +1,135 @@
+"""Command-line interface — the reference's five `python run.py` scripts
+become `python -m multimodal_emotion_processing_tpu <cmd> <config>`.
+
+Commands:
+  train   — k-fold bagged training + ensemble evaluation (one reference script)
+  eval    — ensemble evaluation from saved checkpoints
+  serve   — streaming single-sample demo (robot_demo.py path)
+  bench   — train+infer throughput on this chip
+  configs — list available configs with their hyperparameters
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="multimodal_emotion_processing_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("config", help="config name (see `configs`)")
+        sp.add_argument("--data-root", default=None,
+                        help="real corpus root; omit for synthetic data")
+        sp.add_argument("--epochs", type=int, default=None)
+        sp.add_argument("--n-train", type=int, default=256)
+        sp.add_argument("--n-test", type=int, default=64)
+        sp.add_argument("--log-dir", default=None)
+        sp.add_argument("--checkpoint-dir", default=None)
+        sp.add_argument("--impl", choices=["xla", "pallas"], default="xla")
+        sp.add_argument("--sweep-thresholds", action="store_true")
+        sp.add_argument("--quiet", action="store_true")
+
+    common(sub.add_parser("train", help="k-fold training + ensemble eval"))
+
+    ev = sub.add_parser("eval", help="ensemble eval from checkpoints")
+    common(ev)
+
+    sv = sub.add_parser("serve", help="streaming single-sample inference demo")
+    sv.add_argument("config", nargs="?", default="robot_demo")
+    sv.add_argument("--checkpoint-dir", default=None)
+    sv.add_argument("--impl", choices=["xla", "pallas"], default="xla")
+
+    sub.add_parser("bench", help="train+infer throughput benchmark")
+    sub.add_parser("configs", help="list configs")
+    return p
+
+
+def cmd_configs():
+    from . import configs
+
+    for name in sorted(configs.REGISTRY):
+        exp = configs.get(name)
+        m, t = exp.model, exp.train
+        print(f"{name}: dim={m.dim} heads={m.n_heads} layers={m.n_layers} "
+              f"block={m.block} head={m.head} "
+              f"lens=({m.l_len},{m.v_len},{m.a_len}) batch={t.batch_size} "
+              f"lr={t.lr} folds={t.n_folds} E={m.n_emotions}")
+
+
+def cmd_train(args, eval_only=False):
+    from .pipelines import run_experiment
+
+    result = run_experiment(
+        args.config,
+        synthetic_data=args.data_root is None,
+        data_root=args.data_root,
+        n_train=args.n_train, n_test=args.n_test,
+        epochs=0 if eval_only else args.epochs,
+        log_dir=args.log_dir, checkpoint_dir=args.checkpoint_dir,
+        impl=args.impl, sweep_thresholds=args.sweep_thresholds,
+        quiet=args.quiet)
+    if result.report is not None:
+        print(json.dumps(result.report, indent=2))
+    if result.sweep is not None:
+        print(json.dumps({"best_thresholds": result.sweep}, indent=2))
+
+
+def cmd_serve(args):
+    import jax
+    import numpy as np
+
+    from . import configs
+    from .data.synthetic import synthetic_dataset
+    from .models import build_model
+    from .serve import StreamingPredictor
+    from .train.checkpoint import CheckpointStore
+
+    exp = configs.get(args.config)
+    model = build_model(exp)
+    params_like = model.init(jax.random.PRNGKey(0))
+    if args.checkpoint_dir:
+        store = CheckpointStore(args.checkpoint_dir)
+        members = [store.restore_params(n, params_like)
+                   for n in store.best_members(args.config)]
+    else:
+        members = [model.init(jax.random.PRNGKey(i)) for i in range(4)]
+        print("(no --checkpoint-dir: serving randomly initialized ensemble)",
+              file=sys.stderr)
+    sp = StreamingPredictor(model, members, offsets=exp.thresholds,
+                            impl=args.impl)
+    sample = synthetic_dataset(args.config, exp.model, 1, seed=7)[0]
+    sp.warmup(sample)
+    import time
+
+    t0 = time.perf_counter()
+    emotions = sp.emotions(sample, exp.emotion_names)
+    latency_ms = (time.perf_counter() - t0) * 1e3
+    print("The emotion(s) is(are)")
+    for name, prob in emotions.items():
+        print(name, prob)
+    print(f"(p50-path latency: {latency_ms:.2f} ms batch-1, "
+          f"{len(members)}-model ensemble)", file=sys.stderr)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.cmd == "configs":
+        cmd_configs()
+    elif args.cmd == "train":
+        cmd_train(args)
+    elif args.cmd == "eval":
+        cmd_train(args, eval_only=True)
+    elif args.cmd == "serve":
+        cmd_serve(args)
+    elif args.cmd == "bench":
+        import runpy
+
+        runpy.run_path("bench.py", run_name="__main__")
+
+
+if __name__ == "__main__":
+    main()

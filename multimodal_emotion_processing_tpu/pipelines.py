@@ -1,0 +1,220 @@
+"""End-to-end pipelines: each reference script becomes ONE function call over
+the shared engine — data assembly → k-fold bagged training (with best-member
+checkpoints) → vmapped ensemble inference → threshold decision → metric report.
+
+Every pipeline runs in two data modes:
+  * synthetic=True  — shape/quirk-faithful generated samples (tests, benches,
+    CI; the real corpora are not distributable);
+  * synthetic=False — the real corpus adapters (data/mosei.py, rencecps.py,
+    ren_mme.py, robot.py) over user-supplied paths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from . import configs
+from .data import synthetic
+from .data.loader import Batcher
+from .eval import Ensemble, threshold_sweep
+from .eval.ensemble import realformer_threshold_grid
+from .eval.report import evaluate, format_report, transition_matrix
+from .models import build_model
+from .train.checkpoint import CheckpointStore
+from .train.kfold import run_kfold
+from .utils.logging import RunLogger
+
+
+def _log(msg, quiet=False):
+    if not quiet:
+        print(msg, file=sys.stderr, flush=True)
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    config_name: str
+    fold_histories: List
+    report: Optional[Dict]
+    sweep: Optional[Dict]
+    store: Optional[CheckpointStore]
+
+
+def _synthetic_data(exp, n_train: int, n_test: int, seed: int = 0):
+    train = synthetic.synthetic_dataset(exp.name, exp.model, n_train, seed)
+    test = synthetic.synthetic_dataset(exp.name, exp.model, n_test, seed + 1)
+    return train, test
+
+
+def load_real_data(exp, data_root: str):
+    """Build train/test sample lists from a real corpus tree.  Expected layout
+    per config is documented in README.md (mirrors the reference's paths)."""
+    name = exp.name
+    m = exp.model
+    if name in ("mosei_trans", "mosei_realformer"):
+        from .data import mosei
+        from .data.sources import CsdSource
+
+        l_src = CsdSource(os.path.join(data_root, "glove_vectors.csd"))
+        v_src = CsdSource(os.path.join(data_root, "FACET 4.2.csd"))
+        a_src = CsdSource(os.path.join(data_root, "COAVAREP.csd"))
+        if name == "mosei_trans":
+            from mmsdk import mmdatasdk  # optional dependency, real data only
+
+            test_fold = set(mmdatasdk.cmu_mosei.standard_folds.standard_test_fold)
+            train_pairs, test_pairs, labels = mosei.parse_labels(
+                os.path.join(data_root, "labels.txt"),
+                test_videos=test_fold)
+            asm = mosei.PairSampleAssembler(m, l_src, v_src, a_src, labels)
+            return asm.materialize(train_pairs), asm.materialize(test_pairs)
+        label_src = CsdSource(os.path.join(data_root, "All Labels.csd"))
+        from mmsdk import mmdatasdk
+
+        test_fold = set(mmdatasdk.cmu_mosei.standard_folds.standard_test_fold)
+        videos = sorted({n.split("[")[0] for n in v_src.names()})
+        train_v = [v for v in videos if v not in test_fold]
+        test_v = [v for v in videos if v in test_fold]
+        present = set(v_src.names())
+        asm = mosei.ParagraphSampleAssembler(m, l_src, v_src, a_src, label_src)
+        return (asm.materialize(mosei.paragraph_windows(train_v, present, m.p_len)),
+                asm.materialize(mosei.paragraph_windows(test_v, present, m.p_len)))
+    if name == "rencecps":
+        from .data import rencecps
+        from .data.sources import NpyDirSource
+
+        txt = os.path.join(data_root, "1487_txt_hier_sents_202002")
+        xml = os.path.join(data_root, "1487_xml_doc_segmented_utf8")
+        feat = NpyDirSource(os.path.join(data_root, "ren_text_feat"))
+        asm = rencecps.RenCecpsAssembler(feat)
+        return (asm.materialize(rencecps.pair_list(rencecps.load_split(txt, xml, "train"))),
+                asm.materialize(rencecps.pair_list(rencecps.load_split(txt, xml, "test"))))
+    if name == "ren_mme":
+        from .data import ren_mme
+        from .data.sources import NpyDirSource
+
+        train, test = ren_mme.load_label_table(
+            os.path.join(data_root, "data", "zero_one_adjust.csv"))
+        asm = ren_mme.RenMmeAssembler(
+            m,
+            NpyDirSource(os.path.join(data_root, "text_feat")),
+            NpyDirSource(os.path.join(data_root, "video_feat")),
+            NpyDirSource(os.path.join(data_root, "audio_feat"), transpose=True),
+        )
+        return asm.materialize(train), asm.materialize(test)
+    if name == "robot_demo":
+        from .data import robot
+        from .data.sources import NpyDirSource
+
+        video_dir = os.path.join(data_root, "Feature(0)-360")
+        names = [f.split(".pk")[0] for f in os.listdir(video_dir)
+                 if f.endswith(".pk")]
+        label_dict = {}
+        with open(os.path.join(data_root, "labels.txt")) as f:
+            for line in f.readlines()[1:]:
+                key = line.split(",")[0]
+                if key in set(names):
+                    label_dict[key] = line.strip().split(",")[3:]
+        table = robot.ren_label_name_dict(
+            os.path.join(data_root, "1487_txt_hier_sents_202002"),
+            os.path.join(data_root, "1487_xml_doc_segmented_utf8"))
+        asm = robot.RobotAssembler(
+            m, video_dir,
+            NpyDirSource(os.path.join(data_root, "WAV_feature")),
+            NpyDirSource(os.path.join(data_root, "ren_text_feat")),
+            label_dict, robot.SubstitutionSampler(table))
+        return asm.materialize(names), []
+    raise ValueError(name)
+
+
+def run_experiment(
+    config_name: str,
+    *,
+    synthetic_data: bool = True,
+    data_root: Optional[str] = None,
+    n_train: int = 256,
+    n_test: int = 64,
+    epochs: Optional[int] = None,
+    log_dir: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
+    impl: str = "xla",
+    sweep_thresholds: bool = False,
+    quiet: bool = False,
+    overrides: Optional[Dict] = None,
+) -> PipelineResult:
+    exp = configs.get(config_name)
+    if overrides:
+        exp = dataclasses.replace(
+            exp,
+            model=dataclasses.replace(exp.model, **overrides.get("model", {})),
+            train=dataclasses.replace(exp.train, **overrides.get("train", {})),
+        )
+    model = build_model(exp)
+
+    if synthetic_data:
+        train_samples, test_samples = _synthetic_data(exp, n_train, n_test)
+    else:
+        if data_root is None:
+            raise ValueError("data_root required when synthetic_data=False")
+        train_samples, test_samples = load_real_data(exp, data_root)
+    _log(f"[{config_name}] {len(train_samples)} train / {len(test_samples)} test "
+         f"samples; devices={jax.devices()}", quiet)
+
+    store = CheckpointStore(checkpoint_dir) if checkpoint_dir else None
+    loggers: Dict[str, RunLogger] = {}
+
+    def log_cb(name, epoch, stats):
+        if log_dir:
+            if name not in loggers:
+                loggers[name] = RunLogger(log_dir, name)
+            loggers[name].log_epoch(epoch, stats)
+        _log(f"[{name}] epoch {epoch + 1}: train {stats.train_loss:.4f} "
+             f"valid {stats.valid_loss:.4f} ({stats.samples_per_sec:.0f} samples/s)",
+             quiet)
+
+    duplicate = exp.train.rdrop_kl  # Ren-MME R-Drop sample duplication
+
+    def make_loaders(train, valid):
+        return (Batcher(train, exp.train.batch_size, duplicate=duplicate, seed=1),
+                Batcher(valid, exp.train.batch_size, duplicate=duplicate,
+                        shuffle=False))
+
+    results = run_kfold(train_samples, make_loaders, model, exp.train,
+                        store=store, name_prefix=config_name, epochs=epochs,
+                        impl=impl, log_cb=log_cb)
+
+    report = sweep = None
+    if test_samples:
+        params_like = model.init(jax.random.PRNGKey(0))
+        if store is not None:
+            members = [store.restore_params(n, params_like)
+                       for n in store.best_members(config_name)]
+        else:
+            members = [state.params for state, _ in results]
+        combine = "sum" if config_name == "ren_mme" else "mean"
+        ens = Ensemble(model, members, combine=combine, impl=impl)
+        # eval loaders: no shuffle, no R-Drop duplication (Ren-MME/run.py:427-449)
+        test_loader = Batcher(test_samples, exp.train.batch_size, shuffle=False)
+        logits = ens.predict_all(test_loader)
+        labels = np.stack([s["label"] for s in test_samples])
+        if logits.ndim == 3:  # paragraph model: flatten valid clips
+            clip_mask = np.stack([s["clip_mask"] for s in test_samples])
+            keep = clip_mask.reshape(-1) > 0
+            logits = logits.reshape(-1, logits.shape[-1])[keep]
+            labels = labels.reshape(-1, labels.shape[-1])[keep]
+        if sweep_thresholds or not exp.thresholds:
+            sweep = threshold_sweep(logits, labels, realformer_threshold_grid(),
+                                    exp.emotion_index, exp.emotion_names)
+            thresholds = [sweep[e]["t"] for e in exp.emotion_names]
+        else:
+            thresholds = list(exp.thresholds)
+        report = evaluate(logits, labels, thresholds, exp.emotion_index,
+                          exp.emotion_names)
+        _log(format_report(report, title=config_name), quiet)
+    for lg in loggers.values():
+        lg.close()
+    return PipelineResult(config_name, [h for _, h in results], report, sweep, store)
