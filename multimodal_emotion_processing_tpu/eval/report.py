@@ -48,3 +48,27 @@ def format_report(report: Dict, *, title: str = "") -> str:
 def save_report(report: Dict, path: str) -> None:
     with open(path, "w") as f:
         json.dump(report, f, indent=2)
+
+
+def plot_transition_matrix(mat: np.ndarray, name: str, out_path: str,
+                           labels: Optional[Sequence[str]] = None) -> None:
+    """Emotion-transition heatmap (rencecps/run.py:319-343's
+    plot_confusion_matrix: binary colormap, From/To axes, rotated ticks)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    labels = labels or ["Love", "Anxiety", "Sorrow", "Joy", "Expect", "Hate",
+                        "Anger", "Surprise", "Neutral"]
+    fig, ax = plt.subplots()
+    im = ax.imshow(mat, cmap=plt.cm.binary)
+    ax.set_title(name)
+    fig.colorbar(im)
+    ticks = np.arange(len(labels))
+    ax.set_xticks(ticks, labels, rotation=90)
+    ax.set_yticks(ticks, labels)
+    ax.set_ylabel("From")
+    ax.set_xlabel("To")
+    fig.savefig(out_path, bbox_inches="tight")
+    plt.close(fig)

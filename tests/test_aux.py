@@ -1,0 +1,78 @@
+"""Auxiliary coverage: csd/HDF5 source over a fixture file, transition-matrix
+plot, parameter counter, run logger, prefetch iterator."""
+
+import os
+
+import numpy as np
+
+import jax
+
+from multimodal_emotion_processing_tpu.data.sources import CsdSource
+from multimodal_emotion_processing_tpu.eval.report import plot_transition_matrix
+from multimodal_emotion_processing_tpu.utils import parameter_count
+from multimodal_emotion_processing_tpu.utils.logging import RunLogger, Throughput
+from multimodal_emotion_processing_tpu.data.loader import prefetch_to_device
+
+
+def test_csd_source_layout(tmp_path):
+    """The CMU MultimodalSDK .csd layout: /<seq name>/data/<sid>/features."""
+    import h5py
+
+    path = str(tmp_path / "fake.csd")
+    rng = np.random.default_rng(0)
+    with h5py.File(path, "w") as f:
+        grp = f.create_group("glove_vectors/data")
+        for sid in ("vidA[0]", "vidA[1]"):
+            grp.create_group(sid).create_dataset(
+                "features", data=rng.standard_normal((7, 300)).astype(np.float32))
+    src = CsdSource(path)
+    assert "vidA[0]" in src and "nope" not in src
+    x = src.get("vidA[1]")
+    assert x.shape == (7, 300) and x.dtype == np.float32
+    assert sorted(src.names()) == ["vidA[0]", "vidA[1]"]
+
+
+def test_plot_transition_matrix(tmp_path):
+    out = str(tmp_path / "m.png")
+    plot_transition_matrix(np.random.default_rng(0).random((9, 9)), "Love", out)
+    assert os.path.getsize(out) > 1000
+
+
+def test_parameter_count_matches_torch_replica():
+    """Our flagship parameter count equals the torch-CPU replica's — same
+    architecture, same parameterization."""
+    import torch
+
+    from multimodal_emotion_processing_tpu import configs
+    from multimodal_emotion_processing_tpu.models import build_model
+    from multimodal_emotion_processing_tpu.bench.torch_baseline import build_torch_model
+
+    exp = configs.get("mosei_trans")
+    model = build_model(exp)
+    ours = parameter_count(model.init(jax.random.PRNGKey(0)))
+    tm = build_torch_model(exp.model)
+    theirs = sum(p.numel() for p in tm.parameters())
+    assert ours["Total"] == theirs
+
+
+def test_run_logger_and_throughput(tmp_path):
+    from multimodal_emotion_processing_tpu.train.engine import EpochStats
+
+    lg = RunLogger(str(tmp_path), "run1")
+    lg.log_epoch(0, EpochStats(1.0, 2.0, 10, 640, 1.0))
+    lg.close()
+    lines = open(tmp_path / "run1.csv").read().strip().splitlines()
+    assert lines[0].startswith("epoch,")
+    assert lines[1].startswith("1,1.000000,2.000000")
+
+    tp = Throughput(n_chips=2)
+    tp.add(100)
+    assert tp.per_chip() > 0
+
+
+def test_prefetch_to_device_preserves_order():
+    batches = [{"x": np.full((2, 2), i, np.float32)} for i in range(5)]
+    got = list(prefetch_to_device(iter(batches), size=2))
+    assert len(got) == 5
+    for i, b in enumerate(got):
+        np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
