@@ -1,0 +1,64 @@
+"""Context-parallel attention vs single-device reference on a CPU mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from multimodal_emotion_processing_tpu.ops.attention import scored_attention
+from multimodal_emotion_processing_tpu.ops.context_parallel import scored_attention_cp
+
+
+def _mesh(n=4):
+    return Mesh(np.asarray(jax.devices()[:n]), ("context",))
+
+
+def _inputs(b=2, lq=8, lkv=16, h=2, d=8, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((b, lq, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, lkv, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, lkv, d)).astype(np.float32))
+    m = (rng.random((b, lkv)) > 0.3).astype(np.float32)
+    m[:, 0] = 1.0
+    prev = jnp.asarray(rng.standard_normal((b, h, lq, lkv)).astype(np.float32))
+    c = jnp.asarray([0.37], jnp.float32)
+    return q, k, v, jnp.asarray(m), prev, c, h
+
+
+def test_cp_matches_single_device():
+    q, k, v, m, prev, c, h = _inputs()
+    ctx_ref, s_ref = scored_attention(q, k, v, m, prev, c, n_heads=h)
+    ctx_cp, s_cp = scored_attention_cp(q, k, v, m, prev, c, n_heads=h,
+                                       mesh=_mesh())
+    np.testing.assert_allclose(np.asarray(ctx_cp), np.asarray(ctx_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_cp), np.asarray(s_ref),
+                               rtol=1e-5, atol=1e-1)  # masked entries ~ -1e8
+
+
+def test_cp_chained_blocks_match():
+    """Score chaining across two CP blocks (sharded S handoff) equals the
+    single-device chain."""
+    q, k, v, m, prev, c, h = _inputs(seed=1)
+    mesh = _mesh()
+
+    ctx1, s1 = scored_attention(q, k, v, m, None, c, n_heads=h)
+    ctx2_ref, s2_ref = scored_attention(ctx1, k, v, m, s1, c, n_heads=h)
+
+    ctx1_cp, s1_cp = scored_attention_cp(q, k, v, m, None, c, n_heads=h, mesh=mesh)
+    ctx2_cp, s2_cp = scored_attention_cp(ctx1_cp, k, v, m, s1_cp, c, n_heads=h,
+                                         mesh=mesh)
+    np.testing.assert_allclose(np.asarray(ctx2_cp), np.asarray(ctx2_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s2_cp), np.asarray(s2_ref),
+                               rtol=1e-5, atol=1e-1)
+
+
+def test_cp_no_mask_no_prev():
+    q, k, v, _, _, c, h = _inputs(seed=2)
+    ctx_ref, _ = scored_attention(q, k, v, None, None, c, n_heads=h)
+    ctx_cp, _ = scored_attention_cp(q, k, v, None, None, c, n_heads=h,
+                                    mesh=_mesh())
+    np.testing.assert_allclose(np.asarray(ctx_cp), np.asarray(ctx_ref),
+                               rtol=1e-5, atol=1e-5)
