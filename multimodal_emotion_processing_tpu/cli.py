@@ -32,6 +32,9 @@ def build_parser():
         sp.add_argument("--impl", choices=["xla", "pallas"], default="xla")
         sp.add_argument("--sweep-thresholds", action="store_true")
         sp.add_argument("--quiet", action="store_true")
+        sp.add_argument("--set", action="append", default=[], metavar="K=V",
+                        help="config override, e.g. --set train.batch_size=32 "
+                             "--set model.n_layers=2 (values parsed as JSON)")
 
     common(sub.add_parser("train", help="k-fold training + ensemble eval"))
 
@@ -60,6 +63,20 @@ def cmd_configs():
               f"lr={t.lr} folds={t.n_folds} E={m.n_emotions}")
 
 
+def parse_overrides(pairs):
+    out = {"model": {}, "train": {}}
+    for kv in pairs:
+        key, _, raw = kv.partition("=")
+        section, _, field = key.partition(".")
+        if section not in out or not field:
+            raise SystemExit(f"--set expects model.X=V or train.X=V, got {kv!r}")
+        try:
+            out[section][field] = json.loads(raw)
+        except json.JSONDecodeError:
+            out[section][field] = raw
+    return out
+
+
 def cmd_train(args, eval_only=False):
     from .pipelines import run_experiment
 
@@ -71,7 +88,7 @@ def cmd_train(args, eval_only=False):
         epochs=0 if eval_only else args.epochs,
         log_dir=args.log_dir, checkpoint_dir=args.checkpoint_dir,
         impl=args.impl, sweep_thresholds=args.sweep_thresholds,
-        quiet=args.quiet)
+        quiet=args.quiet, overrides=parse_overrides(args.set))
     if result.report is not None:
         print(json.dumps(result.report, indent=2))
     if result.sweep is not None:

@@ -30,6 +30,20 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(**kwargs) -> None:
+    """Multi-host init: call once per process before make_mesh on TPU pods.
+    Thin wrapper so entry points don't import jax.distributed directly."""
+    jax.distributed.initialize(**kwargs)
+
+
+def process_batch_slice(global_batch_size: int) -> slice:
+    """The per-process slice of a globally-sharded batch (host data loading
+    is per-process on pods; each host feeds its local shard)."""
+    per = global_batch_size // jax.process_count()
+    lo = jax.process_index() * per
+    return slice(lo, lo + per)
+
+
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
               devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())

@@ -149,13 +149,22 @@ class Trainer:
 
     def __init__(self, model, tcfg, *, impl: str = "xla",
                  checkpoint_cb: Optional[Callable] = None,
-                 log_cb: Optional[Callable] = None):
+                 log_cb: Optional[Callable] = None,
+                 prefetch: int = 2):
         self.model = model
         self.tcfg = tcfg
         self.tx, self.train_step = make_train_step(model, tcfg, impl=impl)
         self.eval_step = make_eval_step(model, tcfg, impl=impl)
         self.checkpoint_cb = checkpoint_cb
         self.log_cb = log_cb
+        self.prefetch = prefetch
+
+    def _iter(self, loader):
+        if self.prefetch:
+            from ..data.loader import prefetch_to_device
+
+            return prefetch_to_device(iter(loader()), size=self.prefetch)
+        return loader()
 
     def fit(self, train_loader, valid_loader, *, state: Optional[TrainState] = None,
             epochs: Optional[int] = None, seed: Optional[int] = None):
@@ -170,16 +179,19 @@ class Trainer:
         n_epochs = tcfg.epochs if epochs is None else epochs
         for epoch in range(n_epochs):
             t0 = time.perf_counter()
-            tr_loss, n_steps, n_samples = 0.0, 0, 0
-            for batch in train_loader():
+            # losses stay on-device until epoch end — fetching per step would
+            # serialize host and chip and defeat the prefetch pipeline
+            losses, n_steps, n_samples = [], 0, 0
+            for batch in self._iter(train_loader):
                 state, loss = self.train_step(state, batch)
-                tr_loss += float(loss)
+                losses.append(loss)
                 n_steps += 1
                 n_samples += int(batch["label"].shape[0])
-            va_loss, va_steps = 0.0, 0
-            for batch in valid_loader():
-                va_loss += float(self.eval_step(state.params, batch))
-                va_steps += 1
+            tr_loss = float(np.sum(jax.device_get(losses))) if losses else 0.0
+            va_losses = [self.eval_step(state.params, batch)
+                         for batch in self._iter(valid_loader)]
+            va_steps = len(va_losses)
+            va_loss = float(np.sum(jax.device_get(va_losses))) if va_losses else 0.0
             stats = EpochStats(
                 train_loss=tr_loss / max(n_steps, 1),
                 valid_loss=va_loss / max(va_steps, 1),
