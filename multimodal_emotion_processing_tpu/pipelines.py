@@ -45,6 +45,15 @@ class PipelineResult:
     store: Optional[CheckpointStore]
 
 
+def _fold_state(states, i: int):
+    """Slice fold i's params out of a vmap-stacked TrainState (host copy)."""
+    from .train.engine import TrainState
+
+    params = jax.tree.map(lambda x: np.asarray(x)[i],
+                          jax.device_get(states.params))
+    return TrainState(params, None, None, None)
+
+
 def _synthetic_data(exp, n_train: int, n_test: int, seed: int = 0):
     train = synthetic.synthetic_dataset(exp.name, exp.model, n_train, seed)
     test = synthetic.synthetic_dataset(exp.name, exp.model, n_test, seed + 1)
@@ -145,6 +154,7 @@ def run_experiment(
     sweep_thresholds: bool = False,
     quiet: bool = False,
     overrides: Optional[Dict] = None,
+    vmap_folds: bool = True,
 ) -> PipelineResult:
     exp = configs.get(config_name)
     if overrides:
@@ -183,9 +193,22 @@ def run_experiment(
                 Batcher(valid, exp.train.batch_size, duplicate=duplicate,
                         shuffle=False))
 
-    results = run_kfold(train_samples, make_loaders, model, exp.train,
-                        store=store, name_prefix=config_name, epochs=epochs,
-                        impl=impl, log_cb=log_cb)
+    if vmap_folds and exp.train.n_folds > 1:
+        # all folds train in one vmapped step (measured ~4-5x wall-clock on
+        # v5e vs sequential; semantics preserved — see train/vmap_kfold.py)
+        from .train.vmap_kfold import run_kfold_vmapped
+
+        states, hists = run_kfold_vmapped(
+            train_samples, make_loaders, model, exp.train, store=store,
+            name_prefix=config_name, epochs=epochs, impl=impl, log_cb=log_cb)
+        results = [
+            (None if store is not None else _fold_state(states, i), hists[i])
+            for i in range(exp.train.n_folds)
+        ]
+    else:
+        results = run_kfold(train_samples, make_loaders, model, exp.train,
+                            store=store, name_prefix=config_name, epochs=epochs,
+                            impl=impl, log_cb=log_cb)
 
     report = sweep = None
     if test_samples:

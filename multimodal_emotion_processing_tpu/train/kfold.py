@@ -47,19 +47,20 @@ def run_kfold(
     rng = random.Random(shuffle_seed)
     rng.shuffle(samples)  # shuffle ONCE, before carving (cmu-mosei/run.py:423)
     results = []
+    # one Trainer for all folds: the jitted step compiles once and is reused
+    # (per-fold rebuild recompiled XLA programs k times)
+    current = {"name": None}
+    trainer = Trainer(
+        model, tcfg, impl=impl,
+        checkpoint_cb=(lambda state, epoch, vl:
+                       store.save_best(current["name"], state, epoch, vl))
+        if store is not None else None,
+        log_cb=(lambda e, s: log_cb(current["name"], e, s)) if log_cb else None)
     for i, (valid_sl, train_ranges) in enumerate(
             contiguous_folds(len(samples), tcfg.n_folds, fold_size)):
         valid = samples[valid_sl]
         train = [samples[j] for r in train_ranges for j in r]
-        name = f"{name_prefix}_{i + 1}"
-
-        def ckpt_cb(state, epoch, valid_loss, _name=name):
-            if store is not None:
-                store.save_best(_name, state, epoch, valid_loss)
-
-        trainer = Trainer(model, tcfg, impl=impl, checkpoint_cb=ckpt_cb,
-                          log_cb=(lambda e, s, _n=name: log_cb(_n, e, s))
-                          if log_cb else None)
+        current["name"] = f"{name_prefix}_{i + 1}"
         train_loader, valid_loader = make_loaders(train, valid)
         state, history = trainer.fit(train_loader, valid_loader,
                                      epochs=epochs, seed=tcfg.seed + i)

@@ -1,0 +1,70 @@
+"""Vmapped k-fold: semantics match the sequential driver."""
+
+import dataclasses
+
+import numpy as np
+
+import jax
+
+from multimodal_emotion_processing_tpu import configs
+from multimodal_emotion_processing_tpu.data.loader import Batcher
+from multimodal_emotion_processing_tpu.data.synthetic import synthetic_dataset
+from multimodal_emotion_processing_tpu.models import build_model
+from multimodal_emotion_processing_tpu.train.checkpoint import CheckpointStore
+from multimodal_emotion_processing_tpu.train.kfold import run_kfold
+from multimodal_emotion_processing_tpu.train.vmap_kfold import run_kfold_vmapped
+
+
+def _exp():
+    exp = configs.get("rencecps")
+    return dataclasses.replace(
+        exp,
+        model=dataclasses.replace(exp.model, dim=16),
+        train=dataclasses.replace(exp.train, n_folds=2, batch_size=8))
+
+
+def _loaders(exp):
+    def make_loaders(train, valid):
+        return (Batcher(train, exp.train.batch_size, seed=1),
+                Batcher(valid, exp.train.batch_size, shuffle=False))
+    return make_loaders
+
+
+def test_vmapped_matches_sequential(tmp_path):
+    exp = _exp()
+    model = build_model(exp)
+    samples = synthetic_dataset("rencecps", exp.model, n=64, seed=0)
+
+    seq = run_kfold(samples, _loaders(exp), model, exp.train, epochs=3,
+                    shuffle_seed=0)
+    store = CheckpointStore(str(tmp_path))
+    _, vhist = run_kfold_vmapped(samples, _loaders(exp), model, exp.train,
+                                 epochs=3, shuffle_seed=0, store=store,
+                                 name_prefix="vm")
+    for i, (_, shist) in enumerate(seq):
+        assert len(shist) == len(vhist[i])
+        for se, ve in zip(shist, vhist[i]):
+            # same folds, same seeds, same loader shuffles; differences are
+            # vmap-batched reduction order only
+            np.testing.assert_allclose(ve.train_loss, se.train_loss,
+                                       rtol=2e-3, atol=2e-3)
+            np.testing.assert_allclose(ve.valid_loss, se.valid_loss,
+                                       rtol=2e-3, atol=2e-3)
+    # checkpoints saved per fold and restorable
+    assert store.best_members("vm") == ["vm_1", "vm_2"]
+    params_like = model.init(jax.random.PRNGKey(0))
+    p = store.restore_params("vm_1", params_like)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(p))
+
+
+def test_vmapped_early_stop_per_fold():
+    exp = _exp()
+    exp = dataclasses.replace(
+        exp, train=dataclasses.replace(exp.train, early_stop=1, epochs=999))
+    model = build_model(exp)
+    samples = synthetic_dataset("rencecps", exp.model, n=32, seed=1)
+    _, hist = run_kfold_vmapped(samples, _loaders(exp), model, exp.train,
+                                epochs=50, shuffle_seed=0)
+    # early stop must terminate the loop well before 50 epochs
+    assert all(len(h) < 50 for h in hist)
