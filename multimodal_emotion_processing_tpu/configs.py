@@ -69,6 +69,13 @@ class TrainConfig:
     # realformer: multiply per-clip loss by clip-validity mask (others/realformer.py:312)
     clip_mask_loss: bool = False
     seed: int = 0
+    # 'float32' or 'bfloat16': mixed precision — fp32 master weights and
+    # optimizer state, forward/backward in bf16.  Measured on v5e at these
+    # model sizes bf16 storage is ~6x SLOWER (1.2 -> 7.7 ms/step: relayout +
+    # convert overhead dominates, and f32 matmuls already run bf16 passes on
+    # the MXU), so float32 is the default; the knob matters for scaled-up
+    # dims where HBM bandwidth dominates.
+    compute_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

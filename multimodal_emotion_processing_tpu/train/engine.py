@@ -55,6 +55,12 @@ def make_optimizer(tcfg):
     return optax.inject_hyperparams(factory)(learning_rate=tcfg.lr)
 
 
+def _cast_tree(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree)
+
+
 def batch_loss(model, tcfg, params, batch, rng, train: bool, impl: str):
     """The reference loss contract: ZLPR mean (+ clip-validity masking for the
     paragraph model, + symmetric KL in training for Ren-MME R-Drop).
@@ -64,7 +70,13 @@ def batch_loss(model, tcfg, params, batch, rng, train: bool, impl: str):
     equal the reference's mean over the unpadded batch — no recompiles, no
     semantic drift.
     """
+    if getattr(tcfg, "compute_dtype", "float32") == "bfloat16":
+        # mixed precision: bf16 activations/weights on the MXU, fp32 master
+        # params (caller's `params`) and fp32 loss/score math
+        params = _cast_tree(params, jnp.bfloat16)
+        batch = _cast_tree(batch, jnp.bfloat16)
     logits = model.apply(params, batch, rng=rng, train=train, impl=impl)
+    logits = logits.astype(jnp.float32)
     per_sample = zlpr_loss(logits, batch["label"])
     if tcfg.clip_mask_loss:
         per_sample = per_sample * batch["clip_mask"]  # (B, P)

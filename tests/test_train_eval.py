@@ -206,3 +206,27 @@ def test_streaming_predictor():
     np.testing.assert_allclose(
         probs, 1 / (1 + np.exp(-(pred[:6] - np.asarray(exp.thresholds)))),
         rtol=1e-5)
+
+
+def test_bfloat16_compute_trains():
+    import jax.numpy as jnp
+    from multimodal_emotion_processing_tpu.data.loader import Batcher
+    from multimodal_emotion_processing_tpu.data.synthetic import synthetic_dataset
+
+    exp = tiny_exp("rencecps")
+    exp = dataclasses.replace(
+        exp, train=dataclasses.replace(exp.train, compute_dtype="bfloat16"))
+    model = build_model(exp)
+    tx, step = eng.make_train_step(model, exp.train, donate=False)
+    state = eng.init_state(model, tx, seed=0)
+    batch = next(iter(Batcher(synthetic_dataset("rencecps", exp.model, 8), 8)()))
+    losses = []
+    for _ in range(10):
+        state, loss = step(state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # learns in bf16
+    # master params stay fp32
+    assert all(x.dtype == jnp.float32
+               for x in jax.tree_util.tree_leaves(state.params)
+               if jnp.issubdtype(x.dtype, jnp.floating))
