@@ -28,6 +28,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops.pooling import mean_max_pool
 from ..utils import initializers as init
 from . import layers
 
@@ -143,9 +144,10 @@ def apply_grid(
     lc = jnp.concatenate(collected["l"], axis=2)
     vc = jnp.concatenate(collected["v"], axis=2)
     ac = jnp.concatenate(collected["a"], axis=2)
-    # reference sequence-concat order is [l, a, v] (cmu-mosei/run.py:317)
+    # reference sequence-concat order is [l, a, v] (cmu-mosei/run.py:317);
+    # mean+max pooling with a sharding-deterministic max gradient (ops/pooling)
     x = jnp.concatenate([lc, ac, vc], axis=1)
-    return jnp.concatenate([jnp.mean(x, axis=1), jnp.max(x, axis=1)], axis=1)
+    return mean_max_pool(x)
 
 
 def apply_grid_head(hp, cfg, pooled, *, out: str, rng=None, train: bool = False):

@@ -76,7 +76,8 @@ def batch_loss(model, tcfg, params, batch, rng, train: bool, impl: str):
         params = _cast_tree(params, jnp.bfloat16)
         batch = _cast_tree(batch, jnp.bfloat16)
     logits = model.apply(params, batch, rng=rng, train=train, impl=impl)
-    logits = logits.astype(jnp.float32)
+    if logits.dtype == jnp.bfloat16:
+        logits = logits.astype(jnp.float32)  # loss math never in bf16
     per_sample = zlpr_loss(logits, batch["label"])
     if tcfg.clip_mask_loss:
         per_sample = per_sample * batch["clip_mask"]  # (B, P)

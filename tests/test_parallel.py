@@ -39,10 +39,10 @@ def test_eight_virtual_devices():
 
 
 def test_dp_step_matches_single_device():
-    """Sharded-vs-single-device equivalence, run in float64: the model's f32
-    gradient is intrinsically ill-conditioned (~5% sensitivity to summation
-    order — measured against an f64 oracle; the torch reference shares this),
-    so only f64 can distinguish a sharding bug from reassociation noise."""
+    """Sharded-vs-single-device equivalence in float64 (separates sharding
+    bugs from float reassociation noise).  Historical note: before
+    ops/pooling.seq_max, XLA's equality-based max VJP misrouted gradients
+    under rematerialized reductions, showing up here as O(1e-2) 'noise'."""
     exp = _tiny_exp()
     model = build_model(exp)
 
@@ -71,6 +71,38 @@ def test_dp_step_matches_single_device():
         np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-12)
         for a, b in zip(jax.tree_util.tree_leaves(g1),
                         jax.tree_util.tree_leaves(g8)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-8, atol=1e-10)
+
+
+def test_tp_gradients_match_replicated():
+    """4x2 dp+tp mesh gradients equal the single-device gradients (f64)."""
+    exp = _tiny_exp()
+    model = build_model(exp)
+    with jax.enable_x64():
+        batch = jax.tree.map(
+            lambda x: x.astype(np.float64) if x.dtype == np.float32 else x,
+            _batch(exp.model, b=8))
+        tx, _ = eng.make_train_step(model, exp.train, donate=False)
+        s = eng.init_state(model, tx, seed=0)
+        params = jax.tree.map(lambda x: np.asarray(x, np.float64), s.params)
+
+        def grads_of(p, b):
+            return jax.grad(lambda q: eng.batch_loss(
+                model, exp.train, q, b, None, False, "xla"))(p)
+
+        g_ref = jax.jit(grads_of)(params, batch)
+
+        from multimodal_emotion_processing_tpu.parallel import (
+            shard_params, tp_param_spec)
+        from jax.sharding import NamedSharding
+
+        mesh = make_mesh(n_data=4, n_model=2)
+        sharded_params = shard_params(mesh, params, tp=True)
+        sharded_batch = jax.device_put(batch, batch_sharding(mesh, batch))
+        g_tp = jax.jit(grads_of)(sharded_params, sharded_batch)
+        for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                        jax.tree_util.tree_leaves(g_tp)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-8, atol=1e-10)
 
