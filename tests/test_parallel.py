@@ -93,9 +93,7 @@ def test_tp_gradients_match_replicated():
 
         g_ref = jax.jit(grads_of)(params, batch)
 
-        from multimodal_emotion_processing_tpu.parallel import (
-            shard_params, tp_param_spec)
-        from jax.sharding import NamedSharding
+        from multimodal_emotion_processing_tpu.parallel import shard_params
 
         mesh = make_mesh(n_data=4, n_model=2)
         sharded_params = shard_params(mesh, params, tp=True)
