@@ -75,6 +75,35 @@ def summary_masking(
     return feats, masks
 
 
+def summary_masking_bert(
+    m: np.ndarray, m_len: int
+) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """The reference's `is_bert=True` branch (cmu-mosei/run.py:111-130):
+    summary rows computed over tokens[1:-1] (excluding CLS/SEP); long inputs
+    emit head/tail crops that keep CLS first-after-summaries and SEP last.
+    Unused by every reference config (all call sites pass is_bert=False) but
+    part of the API surface."""
+    m = np.asarray(m, dtype=np.float32)
+    inner = m[1:-1]
+    summary = np.stack([inner.max(axis=0), inner.min(axis=0), inner.mean(axis=0)])
+    feats, masks = [], []
+    if len(m) > m_len - 5:
+        full_mask = np.ones(m_len, dtype=np.float32)
+        head = np.concatenate([summary, m[0:1], m[1:m_len - 4], m[-1:]], axis=0)
+        tail = np.concatenate([summary, m[0:1], m[len(m) - m_len + 4:-1], m[-1:]],
+                              axis=0)
+        feats.extend([head, tail])
+        masks.extend([full_mask, full_mask])
+    else:
+        mask = np.concatenate(
+            [np.ones(len(m) + 3, np.float32), np.zeros(m_len - len(m) - 3, np.float32)])
+        x = np.concatenate([summary, m], axis=0)
+        x = np.concatenate([x, np.zeros((m_len,) + m.shape[1:], np.float32)], axis=0)[:m_len]
+        feats.append(x)
+        masks.append(mask)
+    return feats, masks
+
+
 def simple_masking(m: np.ndarray, m_len: int) -> Tuple[np.ndarray, np.ndarray]:
     """Reference realformer `masking`: pad/truncate + sanitize-after-pad."""
     m = np.asarray(m, dtype=np.float32)

@@ -28,8 +28,11 @@ from . import masking
 from .rencecps import parse_xml_ids, _EMPTY_TEXT
 
 
-def contains_chinese(s: str) -> bool:
-    return any("一" <= ch <= "鿿" for ch in s)
+def contains_chinese(words) -> bool:
+    """Reference semantics (robot_demo.py:157-162): each WORD is compared
+    lexicographically against the CJK range — effectively a first-character
+    check per word, not a per-character scan."""
+    return any("一" <= w <= "鿿" for w in words)
 
 
 def load_video_multires(path: str, v_len: int,
@@ -71,7 +74,7 @@ def ren_to_mosei_labels(txt_path: str) -> Tuple[List[str], List[int]]:
                 skipped.append(count)
                 continue
             words = [w.split("/")[0] for w in line.strip().split(":")[2].split("  ")]
-            if not contains_chinese("".join(words)):
+            if not contains_chinese(words):
                 skipped.append(count)
                 continue
             ren = [0] * 8  # Love,Anxiety,Sorrow,Joy,Expect,Hate,Anger,Surprise

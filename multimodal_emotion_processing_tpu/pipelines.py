@@ -226,7 +226,10 @@ def run_experiment(
         labels = np.stack([s["label"] for s in test_samples])
         if logits.ndim == 3:  # paragraph model: flatten valid clips
             clip_mask = np.stack([s["clip_mask"] for s in test_samples])
-            keep = clip_mask.reshape(-1) > 0
+            # reference BREAKS at the first invalid clip of a window rather
+            # than skipping holes (others/realformer.py:427-441) — cumprod
+            # reproduces that prefix-only selection
+            keep = np.cumprod(clip_mask, axis=1).reshape(-1) > 0
             logits = logits.reshape(-1, logits.shape[-1])[keep]
             labels = labels.reshape(-1, labels.shape[-1])[keep]
         if sweep_thresholds or not exp.thresholds:

@@ -308,3 +308,26 @@ def test_batcher_rdrop_duplicate_adjacent():
     batches = list(b())
     first = batches[0]["x"][:, 0]
     np.testing.assert_array_equal(first[0], first[1])  # duplicates adjacent
+
+
+def test_contains_chinese_word_semantics():
+    # reference compares whole words lexicographically (first-char check)
+    assert robot.contains_chinese(["中文", "abc"])
+    assert not robot.contains_chinese(["abc", "xyz"])
+    assert not robot.contains_chinese(["a中文"])  # non-Chinese first char
+
+
+def test_summary_masking_bert_branch():
+    m = np.arange(24, dtype=np.float32).reshape(12, 2)  # CLS + 10 tokens + SEP
+    feats, masks = masking.summary_masking_bert(m, m_len=10)  # 12 > 10-5
+    assert len(feats) == 2
+    head, tail = feats
+    assert head.shape == (10, 2)
+    np.testing.assert_array_equal(head[0], m[1:-1].max(0))
+    np.testing.assert_array_equal(head[3], m[0])     # CLS after summaries
+    np.testing.assert_array_equal(head[-1], m[-1])   # SEP last
+    np.testing.assert_array_equal(head[4:9], m[1:6])
+    np.testing.assert_array_equal(tail[4:9], m[12 - 10 + 4:-1])
+    short, smask = masking.summary_masking_bert(m[:4], m_len=12)
+    assert len(short) == 1 and short[0].shape == (12, 2)
+    np.testing.assert_array_equal(smask[0], [1]*7 + [0]*5)
