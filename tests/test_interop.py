@@ -1,0 +1,155 @@
+"""Golden parity: torch oracles (reference-compatible state_dicts) -> our
+converter -> identical forward logits, for every model family."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+
+from multimodal_emotion_processing_tpu import configs
+from multimodal_emotion_processing_tpu.interop import from_reference_state_dict
+from multimodal_emotion_processing_tpu.models import build_model
+
+import torch_reference as tref
+
+
+def _allclose(a, b, tol=2e-4):
+    np.testing.assert_allclose(np.asarray(a), b.detach().numpy(),
+                               rtol=tol, atol=tol)
+
+
+def test_concat_trans_mosei_parity():
+    exp = configs.get("mosei_trans")
+    m = dataclasses.replace(exp.model, l_len=4, v_len=5, a_len=6, dim=12,
+                            n_heads=2, l_dim=7, v_dim=3, a_dim=5)
+    torch.manual_seed(0)
+    oracle = tref.ConcatTrans(m, top_norm="norm1", block_norm="norm1")
+    params = from_reference_state_dict(oracle.state_dict(), m)
+    model = build_model(dataclasses.replace(exp, model=m))
+
+    rng = np.random.default_rng(0)
+    b = 3
+    l = rng.standard_normal((b, 2, m.l_len, m.l_dim)).astype(np.float32)
+    v = rng.standard_normal((b, 2, m.v_len, m.v_dim)).astype(np.float32)
+    a = rng.standard_normal((b, 2, m.a_len, m.a_dim)).astype(np.float32)
+    lm = np.ones((b, 2, m.l_len), np.float32)
+    vm = (rng.random((b, 2, m.v_len)) > 0.25).astype(np.float32)
+    vm[..., 0] = 1.0
+    am = np.ones((b, 2, m.a_len), np.float32)
+
+    ours = model.apply(params, {"l": l, "v": v, "a": a, "l_mask": lm,
+                                "v_mask": vm, "a_mask": am})
+    theirs = oracle(*(torch.tensor(x) for x in (l, v, a, lm, vm, am)))
+    _allclose(ours, theirs)
+
+
+def test_base_model_ren_mme_parity():
+    exp = configs.get("ren_mme")
+    m = dataclasses.replace(exp.model, l_len=4, v_len=5, a_len=6, dim=16,
+                            n_heads=2, l_dim=7, v_dim=3, a_dim=5)
+    torch.manual_seed(1)
+    oracle = tref.ConcatTrans(m, top_norm="norm3", block_norm="norm2")
+    params = from_reference_state_dict(oracle.state_dict(), m)
+    model = build_model(dataclasses.replace(exp, model=m))
+
+    rng = np.random.default_rng(1)
+    b = 4
+    batch = {
+        "l": rng.standard_normal((b, 2, m.l_len, m.l_dim)).astype(np.float32),
+        "v": rng.standard_normal((b, 2, m.v_len, m.v_dim)).astype(np.float32),
+        "a": rng.standard_normal((b, 2, m.a_len, m.a_dim)).astype(np.float32),
+        "l_mask": np.ones((b, 2, m.l_len), np.float32),
+        "v_mask": np.ones((b, 2, m.v_len), np.float32),
+        "a_mask": np.ones((b, 2, m.a_len), np.float32),
+    }
+    ours = model.apply(params, batch)
+    theirs = oracle(*(torch.tensor(batch[k]) for k in
+                      ("l", "v", "a", "l_mask", "v_mask", "a_mask")))
+    _allclose(ours, theirs)
+
+
+def test_concat_linear_rencecps_parity():
+    exp = configs.get("rencecps")
+    m = dataclasses.replace(exp.model, dim=24)
+    torch.manual_seed(2)
+    oracle = tref.ConcatLinear(m.dim, e=9)
+    params = from_reference_state_dict(oracle.state_dict(), m)
+    model = build_model(dataclasses.replace(exp, model=m))
+    feat = np.random.default_rng(2).standard_normal((5, 2, m.dim)).astype(np.float32)
+    ours = model.apply(params, {"feat": feat})
+    _allclose(ours, oracle(torch.tensor(feat)))
+
+
+def test_state_transfer_realformer_parity():
+    exp = configs.get("mosei_realformer")
+    m = dataclasses.replace(exp.model, l_len=4, v_len=5, a_len=6, dim=12,
+                            n_heads=2, l_dim=7, v_dim=3, a_dim=5, p_len=3,
+                            n_layers=2, ffn=2)
+    torch.manual_seed(3)
+    oracle = tref.StateTransfer(m)
+    params = from_reference_state_dict(oracle.state_dict(), m)
+    model = build_model(dataclasses.replace(exp, model=m))
+
+    rng = np.random.default_rng(3)
+    b, p = 2, m.p_len
+    batch = {
+        "l": rng.standard_normal((b, p, m.l_len, m.l_dim)).astype(np.float32),
+        "v": rng.standard_normal((b, p, m.v_len, m.v_dim)).astype(np.float32),
+        "a": rng.standard_normal((b, p, m.a_len, m.a_dim)).astype(np.float32),
+        "l_mask": np.ones((b, p, m.l_len), np.float32),
+        "v_mask": np.ones((b, p, m.v_len), np.float32),
+        "a_mask": np.ones((b, p, m.a_len), np.float32),
+    }
+    ours = model.apply(params, batch)
+    theirs = oracle(*(torch.tensor(batch[k]) for k in
+                      ("l", "v", "a", "l_mask", "v_mask", "a_mask")))
+    _allclose(ours, theirs, tol=5e-4)  # scan vs loop accumulation
+
+
+def test_robot_multiclass_parity():
+    exp = configs.get("robot_demo")
+    m = dataclasses.replace(exp.model, l_len=4, v_len=5, a_len=6, dim=12,
+                            n_heads=2, l_dim=7, a_dim=5, n_layers=2, ffn=2,
+                            v_dims_multires=(4, 6, 8))
+    torch.manual_seed(4)
+    oracle = tref.RobotMultiClass(m)
+    params = from_reference_state_dict(oracle.state_dict(), m)
+    model = build_model(dataclasses.replace(exp, model=m))
+
+    rng = np.random.default_rng(4)
+    b = 3
+    batch = {
+        "l": rng.standard_normal((b, m.l_len, m.l_dim)).astype(np.float32),
+        "v256": rng.standard_normal((b, m.v_len, 4)).astype(np.float32),
+        "v512": rng.standard_normal((b, m.v_len, 6)).astype(np.float32),
+        "v1024": rng.standard_normal((b, m.v_len, 8)).astype(np.float32),
+        "a": rng.standard_normal((b, m.a_len, m.a_dim)).astype(np.float32),
+        "l_mask": np.ones((b, m.l_len), np.float32),
+        "v_mask": np.ones((b, m.v_len), np.float32),
+        "a_mask": np.ones((b, m.a_len), np.float32),
+    }
+    ours = model.apply(params, batch)
+    theirs = oracle(*(torch.tensor(batch[k]) for k in
+                      ("l", "v256", "v512", "v1024", "a",
+                       "l_mask", "v_mask", "a_mask")))
+    _allclose(ours, theirs)
+
+
+def test_load_reference_checkpoint_roundtrip(tmp_path):
+    """torch.save(state_dict) -> load_reference_checkpoint == direct convert."""
+    from multimodal_emotion_processing_tpu.interop import load_reference_checkpoint
+
+    exp = configs.get("rencecps")
+    m = dataclasses.replace(exp.model, dim=24)
+    torch.manual_seed(5)
+    oracle = tref.ConcatLinear(m.dim, e=9)
+    path = str(tmp_path / "model_d1_2.11.pt")
+    torch.save(oracle.state_dict(), path)
+    p1 = load_reference_checkpoint(path, m)
+    p2 = from_reference_state_dict(oracle.state_dict(), m)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
