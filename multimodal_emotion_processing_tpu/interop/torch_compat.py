@@ -47,7 +47,9 @@ def _conv(w) -> np.ndarray:
 
 
 def _arr(x) -> np.ndarray:
-    return np.asarray(x, np.float32)
+    # np.asarray of a torch tensor is a VIEW into its storage — an in-place
+    # optimizer step on the torch side would silently mutate our params
+    return np.array(x, dtype=np.float32, copy=True)
 
 
 def _ln(sd, key):
