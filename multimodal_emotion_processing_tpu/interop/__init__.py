@@ -1,1 +1,2 @@
-from .torch_compat import from_reference_state_dict, load_reference_checkpoint  # noqa: F401
+from .torch_compat import (  # noqa: F401
+    from_reference_state_dict, load_reference_checkpoint, to_reference_state_dict)

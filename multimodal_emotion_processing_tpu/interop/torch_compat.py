@@ -186,3 +186,107 @@ def load_reference_checkpoint(path: str, cfg) -> Dict:
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return from_reference_state_dict(sd, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Export: our params -> reference-compatible state_dict
+# ---------------------------------------------------------------------------
+
+def _export_block(blk, base, variant, norm_key, out):
+    if variant == "minus":
+        out[f"{base}.proj.weight"] = _t(blk["proj"]["w"])
+        out[f"{base}.minus.weight"] = _t(blk["minus"]["w"])
+        out[f"{base}.{norm_key}.weight"] = _arr(blk["norm"]["scale"])
+        out[f"{base}.{norm_key}.bias"] = _arr(blk["norm"]["bias"])
+        out[f"{base}.c"] = _arr(blk["c"])
+    else:
+        for i, k in enumerate(("wq", "wk", "wv")):
+            out[f"{base}.w_qkv.{i}.weight"] = _t(blk[k]["w"])
+        out[f"{base}.proj.weight"] = _t(blk["proj"]["w"])
+        for nk in ("norm1", "norm2"):
+            out[f"{base}.{nk}.weight"] = _arr(blk[nk]["scale"])
+            out[f"{base}.{nk}.bias"] = _arr(blk[nk]["bias"])
+        out[f"{base}.ffn.0.weight"] = _t(blk["ffn1"]["w"])
+        out[f"{base}.ffn.0.bias"] = _arr(blk["ffn1"]["b"])
+        out[f"{base}.ffn.2.weight"] = _t(blk["ffn2"]["w"])
+        out[f"{base}.ffn.2.bias"] = _arr(blk["ffn2"]["b"])
+        for g in ("a", "b", "c"):
+            out[f"{base}.{g}"] = _arr(blk[g])
+
+
+def _export_grid(g, prefix, cfg, block_norm_key, out):
+    u = f"{prefix}unify_dimension"
+    if cfg.unify in ("linear", "linear_ln"):
+        out[f"{u}.linguistic.weight"] = _t(g["unify"]["l"]["w"])
+        out[f"{u}.visual.weight"] = _t(g["unify"]["v"]["w"])
+        out[f"{u}.acoustic.weight"] = _t(g["unify"]["a"]["w"])
+        if cfg.unify == "linear_ln":
+            out[f"{u}.norm1.weight"] = _arr(g["unify"]["ln"]["scale"])
+            out[f"{u}.norm1.bias"] = _arr(g["unify"]["ln"]["bias"])
+    elif cfg.unify == "conv":
+        for ours, theirs in (("l", "linguistic"), ("v", "visual"), ("a", "acoustic")):
+            out[f"{u}.{theirs}.weight"] = _t(g["unify"][ours]["w"])[:, :, None]
+    elif cfg.unify == "conv_multires":
+        for ours, theirs in (("l", "linguistic"), ("v256", "visual_256"),
+                             ("v512", "visual_512"), ("v1024", "visual_1024"),
+                             ("a", "acoustic")):
+            out[f"{u}.{theirs}.weight"] = _t(g["unify"][ours]["w"])[:, :, None]
+            out[f"{u}.{theirs}.bias"] = _arr(g["unify"][ours]["b"])
+    if cfg.use_position_embedding:
+        for ours, theirs in (("pos_l", "linguistic"), ("pos_v", "visual"),
+                             ("pos_a", "acoustic")):
+            out[f"{prefix}{theirs}_position.position_embeddings.weight"] = _arr(
+                g[ours]["table"])
+    for s, (name, _, _) in enumerate(STREAMS):
+        for i in range(cfg.n_layers):
+            _export_block(g["blocks"][name][i],
+                          f"{prefix}multimodal_blocks.{cfg.n_layers * s + i}",
+                          cfg.block, block_norm_key, out)
+
+
+def to_reference_state_dict(params: Dict, cfg) -> Dict[str, np.ndarray]:
+    """Export our params as a reference-key state dict (numpy values; pass
+    through torch.save after tensor-ifying to produce a reference-loadable
+    .pt).  Inverse of from_reference_state_dict."""
+    out: Dict[str, np.ndarray] = {}
+    head = cfg.head
+    if head == "concat_trans":
+        # Ren-MME naming (norm2 blocks, norm3 top) when the unify has the
+        # shared LayerNorm; cmu-mosei naming otherwise
+        ren = cfg.unify == "linear_ln"
+        for gname in ("intensity", "stimulation"):
+            _export_grid(params[gname], f"{gname}.", cfg,
+                         "norm2" if ren else "norm1", out)
+            out[f"{gname}.classifier.weight"] = _t(params[gname]["classifier"]["w"])
+        out["trans"] = _arr(params["trans"])
+        top = "norm3" if ren else "norm1"
+        out[f"{top}.weight"] = _arr(params["norm"]["scale"])
+        out[f"{top}.bias"] = _arr(params["norm"]["bias"])
+        out["out.weight"] = _t(params["out"]["w"])
+        out["out.bias"] = _arr(params["out"]["b"])
+        return out
+    if head == "concat_linear":
+        out["intensity.weight"] = _t(params["intensity"]["w"])
+        out["stimulation.weight"] = _t(params["stimulation"]["w"])
+        out["trans"] = _arr(params["trans"])
+        out["norm.weight"] = _arr(params["norm"]["scale"])
+        out["norm.bias"] = _arr(params["norm"]["bias"])
+        out["out.weight"] = _t(params["out"]["w"])
+        out["out.bias"] = _arr(params["out"]["b"])
+        return out
+    if head == "state_transfer":
+        _export_grid(params["feature"], "feature.", cfg, "norm1", out)
+        out["feature.fully_connected.weight"] = _t(params["feature"]["fc"]["w"])
+        out["feature.fully_connected.bias"] = _arr(params["feature"]["fc"]["b"])
+        out["feature.normalization.weight"] = _arr(params["feature"]["ln"]["scale"])
+        out["feature.normalization.bias"] = _arr(params["feature"]["ln"]["bias"])
+        out["classifier.weight"] = _t(params["classifier"]["w"])
+        out["classifier.bias"] = _arr(params["classifier"]["b"])
+        out["trans"] = _arr(params["trans"])
+        return out
+    if head == "grid_only":
+        _export_grid(params, "", cfg, "norm1", out)
+        out["classifier.weight"] = _t(params["classifier"]["w"])
+        out["classifier.bias"] = _arr(params["classifier"]["b"])
+        return out
+    raise ValueError(head)

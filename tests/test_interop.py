@@ -153,3 +153,46 @@ def test_load_reference_checkpoint_roundtrip(tmp_path):
     p2 = from_reference_state_dict(oracle.state_dict(), m)
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("family", ["mosei_trans", "ren_mme", "rencecps",
+                                    "mosei_realformer", "robot_demo"])
+def test_state_dict_roundtrip(family):
+    """params -> reference state_dict -> params is the identity, and the
+    exported keys load into the torch oracles."""
+    from multimodal_emotion_processing_tpu.interop import to_reference_state_dict
+
+    exp = configs.get(family)
+    m = dataclasses.replace(
+        exp.model, l_len=4, v_len=5, a_len=6,
+        dim=24 if family == "rencecps" else 12,
+        n_heads=1 if family == "rencecps" else 2,
+        l_dim=exp.model.l_dim if family == "rencecps" else 7,
+        v_dim=0 if exp.model.unify == "conv_multires" else 3,
+        a_dim=5, p_len=2, v_dims_multires=(4, 6, 8))
+    if family == "rencecps":
+        m = dataclasses.replace(m, dim=24)
+    model = build_model(dataclasses.replace(exp, model=m))
+    params = model.init(jax.random.PRNGKey(9))
+    sd = to_reference_state_dict(params, m)
+    back = from_reference_state_dict(sd, m)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+    # exported dicts load into the reference-keyed torch oracles
+    oracles = {
+        "mosei_trans": lambda: tref.ConcatTrans(m, "norm1", "norm1"),
+        "ren_mme": lambda: tref.ConcatTrans(m, "norm3", "norm2"),
+        "rencecps": lambda: tref.ConcatLinear(m.dim, e=9),
+        "mosei_realformer": lambda: tref.StateTransfer(m),
+        "robot_demo": lambda: tref.RobotMultiClass(m),
+    }
+    oracle = oracles[family]()
+    tsd = {k: torch.tensor(v) for k, v in sd.items()}
+    missing, unexpected = oracle.load_state_dict(tsd, strict=False)
+    assert not unexpected, f"unexpected keys: {unexpected}"
+    # the only permitted missing keys are the reference's unused FC params
+    allowed = {"fully_connected.weight", "fully_connected.bias",
+               "normalization.weight", "normalization.bias"}
+    assert set(missing) <= allowed, f"missing keys: {missing}"
