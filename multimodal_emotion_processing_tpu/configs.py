@@ -64,6 +64,10 @@ class TrainConfig:
     # None = always save best (realformer, robot)
     save_guard: Optional[float] = 0.009
     n_folds: int = 4
+    # reference per-config validation-fold sizes (cmu-mosei 4096, rencecps
+    # 6720, Ren-MME 744); None = n // n_folds (realformer's 20%).  Falls back
+    # to n // n_folds when the dataset is smaller than fold_size * n_folds.
+    fold_size: Optional[int] = None
     # Ren-MME R-Drop: duplicate each sample and add symmetric KL (Ren-MME/run.py:143-146,332-334)
     rdrop_kl: bool = False
     # realformer: multiply per-clip loss by clip-validity mask (others/realformer.py:312)
@@ -104,7 +108,7 @@ def mosei_trans() -> ExperimentConfig:
         train=TrainConfig(
             batch_size=64, lr=1e-3, epochs=999, grad_clip=1.0,
             optimizer="adamw", plateau_patience=4, early_stop=9,
-            save_guard=0.009, n_folds=4,
+            save_guard=0.009, n_folds=4, fold_size=4096,
         ),
         # cmu-mosei/run.py:481-486 — fixed per-emotion thresholds
         thresholds=(0.1, -0.3, -0.5, -0.3, -0.6, -0.5),
@@ -146,7 +150,7 @@ def rencecps() -> ExperimentConfig:
         train=TrainConfig(
             batch_size=64, lr=1e-3, epochs=99, grad_clip=1.0,
             optimizer="adamw", plateau_patience=6, early_stop=15,
-            save_guard=0.009, n_folds=4,
+            save_guard=0.009, n_folds=4, fold_size=6720,
         ),
         # rencecps/run.py:288-295
         thresholds=(-0.7, -0.8, -0.3, -0.2, -0.2, -0.8, -0.8, -0.9),
@@ -169,7 +173,7 @@ def ren_mme() -> ExperimentConfig:
         train=TrainConfig(
             batch_size=16, lr=1e-3, epochs=999, grad_clip=1.0,
             optimizer="adamw", plateau_patience=1, early_stop=3,
-            save_guard=0.009, n_folds=4, rdrop_kl=True,
+            save_guard=0.009, n_folds=4, fold_size=744, rdrop_kl=True,
         ),
         # Ren-MME/run.py:735-742
         thresholds=(-3.6, -1.2, -1.4, -3.4, -2.0, -1.4, -2.6, -3.8),

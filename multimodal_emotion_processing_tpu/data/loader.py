@@ -13,7 +13,9 @@ sizes (SURVEY §7.3.5).  Here:
   * the Ren-MME R-Drop duplication (each sample twice in a row,
     Ren-MME/run.py:143-146) is a batcher flag.
 
-A C++ fast path (runtime/libbatcher) accelerates stacking when available.
+Stacking uses numpy row-assign (measured fastest on this host; the C++
+runtime kernels exist for hosts where numpy's scan isn't SIMD-optimal — see
+runtime/__init__.py for the measurements).
 """
 
 from __future__ import annotations
@@ -37,19 +39,29 @@ class Batcher:
         pad_final: bool = True,
         seed: int = 0,
         drop_remainder: bool = False,
+        resample=None,
     ):
+        """`resample(epoch) -> samples` regenerates the sample list at the
+        start of each epoch — e.g. the robot demo's per-epoch label-matched
+        text substitution (the reference rebuilds its replace_dict inside
+        every data_loader call, robot_demo.py:256-258)."""
         self.samples = list(samples)
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.duplicate = duplicate
         self.pad_final = pad_final
         self.drop_remainder = drop_remainder
+        self.resample = resample
+        self._epoch = 0
         self._rng = np.random.default_rng(seed)
         if not self.samples:
             raise ValueError("empty sample list")
         self._keys = list(self.samples[0].keys())
 
     def __call__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.resample is not None:
+            self.samples = list(self.resample(self._epoch))
+            self._epoch += 1
         order = np.arange(len(self.samples))
         if self.shuffle:
             self._rng.shuffle(order)
@@ -110,8 +122,9 @@ def prefetch_to_device(
         try:
             for batch in iterator:
                 q.put(put(batch))
-        finally:
             q.put(_END)
+        except BaseException as e:  # propagate assembly/transfer failures
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -119,4 +132,6 @@ def prefetch_to_device(
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item

@@ -17,8 +17,9 @@ These host-side numpy routines decide metric parity more than the model does
     `range(0, len, gap)` may produce > target items, sliced by `[:target]`).
   * `pad_or_truncate` (Ren-MME/run.py:54-120): plain right-pad / head-truncate.
 
-A C++ fast path (runtime/) accelerates the hot inner loops; the numpy
-implementations below are the reference semantics and the fallback.
+These numpy implementations are the reference semantics and the production
+path (measured at parity with the C++ runtime kernels on this host — see
+runtime/__init__.py).
 """
 
 from __future__ import annotations

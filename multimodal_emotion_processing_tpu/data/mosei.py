@@ -144,9 +144,15 @@ class PairSampleAssembler:
         return out
 
     def materialize(self, pairs) -> List[Dict[str, np.ndarray]]:
+        """Each sample carries a `group` id (its pair index): at test time the
+        reference runs batch_size=1 per PAIR and averages the head/tail crop
+        logits into one prediction (torch.mean(pred, 0) with the label taken
+        once — cmu-mosei/run.py:462,477-480), so evaluation must group crops."""
         samples = []
-        for pair in pairs:
-            samples.extend(self.samples_for_pair(pair))
+        for gid, pair in enumerate(pairs):
+            for s in self.samples_for_pair(pair):
+                s["group"] = np.asarray(gid, np.int32)
+                samples.append(s)
         return samples
 
 

@@ -44,18 +44,13 @@ def load_video_multires(path: str, v_len: int,
     if len(feat_list) == 0:
         return zeros[0], zeros[1], zeros[2], np.zeros(v_len, np.float32)
     by_res = {d: [x for x in feat_list if x.shape[0] == d] for d in dims}
-    # reference >= chain: 1024 wins ties over 512 over 256
-    n1024, n512, n256 = len(by_res[1024]), len(by_res[512]), len(by_res[256])
-    if n1024 >= n512 and n1024 >= n256:
-        chosen, res = by_res[1024], 1024
-    elif n512 >= n1024 and n512 >= n256:
-        chosen, res = by_res[512], 512
-    else:
-        chosen, res = by_res[256], 256
+    # reference >= chain: highest resolution wins ties (1024 over 512 over 256)
+    res = max(sorted(dims, reverse=True), key=lambda d: len(by_res[d]))
+    chosen = by_res[res]
     feat, mask = masking.pad_or_subsample(np.stack(chosen), v_len)
     out = {d: np.zeros((v_len, d), np.float32) for d in dims}
     out[res] = feat
-    return out[256], out[512], out[1024], mask
+    return out[dims[0]], out[dims[1]], out[dims[2]], mask
 
 
 def ren_to_mosei_labels(txt_path: str) -> Tuple[List[str], List[int]]:
@@ -157,7 +152,8 @@ class RobotAssembler:
         l, l_mask = masking.pad_or_subsample(self.ren_text_src.get(ren_name),
                                              self.m.l_len)
         v256, v512, v1024, v_mask = load_video_multires(
-            os.path.join(self.video_dir, name + ".pk"), self.m.v_len)
+            os.path.join(self.video_dir, name + ".pk"), self.m.v_len,
+            dims=self.m.v_dims_multires)
         a, a_mask = masking.pad_or_subsample(self.audio_src.get(name), self.m.a_len)
         return {
             "l": l, "v256": v256, "v512": v512, "v1024": v1024, "a": a,
@@ -167,3 +163,19 @@ class RobotAssembler:
 
     def materialize(self, names) -> List[Dict[str, np.ndarray]]:
         return [self.sample_for(n) for n in names]
+
+    def epoch_materialize(self, names, base_table: Dict[str, List[str]],
+                          epoch: int, seed: int = 0) -> List[Dict[str, np.ndarray]]:
+        """Per-epoch substitution: the reference rebuilds (reshuffles) its
+        label->names table inside every data_loader call (robot_demo.py:258),
+        so each epoch pairs clips with different same-label Ren texts.  Use as
+        a Batcher `resample` hook:
+            Batcher(asm.materialize(names), bs,
+                    resample=lambda e: asm.epoch_materialize(names, table, e))
+        """
+        rng = random.Random((seed, epoch).__hash__())
+        table = {k: list(v) for k, v in base_table.items()}
+        for key in table:
+            rng.shuffle(table[key])
+        self.sub = SubstitutionSampler(table)
+        return self.materialize(names)

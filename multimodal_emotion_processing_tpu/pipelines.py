@@ -45,15 +45,6 @@ class PipelineResult:
     store: Optional[CheckpointStore]
 
 
-def _fold_state(states, i: int):
-    """Slice fold i's params out of a vmap-stacked TrainState (host copy)."""
-    from .train.engine import TrainState
-
-    params = jax.tree.map(lambda x: np.asarray(x)[i],
-                          jax.device_get(states.params))
-    return TrainState(params, None, None, None)
-
-
 def _synthetic_data(exp, n_train: int, n_test: int, seed: int = 0):
     train = synthetic.synthetic_dataset(exp.name, exp.model, n_train, seed)
     test = synthetic.synthetic_dataset(exp.name, exp.model, n_test, seed + 1)
@@ -62,7 +53,9 @@ def _synthetic_data(exp, n_train: int, n_test: int, seed: int = 0):
 
 def load_real_data(exp, data_root: str):
     """Build train/test sample lists from a real corpus tree.  Expected layout
-    per config is documented in README.md (mirrors the reference's paths)."""
+    per config is documented in README.md (mirrors the reference's paths).
+    Returns (train, test, ctx); ctx is config-specific loader context
+    (robot_demo: assembler/table/names for per-epoch substitution)."""
     name = exp.name
     m = exp.model
     if name in ("mosei_trans", "mosei_realformer"):
@@ -80,7 +73,7 @@ def load_real_data(exp, data_root: str):
                 os.path.join(data_root, "labels.txt"),
                 test_videos=test_fold)
             asm = mosei.PairSampleAssembler(m, l_src, v_src, a_src, labels)
-            return asm.materialize(train_pairs), asm.materialize(test_pairs)
+            return asm.materialize(train_pairs), asm.materialize(test_pairs), None
         label_src = CsdSource(os.path.join(data_root, "All Labels.csd"))
         from mmsdk import mmdatasdk
 
@@ -91,7 +84,8 @@ def load_real_data(exp, data_root: str):
         present = set(v_src.names())
         asm = mosei.ParagraphSampleAssembler(m, l_src, v_src, a_src, label_src)
         return (asm.materialize(mosei.paragraph_windows(train_v, present, m.p_len)),
-                asm.materialize(mosei.paragraph_windows(test_v, present, m.p_len)))
+                asm.materialize(mosei.paragraph_windows(test_v, present, m.p_len)),
+                None)
     if name == "rencecps":
         from .data import rencecps
         from .data.sources import NpyDirSource
@@ -101,7 +95,8 @@ def load_real_data(exp, data_root: str):
         feat = NpyDirSource(os.path.join(data_root, "ren_text_feat"))
         asm = rencecps.RenCecpsAssembler(feat)
         return (asm.materialize(rencecps.pair_list(rencecps.load_split(txt, xml, "train"))),
-                asm.materialize(rencecps.pair_list(rencecps.load_split(txt, xml, "test"))))
+                asm.materialize(rencecps.pair_list(rencecps.load_split(txt, xml, "test"))),
+                None)
     if name == "ren_mme":
         from .data import ren_mme
         from .data.sources import NpyDirSource
@@ -114,7 +109,7 @@ def load_real_data(exp, data_root: str):
             NpyDirSource(os.path.join(data_root, "video_feat")),
             NpyDirSource(os.path.join(data_root, "audio_feat"), transpose=True),
         )
-        return asm.materialize(train), asm.materialize(test)
+        return asm.materialize(train), asm.materialize(test), None
     if name == "robot_demo":
         from .data import robot
         from .data.sources import NpyDirSource
@@ -123,10 +118,11 @@ def load_real_data(exp, data_root: str):
         names = [f.split(".pk")[0] for f in os.listdir(video_dir)
                  if f.endswith(".pk")]
         label_dict = {}
+        name_set = set(names)
         with open(os.path.join(data_root, "labels.txt")) as f:
             for line in f.readlines()[1:]:
                 key = line.split(",")[0]
-                if key in set(names):
+                if key in name_set:
                     label_dict[key] = line.strip().split(",")[3:]
         table = robot.ren_label_name_dict(
             os.path.join(data_root, "1487_txt_hier_sents_202002"),
@@ -136,7 +132,14 @@ def load_real_data(exp, data_root: str):
             NpyDirSource(os.path.join(data_root, "WAV_feature")),
             NpyDirSource(os.path.join(data_root, "ren_text_feat")),
             label_dict, robot.SubstitutionSampler(table))
-        return asm.materialize(names), []
+        samples = asm.materialize(names)
+        # name indices ride along so per-fold loaders can re-substitute texts
+        # each epoch (reference rebuilds its replace_dict per data_loader
+        # call, robot_demo.py:256-258)
+        for i, s in enumerate(samples):
+            s["name_idx"] = np.asarray(i, np.int32)
+        ctx = {"assembler": asm, "table": table, "names": names}
+        return samples, [], ctx
     raise ValueError(name)
 
 
@@ -165,12 +168,13 @@ def run_experiment(
         )
     model = build_model(exp)
 
+    loader_ctx = None
     if synthetic_data:
         train_samples, test_samples = _synthetic_data(exp, n_train, n_test)
     else:
         if data_root is None:
             raise ValueError("data_root required when synthetic_data=False")
-        train_samples, test_samples = load_real_data(exp, data_root)
+        train_samples, test_samples, loader_ctx = load_real_data(exp, data_root)
     _log(f"[{config_name}] {len(train_samples)} train / {len(test_samples)} test "
          f"samples; devices={jax.devices()}", quiet)
 
@@ -188,42 +192,87 @@ def run_experiment(
 
     duplicate = exp.train.rdrop_kl  # Ren-MME R-Drop sample duplication
 
+    def robot_resample(subset):
+        idxs = [int(s["name_idx"]) for s in subset]
+        fold_names = [loader_ctx["names"][i] for i in idxs]
+
+        def resample(epoch):
+            fresh = loader_ctx["assembler"].epoch_materialize(
+                fold_names, loader_ctx["table"], epoch)
+            for s, i in zip(fresh, idxs):
+                s["name_idx"] = np.asarray(i, np.int32)
+            return fresh
+
+        return resample
+
     def make_loaders(train, valid):
-        return (Batcher(train, exp.train.batch_size, duplicate=duplicate, seed=1),
+        resample = robot_resample(train) if loader_ctx is not None else None
+        return (Batcher(train, exp.train.batch_size, duplicate=duplicate, seed=1,
+                        resample=resample),
                 Batcher(valid, exp.train.batch_size, duplicate=duplicate,
                         shuffle=False))
 
+    best_member_params = None
     if vmap_folds and exp.train.n_folds > 1:
         # all folds train in one vmapped step (measured ~4-5x wall-clock on
         # v5e vs sequential; semantics preserved — see train/vmap_kfold.py)
         from .train.vmap_kfold import run_kfold_vmapped
 
-        states, hists = run_kfold_vmapped(
+        states, hists, best_member_params = run_kfold_vmapped(
             train_samples, make_loaders, model, exp.train, store=store,
-            name_prefix=config_name, epochs=epochs, impl=impl, log_cb=log_cb)
-        results = [
-            (None if store is not None else _fold_state(states, i), hists[i])
-            for i in range(exp.train.n_folds)
-        ]
+            name_prefix=config_name, epochs=epochs, impl=impl, log_cb=log_cb,
+            fold_size=exp.train.fold_size)
+        results = [(None, hists[i]) for i in range(exp.train.n_folds)]
     else:
         results = run_kfold(train_samples, make_loaders, model, exp.train,
                             store=store, name_prefix=config_name, epochs=epochs,
-                            impl=impl, log_cb=log_cb)
+                            impl=impl, log_cb=log_cb,
+                            fold_size=exp.train.fold_size)
 
     report = sweep = None
     if test_samples:
         params_like = model.init(jax.random.PRNGKey(0))
+        member_losses = None
         if store is not None:
-            members = [store.restore_params(n, params_like)
-                       for n in store.best_members(config_name)]
+            names = store.best_members(config_name)
+            members = [store.restore_params(n, params_like) for n in names]
+            member_losses = [store.manifest[n]["valid_loss"] for n in names]
+        elif best_member_params is not None:
+            members = best_member_params
+            member_losses = [min(h.valid_loss for h in hist)
+                             for _, hist in results]
         else:
+            # sequential path without a store: final params (note: the
+            # reference always reloads BEST checkpoints — pass checkpoint_dir
+            # or use the default vmapped path for that behavior)
             members = [state.params for state, _ in results]
         combine = "sum" if config_name == "ren_mme" else "mean"
-        ens = Ensemble(model, members, combine=combine, impl=impl)
+        weights = None
+        if config_name == "mosei_realformer" and member_losses is not None \
+                and len(members) >= 2:
+            # the reference ensembles only its two best folds at 0.6/0.4,
+            # better fold first (others/realformer.py:420,482-485)
+            order = np.argsort(member_losses)[:2]
+            members = [members[i] for i in order]
+            weights = [0.6, 0.4]
+        ens = Ensemble(model, members, weights=weights, combine=combine,
+                       impl=impl)
         # eval loaders: no shuffle, no R-Drop duplication (Ren-MME/run.py:427-449)
         test_loader = Batcher(test_samples, exp.train.batch_size, shuffle=False)
         logits = ens.predict_all(test_loader)
         labels = np.stack([s["label"] for s in test_samples])
+        if "group" in test_samples[0]:
+            # two-crop pairs: the reference averages head/tail crop logits
+            # into ONE prediction per pair, label counted once
+            # (cmu-mosei/run.py:462,477-480)
+            gids = np.asarray([int(s["group"]) for s in test_samples])
+            uniq, first_idx, inverse = np.unique(gids, return_index=True,
+                                                 return_inverse=True)
+            summed = np.zeros((len(uniq), logits.shape[-1]), np.float64)
+            np.add.at(summed, inverse, logits)
+            counts = np.bincount(inverse, minlength=len(uniq))
+            logits = (summed / counts[:, None]).astype(np.float32)
+            labels = labels[first_idx]
         if logits.ndim == 3:  # paragraph model: flatten valid clips
             clip_mask = np.stack([s["clip_mask"] for s in test_samples])
             # reference BREAKS at the first invalid clip of a window rather

@@ -95,9 +95,9 @@ def gather_rows(arrays, out: Optional[np.ndarray] = None) -> np.ndarray:
     if out is None:
         out = np.empty((n,) + shape, np.float32)
     lib = _get()
-    if (lib is None or not isinstance(first, np.ndarray)
-            or first.dtype != np.float32
-            or not first.flags["C_CONTIGUOUS"]):
+    if lib is None or not all(
+            isinstance(a, np.ndarray) and a.dtype == np.float32
+            and a.flags["C_CONTIGUOUS"] and a.shape == shape for a in arrays):
         for i, a in enumerate(arrays):
             out[i] = a
         return out
@@ -112,10 +112,12 @@ def gather_rows(arrays, out: Optional[np.ndarray] = None) -> np.ndarray:
 
 
 def sanitize_(a: np.ndarray, value: float = -71.0) -> int:
-    """In-place inf/nan replacement; returns replacement count."""
+    """In-place inf/nan replacement; returns replacement count.  The native
+    path requires C-contiguous float32 (copying would break in-place
+    semantics for the caller); anything else uses the numpy path, which
+    writes through views correctly."""
     lib = _get()
-    a = np.ascontiguousarray(a)
-    if lib is None or a.dtype != np.float32:
+    if lib is None or a.dtype != np.float32 or not a.flags["C_CONTIGUOUS"]:
         bad = ~np.isfinite(a)
         a[bad] = value
         return int(bad.sum())

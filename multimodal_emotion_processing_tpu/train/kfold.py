@@ -14,8 +14,9 @@ from .checkpoint import CheckpointStore
 
 def contiguous_folds(n: int, k: int, fold_size: Optional[int] = None
                      ) -> List[Tuple[slice, List[range]]]:
-    """Fold i validates on [i*size, (i+1)*size) and trains on the rest."""
-    size = fold_size if fold_size is not None else n // k
+    """Fold i validates on [i*size, (i+1)*size) and trains on the rest.
+    fold_size falls back to n // k when absent or too large for n."""
+    size = fold_size if fold_size is not None and fold_size * k <= n else n // k
     out = []
     for i in range(k):
         lo, hi = i * size, (i + 1) * size

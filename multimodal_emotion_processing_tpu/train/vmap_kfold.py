@@ -112,6 +112,10 @@ def run_kfold_vmapped(
                                    save_guard=tcfg.save_guard) for _ in range(k)]
     stopped = [False] * k
     histories: List[List[EpochStats]] = [[] for _ in range(k)]
+    # best params per fold (host copies): an early-stopped fold keeps riding
+    # the vmap, so its FINAL params are meaningless — only its best matter
+    # (the reference likewise only ever reloads best checkpoints)
+    best_params: List = [None] * k
 
     loaders = [make_loaders(t, v) for t, v in splits]
     n_epochs = tcfg.epochs if epochs is None else epochs
@@ -141,17 +145,23 @@ def run_kfold_vmapped(
             lrs.append(plateaus[i].step(float(va[i])))
             if not stopped[i]:
                 save, stop = stoppers[i].step(float(va[i]))
-                if save and store is not None:
-                    fold_state = TrainState(
-                        _slice_fold(jax.device_get(states.params), i),
-                        _slice_fold(jax.device_get(states.opt_state), i),
-                        np.asarray(jax.device_get(states.rng))[i],
-                        np.asarray(jax.device_get(states.step))[i])
-                    store.save_best(f"{name_prefix}_{i + 1}", fold_state,
-                                    epoch, float(va[i]))
+                if save:
+                    best_params[i] = _slice_fold(jax.device_get(states.params), i)
+                    if store is not None:
+                        fold_state = TrainState(
+                            best_params[i],
+                            _slice_fold(jax.device_get(states.opt_state), i),
+                            np.asarray(jax.device_get(states.rng))[i],
+                            np.asarray(jax.device_get(states.step))[i])
+                        store.save_best(f"{name_prefix}_{i + 1}", fold_state,
+                                        epoch, float(va[i]))
                 if stop:
                     stopped[i] = True
         states = set_lrs(states, lrs)
         if all(stopped):
             break
-    return states, histories
+    # folds whose valid loss never passed the save guard fall back to finals
+    for i in range(k):
+        if best_params[i] is None:
+            best_params[i] = _slice_fold(jax.device_get(states.params), i)
+    return states, histories, best_params

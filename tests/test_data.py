@@ -331,3 +331,56 @@ def test_summary_masking_bert_branch():
     short, smask = masking.summary_masking_bert(m[:4], m_len=12)
     assert len(short) == 1 and short[0].shape == (12, 2)
     np.testing.assert_array_equal(smask[0], [1]*7 + [0]*5)
+
+
+def test_batcher_resample_hook():
+    calls = []
+
+    def resample(epoch):
+        calls.append(epoch)
+        return [{"x": np.full((2,), epoch * 10 + i, np.float32)}
+                for i in range(4)]
+
+    b = Batcher([{"x": np.zeros(2, np.float32)}], 2, shuffle=False,
+                resample=resample)
+    first = np.concatenate([bt["x"][:, 0] for bt in b()])
+    second = np.concatenate([bt["x"][:, 0] for bt in b()])
+    assert calls == [0, 1]
+    np.testing.assert_array_equal(sorted(first), [0, 1, 2, 3])
+    np.testing.assert_array_equal(sorted(second), [10, 11, 12, 13])
+
+
+def test_robot_epoch_materialize_rotates_substitution(tmp_path):
+    import dataclasses
+    m = dataclasses.replace(configs.get("robot_demo").model,
+                            l_len=3, v_len=4, a_len=5, l_dim=6, a_dim=2,
+                            v_dims_multires=(4, 6, 8))
+    rng = np.random.default_rng(0)
+    # two video clips with the same label; three candidate Ren texts
+    for n in ("clipA", "clipB"):
+        with open(tmp_path / f"{n}.pk", "wb") as f:
+            pickle.dump([rng.standard_normal(4).astype(np.float32)
+                         for _ in range(3)], f)
+        np.save(tmp_path / f"{n}_audio.npy",
+                rng.standard_normal((4, 2)).astype(np.float32))
+
+    class AudioSrc:
+        def get(self, name):
+            return np.load(tmp_path / f"{name}_audio.npy")
+
+    class TextSrc:
+        def get(self, name):
+            r = np.random.default_rng(abs(hash(name)) % 2**32)
+            return r.standard_normal((3, 6)).astype(np.float32)
+
+    table = {"1000000": ["t1", "t2", "t3"], "0000001": ["tn"]}
+    labels = {"clipA": ["1", "0", "0", "0", "0", "0", "0"],
+              "clipB": ["1", "0", "0", "0", "0", "0", "0"]}
+    asm = robot.RobotAssembler(m, str(tmp_path), AudioSrc(), TextSrc(), labels,
+                               robot.SubstitutionSampler(table))
+    names = ["clipA", "clipB"]
+    e0 = asm.epoch_materialize(names, table, epoch=0)
+    e1 = asm.epoch_materialize(names, table, epoch=1)
+    # different epochs draw different same-label texts for at least one clip
+    diff = any(not np.allclose(a["l"], b["l"]) for a, b in zip(e0, e1))
+    assert diff

@@ -38,7 +38,7 @@ def test_vmapped_matches_sequential(tmp_path):
     seq = run_kfold(samples, _loaders(exp), model, exp.train, epochs=3,
                     shuffle_seed=0)
     store = CheckpointStore(str(tmp_path))
-    _, vhist = run_kfold_vmapped(samples, _loaders(exp), model, exp.train,
+    _, vhist, vbest = run_kfold_vmapped(samples, _loaders(exp), model, exp.train,
                                  epochs=3, shuffle_seed=0, store=store,
                                  name_prefix="vm")
     for i, (_, shist) in enumerate(seq):
@@ -64,7 +64,20 @@ def test_vmapped_early_stop_per_fold():
         exp, train=dataclasses.replace(exp.train, early_stop=1, epochs=999))
     model = build_model(exp)
     samples = synthetic_dataset("rencecps", exp.model, n=32, seed=1)
-    _, hist = run_kfold_vmapped(samples, _loaders(exp), model, exp.train,
+    _, hist, _best = run_kfold_vmapped(samples, _loaders(exp), model, exp.train,
                                 epochs=50, shuffle_seed=0)
     # early stop must terminate the loop well before 50 epochs
     assert all(len(h) < 50 for h in hist)
+
+
+def test_vmapped_returns_best_params_without_store():
+    exp = _exp()
+    model = build_model(exp)
+    samples = synthetic_dataset("rencecps", exp.model, n=32, seed=2)
+    _, hists, best = run_kfold_vmapped(samples, _loaders(exp), model, exp.train,
+                                       epochs=3, shuffle_seed=0)
+    assert len(best) == 2
+    for p in best:
+        assert p is not None
+        assert all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree_util.tree_leaves(p))
