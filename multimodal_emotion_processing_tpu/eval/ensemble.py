@@ -59,6 +59,26 @@ class Ensemble:
         return np.concatenate(outs, axis=0)
 
 
+def group_average(logits: np.ndarray, group_ids: Sequence[int],
+                  labels: Optional[np.ndarray] = None):
+    """Average logit rows sharing a group id (order-preserving by first
+    appearance); labels reduce to the group's first row.  This is the
+    reference's two-crop test protocol: one prediction per sentence PAIR from
+    the mean of its head/tail crop logits (cmu-mosei/run.py:462,477-480)."""
+    logits = np.asarray(logits)
+    gids = np.asarray(group_ids)
+    uniq, first_idx, inverse = np.unique(gids, return_index=True,
+                                         return_inverse=True)
+    order = np.argsort(first_idx)  # preserve first-appearance order
+    summed = np.zeros((len(uniq), logits.shape[-1]), np.float64)
+    np.add.at(summed, inverse, logits)
+    counts = np.bincount(inverse, minlength=len(uniq))
+    avg = (summed / counts[:, None]).astype(logits.dtype)[order]
+    if labels is None:
+        return avg
+    return avg, np.asarray(labels)[first_idx[order]]
+
+
 def apply_thresholds(logits: np.ndarray, thresholds: Sequence[float],
                      emotion_index: Sequence[int]) -> np.ndarray:
     """Binary predictions: pred[:, j] = logits[:, emotion_index[j]] > thresholds[j]."""

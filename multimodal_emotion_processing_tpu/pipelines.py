@@ -262,17 +262,12 @@ def run_experiment(
         logits = ens.predict_all(test_loader)
         labels = np.stack([s["label"] for s in test_samples])
         if "group" in test_samples[0]:
-            # two-crop pairs: the reference averages head/tail crop logits
-            # into ONE prediction per pair, label counted once
-            # (cmu-mosei/run.py:462,477-480)
-            gids = np.asarray([int(s["group"]) for s in test_samples])
-            uniq, first_idx, inverse = np.unique(gids, return_index=True,
-                                                 return_inverse=True)
-            summed = np.zeros((len(uniq), logits.shape[-1]), np.float64)
-            np.add.at(summed, inverse, logits)
-            counts = np.bincount(inverse, minlength=len(uniq))
-            logits = (summed / counts[:, None]).astype(np.float32)
-            labels = labels[first_idx]
+            # two-crop pairs: one prediction per pair (crop-averaged logits,
+            # label counted once — the reference's batch-1 test protocol)
+            from .eval.ensemble import group_average
+
+            gids = [int(s["group"]) for s in test_samples]
+            logits, labels = group_average(logits, gids, labels)
         if logits.ndim == 3:  # paragraph model: flatten valid clips
             clip_mask = np.stack([s["clip_mask"] for s in test_samples])
             # reference BREAKS at the first invalid clip of a window rather

@@ -230,3 +230,14 @@ def test_bfloat16_compute_trains():
     assert all(x.dtype == jnp.float32
                for x in jax.tree_util.tree_leaves(state.params)
                if jnp.issubdtype(x.dtype, jnp.floating))
+
+
+def test_group_average_crop_protocol():
+    from multimodal_emotion_processing_tpu.eval.ensemble import group_average
+
+    logits = np.array([[1.0, 3.0], [3.0, 5.0], [10.0, 20.0]], np.float32)
+    labels = np.array([[1, 0], [1, 0], [0, 1]], np.int32)
+    # rows 0,1 are two crops of pair 7; row 2 is pair 3 (single crop)
+    avg, lab = group_average(logits, [7, 7, 3], labels)
+    np.testing.assert_allclose(avg, [[2.0, 4.0], [10.0, 20.0]])
+    np.testing.assert_array_equal(lab, [[1, 0], [0, 1]])
