@@ -107,7 +107,8 @@ def make_sharded_train_step(model, tcfg, mesh: Mesh, *, impl: str = "xla",
     replicated (or TP-sharded); XLA emits the gradient all-reduce."""
     from ..train import engine as eng
 
-    tx, _ = eng.make_train_step(model, tcfg, impl=impl, donate=False)
+    tx, _ = eng.make_train_step(model, tcfg, impl=impl, donate=False,
+                                fused=False)
 
     def step(state, batch):
         rng, sub = jax.random.split(state.rng)
@@ -125,10 +126,11 @@ def make_sharded_train_step(model, tcfg, mesh: Mesh, *, impl: str = "xla",
         pspecs = tp_param_spec(state.params, enable=tp)
         put = lambda x, s: jax.device_put(x, NamedSharding(mesh, s))
         params = jax.tree.map(put, state.params, pspecs)
-        # optimizer moments mirror the param shardings; scalars replicate
+        # re-init per-leaf optimizer moments (the single-chip engine fuses its
+        # optimizer over a flat vector — incompatible with per-leaf shardings)
         def opt_put(x):
             return jax.device_put(x, NamedSharding(mesh, P()))
-        opt_state = jax.tree.map(opt_put, state.opt_state)
+        opt_state = jax.tree.map(opt_put, tx.init(state.params))
         return eng.TrainState(params, opt_state,
                               jax.device_put(state.rng, NamedSharding(mesh, P())),
                               jax.device_put(state.step, NamedSharding(mesh, P())))

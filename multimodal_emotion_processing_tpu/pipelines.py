@@ -277,7 +277,13 @@ def run_experiment(
             logits = logits.reshape(-1, logits.shape[-1])[keep]
             labels = labels.reshape(-1, labels.shape[-1])[keep]
         if sweep_thresholds or not exp.thresholds:
-            sweep = threshold_sweep(logits, labels, realformer_threshold_grid(),
+            # reference sweep grids: 400-point t/200-1 (others/realformer.py:412)
+            # or the robot demo's 13-point i/10-1 (robot_demo.py:533)
+            from .eval.ensemble import robot_threshold_grid
+
+            grid = (robot_threshold_grid() if config_name == "robot_demo"
+                    else realformer_threshold_grid())
+            sweep = threshold_sweep(logits, labels, grid,
                                     exp.emotion_index, exp.emotion_names)
             thresholds = [sweep[e]["t"] for e in exp.emotion_names]
         else:

@@ -80,14 +80,14 @@ def run_kfold_vmapped(
         jnp.arange(tcfg.seed, tcfg.seed + k))
 
     def single_step(state, batch):
+        import optax
+
         rng_, sub = jax.random.split(state.rng)
 
         def loss_fn(p):
             return batch_loss(model, tcfg, p, batch, sub, True, impl)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        import optax
-
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, rng_, state.step + 1), loss

@@ -241,3 +241,22 @@ def test_group_average_crop_protocol():
     avg, lab = group_average(logits, [7, 7, 3], labels)
     np.testing.assert_allclose(avg, [[2.0, 4.0], [10.0, 20.0]])
     np.testing.assert_array_equal(lab, [[1, 0], [0, 1]])
+
+
+def test_fused_optimizer_matches_per_leaf():
+    """The flat-vector optimizer path is mathematically identical to per-leaf
+    (global-norm clip is global; AdamW is elementwise)."""
+    exp = tiny_exp("rencecps")
+    model = build_model(exp)
+    batch = next(iter(Batcher(synthetic_dataset("rencecps", exp.model, 8), 8)()))
+    losses = {}
+    for fused in (False, True):
+        tx, step = eng.make_train_step(model, exp.train, donate=False,
+                                       fused=fused)
+        state = eng.init_state(model, tx, seed=0, fused=fused)
+        ls = []
+        for _ in range(4):
+            state, loss = step(state, batch)
+            ls.append(float(loss))
+        losses[fused] = ls
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5, atol=1e-6)

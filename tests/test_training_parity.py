@@ -62,8 +62,9 @@ def test_adamw_training_trajectory_matches_torch():
     # --- our jitted step
     tx, step = eng.make_train_step(model, exp.train, donate=False)
     state = eng.init_state(model, tx, seed=0)
-    state = dataclasses.replace(state, params=jax.tree.map(
-        lambda x: np.asarray(x), params0), opt_state=tx.init(params0))
+    state = dataclasses.replace(
+        state, params=jax.tree.map(lambda x: np.asarray(x), params0),
+        opt_state=tx.init(params0))
     our_losses = []
     for b in batches:
         state, loss = step(state, b)
