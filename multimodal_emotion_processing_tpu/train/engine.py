@@ -95,17 +95,18 @@ def batch_loss(model, tcfg, params, batch, rng, train: bool, impl: str):
 
 
 def make_train_step(model, tcfg, *, impl: str = "xla", donate: bool = True,
-                    fused: bool = False):
+                    fused: bool = True):
     """One jitted program per step.
 
-    fused=True runs the optimizer over ONE flattened parameter vector
-    (mathematically identical: global-norm clip is global, AdamW is
-    elementwise).  In isolation the flat AdamW update is ~40x faster than the
-    ~100-leaf version (0.05 vs 2.2 ms measured), but the END-TO-END fused
-    step measured ~6x SLOWER on this v5e backend (8.2 vs 1.3 ms) — the
-    grad-through-unravel program compiles pathologically here — so per-leaf
-    is the default.  Revisit on other TPU runtimes.  The sharded/TP path
-    (parallel/mesh) requires fused=False (per-leaf shardings).
+    fused=True runs the optimizer over ONE flattened vector (mathematically
+    identical: global-norm clip is global, AdamW is elementwise) — ~100
+    per-leaf optimizer kernels collapse into a handful.  Crucially the ravel
+    happens AFTER autodiff (per-leaf value_and_grad, then flatten grads +
+    params for the update): differentiating THROUGH unravel compiled
+    pathologically on this backend (8.2 ms/step), while post-grad ravel
+    measured 0.40 ms/step vs 1.29 ms per-leaf on v5e — a 3.2x step speedup.
+    The sharded/TP path (parallel/mesh) requires fused=False (per-leaf
+    sharding specs on the optimizer state).
     """
     tx = make_optimizer(tcfg)
 
@@ -113,20 +114,17 @@ def make_train_step(model, tcfg, *, impl: str = "xla", donate: bool = True,
         from jax.flatten_util import ravel_pytree
 
         rng, sub = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            return batch_loss(model, tcfg, params, batch, sub, True, impl)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
         if fused:
-            flat, unravel = ravel_pytree(state.params)
-
-            def loss_fn(fl):
-                return batch_loss(model, tcfg, unravel(fl), batch, sub, True, impl)
-
-            loss, gflat = jax.value_and_grad(loss_fn)(flat)
-            updates, opt_state = tx.update(gflat, state.opt_state, flat)
-            params = unravel(optax.apply_updates(flat, updates))
+            gflat = ravel_pytree(grads)[0]
+            pflat, unravel = ravel_pytree(state.params)
+            updates, opt_state = tx.update(gflat, state.opt_state, pflat)
+            params = unravel(optax.apply_updates(pflat, updates))
         else:
-            def loss_fn(params):
-                return batch_loss(model, tcfg, params, batch, sub, True, impl)
-
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, rng, state.step + 1), loss
@@ -148,7 +146,7 @@ def make_predict_step(model, *, impl: str = "xla"):
     return jax.jit(step)
 
 
-def init_state(model, tx, seed: int, *, fused: bool = False) -> TrainState:
+def init_state(model, tx, seed: int, *, fused: bool = True) -> TrainState:
     from jax.flatten_util import ravel_pytree
 
     k_params, k_rng = jax.random.split(jax.random.PRNGKey(seed))

@@ -71,10 +71,14 @@ def run_kfold_vmapped(
 
     tx = make_optimizer(tcfg)
 
+    from jax.flatten_util import ravel_pytree
+
     def single_init(seed):
         key_p, key_r = jax.random.split(jax.random.PRNGKey(seed))
         params = model.init(key_p)
-        return TrainState(params, tx.init(params), key_r, jnp.zeros((), jnp.int32))
+        # fused optimizer state (flat vector) — see engine.make_train_step
+        return TrainState(params, tx.init(ravel_pytree(params)[0]), key_r,
+                          jnp.zeros((), jnp.int32))
 
     states = jax.jit(jax.vmap(single_init))(
         jnp.arange(tcfg.seed, tcfg.seed + k))
@@ -88,8 +92,10 @@ def run_kfold_vmapped(
             return batch_loss(model, tcfg, p, batch, sub, True, impl)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        gflat = ravel_pytree(grads)[0]
+        pflat, unravel = ravel_pytree(state.params)
+        updates, opt_state = tx.update(gflat, state.opt_state, pflat)
+        params = unravel(optax.apply_updates(pflat, updates))
         return TrainState(params, opt_state, rng_, state.step + 1), loss
 
     vstep = jax.jit(jax.vmap(single_step), donate_argnums=(0,))

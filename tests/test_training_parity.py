@@ -60,11 +60,13 @@ def test_adamw_training_trajectory_matches_torch():
         torch_losses.append(float(loss))
 
     # --- our jitted step
+    from jax.flatten_util import ravel_pytree
+
     tx, step = eng.make_train_step(model, exp.train, donate=False)
     state = eng.init_state(model, tx, seed=0)
     state = dataclasses.replace(
         state, params=jax.tree.map(lambda x: np.asarray(x), params0),
-        opt_state=tx.init(params0))
+        opt_state=tx.init(ravel_pytree(params0)[0]))  # fused: flat moments
     our_losses = []
     for b in batches:
         state, loss = step(state, b)
