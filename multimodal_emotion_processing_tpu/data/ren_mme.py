@@ -14,7 +14,6 @@ Preserved quirks:
 from __future__ import annotations
 
 import csv
-import os
 from typing import Dict, List, Tuple
 
 import numpy as np

@@ -9,7 +9,7 @@ subsample paths), inf/nan pollution in audio, and `no_name` sentinel pairs.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -11,7 +11,7 @@ parameter pytrees — and every threshold is evaluated from the cached logits
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

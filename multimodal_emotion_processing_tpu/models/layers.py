@@ -16,8 +16,6 @@ Block variants (see SURVEY §2.2):
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -21,7 +21,6 @@ alternative and is unnecessary at these shapes.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Optional
 
 import jax

@@ -24,7 +24,7 @@ from .data import synthetic
 from .data.loader import Batcher
 from .eval import Ensemble, threshold_sweep
 from .eval.ensemble import realformer_threshold_grid
-from .eval.report import evaluate, format_report, transition_matrix
+from .eval.report import evaluate, format_report
 from .models import build_model
 from .train.checkpoint import CheckpointStore
 from .train.kfold import run_kfold

@@ -9,7 +9,7 @@ batch-1 shapes are compiled once and reused; the calibrated per-emotion sigmoid
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

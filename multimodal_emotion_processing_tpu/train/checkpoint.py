@@ -12,7 +12,6 @@ programmatically instead of by loss-tagged filename.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import shutil

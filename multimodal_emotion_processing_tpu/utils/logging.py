@@ -5,10 +5,9 @@ SummaryWriter channel), throughput counters, and jax.profiler hooks."""
 from __future__ import annotations
 
 import contextlib
-import json
 import os
 import time
-from typing import Dict, Optional
+from typing import Optional
 
 
 class RunLogger:
