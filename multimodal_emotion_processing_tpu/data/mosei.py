@@ -144,16 +144,23 @@ class PairSampleAssembler:
         return out
 
     def materialize(self, pairs) -> List[Dict[str, np.ndarray]]:
-        """Each sample carries a `group` id (its pair index): at test time the
-        reference runs batch_size=1 per PAIR and averages the head/tail crop
-        logits into one prediction (torch.mean(pred, 0) with the label taken
-        once — cmu-mosei/run.py:462,477-480), so evaluation must group crops."""
+        """Flat sample list; each sample carries a `group` id (its pair
+        index): at test time the reference runs batch_size=1 per PAIR and
+        averages the head/tail crop logits into one prediction
+        (torch.mean(pred, 0) with the label taken once —
+        cmu-mosei/run.py:462,477-480), so evaluation must group crops."""
         samples = []
         for gid, pair in enumerate(pairs):
             for s in self.samples_for_pair(pair):
                 s["group"] = np.asarray(gid, np.int32)
                 samples.append(s)
         return samples
+
+    def materialize_units(self, pairs) -> List[List[Dict[str, np.ndarray]]]:
+        """Per-pair crop groups, NOT flattened: training folds must be carved
+        over PAIRS (the reference's 4096-pair folds, cmu-mosei/run.py:426-443)
+        so a pair's two crops never straddle a train/valid boundary."""
+        return [self.samples_for_pair(p) for p in pairs]
 
 
 class ParagraphSampleAssembler:

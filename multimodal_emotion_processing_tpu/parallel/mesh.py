@@ -126,11 +126,23 @@ def make_sharded_train_step(model, tcfg, mesh: Mesh, *, impl: str = "xla",
         pspecs = tp_param_spec(state.params, enable=tp)
         put = lambda x, s: jax.device_put(x, NamedSharding(mesh, s))
         params = jax.tree.map(put, state.params, pspecs)
-        # re-init per-leaf optimizer moments (the single-chip engine fuses its
-        # optimizer over a flat vector — incompatible with per-leaf shardings)
+
         def opt_put(x):
             return jax.device_put(x, NamedSharding(mesh, P()))
-        opt_state = jax.tree.map(opt_put, tx.init(state.params))
+
+        # keep existing PER-LEAF optimizer state (mid-training continuation);
+        # a flat/fused opt_state (the single-chip engine default) cannot be
+        # sharded per-leaf, so it is re-initialized — loudly
+        fresh = tx.init(state.params)
+        same = (jax.tree_util.tree_structure(state.opt_state)
+                == jax.tree_util.tree_structure(fresh))
+        if not same:
+            import sys
+
+            print("[parallel.mesh] incoming opt_state is fused/mismatched; "
+                  "re-initializing optimizer moments for the mesh (training "
+                  "momentum/LR state is reset)", file=sys.stderr)
+        opt_state = jax.tree.map(opt_put, state.opt_state if same else fresh)
         return eng.TrainState(params, opt_state,
                               jax.device_put(state.rng, NamedSharding(mesh, P())),
                               jax.device_put(state.step, NamedSharding(mesh, P())))

@@ -73,7 +73,10 @@ def load_real_data(exp, data_root: str):
                 os.path.join(data_root, "labels.txt"),
                 test_videos=test_fold)
             asm = mosei.PairSampleAssembler(m, l_src, v_src, a_src, labels)
-            return asm.materialize(train_pairs), asm.materialize(test_pairs), None
+            # train: pair-level units (reference folds count pairs);
+            # test: flat with crop-group ids for crop-averaged evaluation
+            return (asm.materialize_units(train_pairs),
+                    asm.materialize(test_pairs), None)
         label_src = CsdSource(os.path.join(data_root, "All Labels.csd"))
         from mmsdk import mmdatasdk
 
@@ -192,33 +195,51 @@ def run_experiment(
 
     duplicate = exp.train.rdrop_kl  # Ren-MME R-Drop sample duplication
 
-    def robot_resample(subset):
+    def robot_resample(subset, fold_idx):
         idxs = [int(s["name_idx"]) for s in subset]
         fold_names = [loader_ctx["names"][i] for i in idxs]
+        seed = exp.train.seed * 1000 + fold_idx  # per-fold substitution draws
 
         def resample(epoch):
             fresh = loader_ctx["assembler"].epoch_materialize(
-                fold_names, loader_ctx["table"], epoch)
+                fold_names, loader_ctx["table"], epoch, seed=seed)
             for s, i in zip(fresh, idxs):
                 s["name_idx"] = np.asarray(i, np.int32)
             return fresh
 
         return resample
 
-    def make_loaders(train, valid):
-        resample = robot_resample(train) if loader_ctx is not None else None
-        return (Batcher(train, exp.train.batch_size, duplicate=duplicate, seed=1,
-                        resample=resample),
-                Batcher(valid, exp.train.batch_size, duplicate=duplicate,
-                        shuffle=False))
+    def _flatten(units):
+        return [s for u in units for s in (u if isinstance(u, list) else [u])]
 
-    best_member_params = None
+    fold_counter = {"i": 0}
+
+    def make_loaders(train, valid):
+        resample = None
+        if loader_ctx is not None:
+            resample = robot_resample(train, fold_counter["i"])
+            fold_counter["i"] += 1
+        return (Batcher(_flatten(train), exp.train.batch_size,
+                        duplicate=duplicate, seed=1, resample=resample),
+                Batcher(_flatten(valid), exp.train.batch_size,
+                        duplicate=duplicate, shuffle=False))
+
+    best_member_params = best_member_losses = None
+    # nested units (e.g. mosei pairs -> 1-2 crop samples) must be carved at
+    # the UNIT level (the reference's 4096-pair folds) and flattened per fold;
+    # per-fold sample counts then differ, which the vmapped driver's aligned
+    # step counts cannot represent -> sequential driver for that case
+    nested_units = bool(train_samples) and isinstance(train_samples[0], list)
+    if nested_units and vmap_folds:
+        _log(f"[{config_name}] pair-level folds require the sequential "
+             "k-fold driver; disabling vmap_folds", quiet)
+        vmap_folds = False
     if vmap_folds and exp.train.n_folds > 1:
         # all folds train in one vmapped step (measured ~4-5x wall-clock on
         # v5e vs sequential; semantics preserved — see train/vmap_kfold.py)
         from .train.vmap_kfold import run_kfold_vmapped
 
-        states, hists, best_member_params = run_kfold_vmapped(
+        states, hists, best_member_params, best_member_losses = run_kfold_vmapped(
             train_samples, make_loaders, model, exp.train, store=store,
             name_prefix=config_name, epochs=epochs, impl=impl, log_cb=log_cb,
             fold_size=exp.train.fold_size)
@@ -239,8 +260,7 @@ def run_experiment(
             member_losses = [store.manifest[n]["valid_loss"] for n in names]
         elif best_member_params is not None:
             members = best_member_params
-            member_losses = [min(h.valid_loss for h in hist)
-                             for _, hist in results]
+            member_losses = best_member_losses
         else:
             # sequential path without a store: final params (note: the
             # reference always reloads BEST checkpoints — pass checkpoint_dir

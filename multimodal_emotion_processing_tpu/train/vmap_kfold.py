@@ -57,7 +57,9 @@ def run_kfold_vmapped(
     log_cb=None,
 ):
     """Drop-in alternative to kfold.run_kfold with the same fold carving and
-    checkpoint contract; returns (stacked final TrainState, histories[k])."""
+    checkpoint contract; returns (stacked final TrainState, histories[k],
+    best_params[k], best_losses[k]) — best_* captured at each fold's own
+    save/stop time."""
     k = tcfg.n_folds
     samples = list(samples)
     rng = random.Random(shuffle_seed)
@@ -120,8 +122,11 @@ def run_kfold_vmapped(
     histories: List[List[EpochStats]] = [[] for _ in range(k)]
     # best params per fold (host copies): an early-stopped fold keeps riding
     # the vmap, so its FINAL params are meaningless — only its best matter
-    # (the reference likewise only ever reloads best checkpoints)
+    # (the reference likewise only ever reloads best checkpoints).  The
+    # matching best_losses are captured at save time (per-epoch stats keep
+    # accumulating for stopped folds and must not be used for ranking).
     best_params: List = [None] * k
+    best_losses: List[float] = [float("inf")] * k
 
     loaders = [make_loaders(t, v) for t, v in splits]
     n_epochs = tcfg.epochs if epochs is None else epochs
@@ -153,6 +158,7 @@ def run_kfold_vmapped(
                 save, stop = stoppers[i].step(float(va[i]))
                 if save:
                     best_params[i] = _slice_fold(jax.device_get(states.params), i)
+                    best_losses[i] = float(va[i])
                     if store is not None:
                         fold_state = TrainState(
                             best_params[i],
@@ -163,11 +169,18 @@ def run_kfold_vmapped(
                                         epoch, float(va[i]))
                 if stop:
                     stopped[i] = True
+                    if best_params[i] is None:
+                        # save guard never passed: capture stop-time params
+                        # (NOT end-of-loop — the fold keeps riding the vmap)
+                        best_params[i] = _slice_fold(
+                            jax.device_get(states.params), i)
+                        best_losses[i] = float(va[i])
         states = set_lrs(states, lrs)
         if all(stopped):
             break
-    # folds whose valid loss never passed the save guard fall back to finals
+    # folds that exhausted the epoch budget without saving fall back to finals
     for i in range(k):
         if best_params[i] is None:
             best_params[i] = _slice_fold(jax.device_get(states.params), i)
-    return states, histories, best_params
+            best_losses[i] = histories[i][-1].valid_loss if histories[i] else float("inf")
+    return states, histories, best_params, best_losses

@@ -38,7 +38,7 @@ def test_vmapped_matches_sequential(tmp_path):
     seq = run_kfold(samples, _loaders(exp), model, exp.train, epochs=3,
                     shuffle_seed=0)
     store = CheckpointStore(str(tmp_path))
-    _, vhist, vbest = run_kfold_vmapped(samples, _loaders(exp), model, exp.train,
+    _, vhist, vbest, vlosses = run_kfold_vmapped(samples, _loaders(exp), model, exp.train,
                                  epochs=3, shuffle_seed=0, store=store,
                                  name_prefix="vm")
     for i, (_, shist) in enumerate(seq):
@@ -64,7 +64,7 @@ def test_vmapped_early_stop_per_fold():
         exp, train=dataclasses.replace(exp.train, early_stop=1, epochs=999))
     model = build_model(exp)
     samples = synthetic_dataset("rencecps", exp.model, n=32, seed=1)
-    _, hist, _best = run_kfold_vmapped(samples, _loaders(exp), model, exp.train,
+    _, hist, _best, _bl = run_kfold_vmapped(samples, _loaders(exp), model, exp.train,
                                 epochs=50, shuffle_seed=0)
     # early stop must terminate the loop well before 50 epochs
     assert all(len(h) < 50 for h in hist)
@@ -74,9 +74,13 @@ def test_vmapped_returns_best_params_without_store():
     exp = _exp()
     model = build_model(exp)
     samples = synthetic_dataset("rencecps", exp.model, n=32, seed=2)
-    _, hists, best = run_kfold_vmapped(samples, _loaders(exp), model, exp.train,
-                                       epochs=3, shuffle_seed=0)
-    assert len(best) == 2
+    _, hists, best, losses = run_kfold_vmapped(samples, _loaders(exp), model,
+                                               exp.train, epochs=3,
+                                               shuffle_seed=0)
+    assert len(best) == 2 == len(losses)
+    for hist, bl in zip(hists, losses):
+        # best loss captured at save time == the fold's min valid loss
+        assert bl == min(h.valid_loss for h in hist)
     for p in best:
         assert p is not None
         assert all(np.isfinite(np.asarray(x)).all()
