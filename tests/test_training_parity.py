@@ -75,3 +75,59 @@ def test_adamw_training_trajectory_matches_torch():
     np.testing.assert_allclose(our_losses, torch_losses, rtol=2e-4, atol=2e-4)
     # and the loss actually moved (the comparison is not vacuous)
     assert abs(torch_losses[-1] - torch_losses[0]) > 1e-3
+
+
+def test_concat_trans_training_trajectory_matches_torch():
+    """Flagship (grid) model: same imported weights, same batches — our step
+    tracks the torch loop through attention, grid, transition head, AdamW."""
+    import torch_reference as tref
+
+    exp = configs.get("mosei_trans")
+    m = dataclasses.replace(exp.model, l_len=4, v_len=5, a_len=6, dim=12,
+                            n_heads=2, l_dim=7, v_dim=3, a_dim=5)
+    exp = dataclasses.replace(exp, model=m)
+    torch.manual_seed(1)
+    oracle = tref.ConcatTrans(m, top_norm="norm1", block_norm="norm1")
+    params0 = from_reference_state_dict(oracle.state_dict(), m)
+    model = build_model(exp)
+
+    rng = np.random.default_rng(1)
+    b, n_steps = 8, 4
+    batches = []
+    for _ in range(n_steps):
+        batches.append({
+            "l": rng.standard_normal((b, 2, m.l_len, m.l_dim)).astype(np.float32),
+            "v": rng.standard_normal((b, 2, m.v_len, m.v_dim)).astype(np.float32),
+            "a": rng.standard_normal((b, 2, m.a_len, m.a_dim)).astype(np.float32),
+            "l_mask": np.ones((b, 2, m.l_len), np.float32),
+            "v_mask": np.ones((b, 2, m.v_len), np.float32),
+            "a_mask": np.ones((b, 2, m.a_len), np.float32),
+            "label": (rng.random((b, 7)) > 0.6).astype(np.int32),
+        })
+
+    opt = torch.optim.AdamW(oracle.parameters(), lr=1e-3)
+    torch_losses = []
+    for bt in batches:
+        opt.zero_grad()
+        logits = oracle(*(torch.tensor(bt[k]) for k in
+                          ("l", "v", "a", "l_mask", "v_mask", "a_mask")))
+        loss = torch_zlpr(logits, torch.tensor(bt["label"])).mean()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(oracle.parameters(), 1.0)
+        opt.step()
+        torch_losses.append(float(loss))
+
+    from jax.flatten_util import ravel_pytree
+
+    tx, step = eng.make_train_step(model, exp.train, donate=False)
+    state = eng.init_state(model, tx, seed=0)
+    state = dataclasses.replace(
+        state, params=jax.tree.map(lambda x: np.asarray(x), params0),
+        opt_state=tx.init(ravel_pytree(params0)[0]))
+    our_losses = []
+    for bt in batches:
+        state, loss = step(state, bt)
+        our_losses.append(float(loss))
+
+    np.testing.assert_allclose(our_losses, torch_losses, rtol=5e-4, atol=5e-4)
+    assert abs(torch_losses[-1] - torch_losses[0]) > 1e-3
