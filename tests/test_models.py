@@ -170,3 +170,24 @@ def test_bilinear_transition_matches_reference_loop_and_torch():
         rows.append(torch.matmul(th[i], temp))
     t_ref = torch.stack(rows).numpy()
     np.testing.assert_allclose(ours, t_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_merged_fast_path_matches_unrolled():
+    """The merged-stream grid fast path (one QK per target, segment softmax,
+    stacked epilogues) is exactly the unrolled 9-stream math."""
+    import multimodal_emotion_processing_tpu.models.grid as gridmod
+
+    for name in ("mosei_trans", "ren_mme"):
+        exp = tiny(name)
+        model = build_model(exp)
+        params = model.init(jax.random.PRNGKey(0))
+        batch = make_pair_batch(exp.model, b=3, rng=np.random.default_rng(11))
+        try:
+            gridmod.MERGED_FAST_PATH = True
+            fast = np.asarray(model.apply(params, batch))
+            gridmod.MERGED_FAST_PATH = False
+            slow = np.asarray(model.apply(params, batch))
+        finally:
+            gridmod.MERGED_FAST_PATH = True
+        np.testing.assert_allclose(fast, slow, rtol=2e-5, atol=2e-5,
+                                   err_msg=name)
