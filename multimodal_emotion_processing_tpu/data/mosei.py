@@ -150,8 +150,8 @@ class PairSampleAssembler:
         (torch.mean(pred, 0) with the label taken once —
         cmu-mosei/run.py:462,477-480), so evaluation must group crops."""
         samples = []
-        for gid, pair in enumerate(pairs):
-            for s in self.samples_for_pair(pair):
+        for gid, unit in enumerate(self.materialize_units(pairs)):
+            for s in unit:
                 s["group"] = np.asarray(gid, np.int32)
                 samples.append(s)
         return samples

@@ -95,7 +95,10 @@ def init_grid_head(key, cfg, collect: str, out: str):
     raise ValueError(out)
 
 
-# toggle for the merged-stream fast path (tests compare both paths)
+# Toggle for the merged-stream fast path (tests compare both paths).
+# NOTE: read at TRACE time — flipping it does not invalidate already-jitted
+# callers (jax caches compiled programs); toggle before the first call, or
+# call model.apply unjitted, when cross-checking paths.
 MERGED_FAST_PATH = True
 
 
@@ -161,10 +164,9 @@ def _apply_grid_minus_merged(p, cfg, src, masks, *, rng, train):
             [jnp.broadcast_to(q, (3,) + q.shape), x], axis=-1)
         y = jnp.einsum("sbqd,sde->sbqe", cat, minus_w,
                        preferred_element_type=acc).astype(q.dtype)
-        mean = jnp.mean(y, axis=-1, keepdims=True)
-        var = jnp.var(y, axis=-1, keepdims=True)
-        y = ((y - mean) * jax.lax.rsqrt(var + 1e-5)
-             * ln_scale[:, None, None, :] + ln_bias[:, None, None, :])
+        y = init.apply_layer_norm(
+            {"scale": ln_scale[:, None, None, :],
+             "bias": ln_bias[:, None, None, :]}, y)
         y = layers.dropout(rngs[2 * ti + 1], y, cfg.dropout, train)
         for si in range(3):
             collected[qm].append(y[si])

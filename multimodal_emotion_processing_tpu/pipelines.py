@@ -178,8 +178,11 @@ def run_experiment(
         if data_root is None:
             raise ValueError("data_root required when synthetic_data=False")
         train_samples, test_samples, loader_ctx = load_real_data(exp, data_root)
-    _log(f"[{config_name}] {len(train_samples)} train / {len(test_samples)} test "
-         f"samples; devices={jax.devices()}", quiet)
+    def _count(units):
+        return sum(len(u) if isinstance(u, list) else 1 for u in units)
+
+    _log(f"[{config_name}] {_count(train_samples)} train / "
+         f"{_count(test_samples)} test samples; devices={jax.devices()}", quiet)
 
     store = CheckpointStore(checkpoint_dir) if checkpoint_dir else None
     loggers: Dict[str, RunLogger] = {}
