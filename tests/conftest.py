@@ -17,3 +17,7 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the suite is compile-dominated on this 1-core
+# host; repeat runs skip most XLA compilation
+jax.config.update("jax_compilation_cache_dir", "/tmp/mep_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
