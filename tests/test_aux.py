@@ -76,3 +76,18 @@ def test_prefetch_to_device_preserves_order():
     assert len(got) == 5
     for i, b in enumerate(got):
         np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
+
+
+def test_profile_trace_noop_and_nan_toggle():
+    from multimodal_emotion_processing_tpu.utils.logging import (
+        profile_trace, enable_nan_debugging)
+
+    with profile_trace(None):  # no-op path
+        x = np.ones(3).sum()
+    assert x == 3.0
+    enable_nan_debugging(True)
+    try:
+        with np.testing.assert_raises(Exception):
+            jax.jit(lambda x: x / 0.0 * 0.0)(jax.numpy.ones(()))  # nan -> raise
+    finally:
+        enable_nan_debugging(False)
