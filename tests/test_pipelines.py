@@ -61,3 +61,16 @@ def test_cli_configs(capsys):
     for name in ("mosei_trans", "mosei_realformer", "rencecps", "ren_mme",
                  "robot_demo"):
         assert name in out
+
+
+def test_cli_parse_overrides():
+    from multimodal_emotion_processing_tpu.cli import parse_overrides
+
+    ov = parse_overrides(["train.batch_size=32", "model.n_layers=2",
+                          "train.compute_dtype=bfloat16"])
+    assert ov["train"]["batch_size"] == 32
+    assert ov["model"]["n_layers"] == 2
+    assert ov["train"]["compute_dtype"] == "bfloat16"  # non-JSON -> string
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        parse_overrides(["batch_size=32"])  # missing section
