@@ -35,7 +35,9 @@ def make_batch(m, b, seed=0):
     }
 
 
-def measure_jax(exp, batch, *, steps=20, warmup=3, impl="xla"):
+def measure_jax(exp, batch, *, steps=30, warmup=3, reps=3, impl="xla"):
+    """Best-of-`reps` measurement windows (the chip is shared through a
+    network relay on this image; contention makes single windows noisy)."""
     import jax
 
     from multimodal_emotion_processing_tpu.models import build_model
@@ -50,20 +52,24 @@ def measure_jax(exp, batch, *, steps=20, warmup=3, impl="xla"):
     for _ in range(warmup):
         state, loss = train_step(state, dev_batch)
     jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, loss = train_step(state, dev_batch)
-    jax.block_until_ready(loss)
-    train_sps = bsz * steps / (time.perf_counter() - t0)
+    train_sps = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, loss = train_step(state, dev_batch)
+        jax.block_until_ready(loss)
+        train_sps = max(train_sps, bsz * steps / (time.perf_counter() - t0))
 
     predict = eng.make_predict_step(model, impl=impl)
     out = predict(state.params, dev_batch)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = predict(state.params, dev_batch)
-    jax.block_until_ready(out)
-    infer_sps = bsz * steps / (time.perf_counter() - t0)
+    infer_sps = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = predict(state.params, dev_batch)
+        jax.block_until_ready(out)
+        infer_sps = max(infer_sps, bsz * steps / (time.perf_counter() - t0))
     return train_sps, infer_sps
 
 
