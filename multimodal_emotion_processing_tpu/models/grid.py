@@ -95,11 +95,16 @@ def init_grid_head(key, cfg, collect: str, out: str):
     raise ValueError(out)
 
 
-# Toggle for the merged-stream fast path (tests compare both paths).
-# NOTE: read at TRACE time — flipping it does not invalidate already-jitted
+# Toggles for the merged/stacked stream fast paths (tests compare paths).
+# NOTE: read at TRACE time — flipping them does not invalidate already-jitted
 # callers (jax caches compiled programs); toggle before the first call, or
 # call model.apply unjitted, when cross-checking paths.
 MERGED_FAST_PATH = True
+# realformer stream stacking measured ~8% SLOWER on v5e at the reference
+# shapes (1.24 vs 1.14 ms/step: per-step weight restacking + 5-D einsum
+# overhead outweighs the batching win), so it is opt-in; kept because the
+# balance flips at larger dims
+REALFORMER_STACKED = False
 
 
 def _apply_grid_minus_merged(p, cfg, src, masks, *, rng, train):
@@ -173,6 +178,111 @@ def _apply_grid_minus_merged(p, cfg, src, masks, *, rng, train):
     return collected
 
 
+def _apply_grid_realformer_stacked(p, cfg, src, masks, *, rng, train, collect):
+    """Fast path for block='realformer' when all three sequence lengths are
+    EQUAL (the mosei_realformer config: 50/50/50): for each target modality
+    the three directed streams stack on a leading axis — per-stream Q/K/V
+    projections, attention, gates, LayerNorms and FFNs all run as batched
+    einsums, turning 9 unrolled chains into 3 stacked ones.  Exact same math
+    as the unrolled path (tested); score chaining (c·S_prev across n_layers)
+    is carried with the stream axis."""
+    from ..ops.attention import MASK_PENALTY
+
+    h = cfg.n_heads
+    d = cfg.dim
+    dh = d // h
+    inv_sqrt = 1.0 / np.sqrt(dh)
+    acc = jnp.promote_types(src["l"].dtype, jnp.float32)
+    kv_all = jnp.stack([src["l"], src["v"], src["a"]])       # (3,B,L,D)
+    mask_all = jnp.stack([masks[m] for m in ("l", "v", "a")])
+    seg_of = {"l": 0, "v": 1, "a": 2}
+
+    n_rngs = 3 * cfg.n_layers * 2
+    rngs = (list(jax.random.split(rng, n_rngs)) if rng is not None
+            else [None] * n_rngs)
+    ridx = 0
+    collected = {"l": [], "v": [], "a": []}
+
+    def heads(x):  # (3,B,L,D) -> (3,B,H,L,dh)
+        s, b, L, _ = x.shape
+        return x.reshape(s, b, L, h, dh).transpose(0, 1, 3, 2, 4)
+
+    def ln(p_scale, p_bias, x):
+        return init.apply_layer_norm(
+            {"scale": p_scale[:, None, None, :],
+             "bias": p_bias[:, None, None, :]}, x)
+
+    for qm in ("l", "v", "a"):
+        stream_names = [n for (n, q_, _) in STREAMS if q_ == qm]
+        kv_of = {n: kv for (n, q_, kv) in STREAMS if q_ == qm}
+        seg = np.asarray([seg_of[kv_of[n]] for n in stream_names])
+        K_src = kv_all[seg]                                   # (3,B,L,D)
+        M = mask_all[seg]                                     # (3,B,L)
+        qcur = jnp.broadcast_to(src[qm], (3,) + src[qm].shape)
+        scores = None
+        per_stream = [[] for _ in range(3)]  # reference order: stream-major
+        for i in range(cfg.n_layers):
+            blocks = [p["blocks"][n][i] for n in stream_names]
+
+            def stk(*path):
+                def get(b):
+                    x = b
+                    for k in path:
+                        x = x[k]
+                    return x
+                return jnp.stack([get(b) for b in blocks])
+
+            qp = jnp.einsum("sbqd,sde->sbqe", qcur, stk("wq", "w"),
+                            preferred_element_type=acc).astype(qcur.dtype)
+            kp = jnp.einsum("sbkd,sde->sbke", K_src, stk("wk", "w"),
+                            preferred_element_type=acc).astype(qcur.dtype)
+            vp = jnp.einsum("sbkd,sde->sbke", K_src, stk("wv", "w"),
+                            preferred_element_type=acc).astype(qcur.dtype)
+            s = jnp.einsum("sbhqd,sbhkd->sbhqk", heads(qp), heads(kp),
+                           preferred_element_type=acc) * inv_sqrt
+            c = stk("c").reshape(3, 1, 1, 1, 1)
+            if scores is not None:
+                s = s + c * scores
+            s = s - MASK_PENALTY * (1.0 - M[:, :, None, None, :])
+            scores = s
+            att = jax.nn.softmax(s, axis=-1)
+            ctx = jnp.einsum("sbhqk,sbhkd->sbhqd", att, heads(vp),
+                             preferred_element_type=acc)
+            sb, b_, _, L, _ = ctx.shape
+            ctx = ctx.transpose(0, 1, 3, 2, 4).reshape(sb, b_, L, d)
+            x = jnp.einsum("sbqd,sde->sbqe", ctx.astype(qcur.dtype),
+                           stk("proj", "w"),
+                           preferred_element_type=acc).astype(qcur.dtype)
+            x = layers.dropout(rngs[ridx], x, cfg.dropout, train)
+            a_g = stk("a").reshape(3, 1, 1, 1)
+            qcur = ln(stk("norm1", "scale"), stk("norm1", "bias"),
+                      qcur + a_g * x)
+            hmid = jax.nn.relu(
+                jnp.einsum("sbqd,sde->sbqe", qcur, stk("ffn1", "w"),
+                           preferred_element_type=acc).astype(qcur.dtype)
+                + stk("ffn1", "b")[:, None, None, :])
+            ffn = (jnp.einsum("sbqd,sde->sbqe", hmid, stk("ffn2", "w"),
+                              preferred_element_type=acc).astype(qcur.dtype)
+                   + stk("ffn2", "b")[:, None, None, :])
+            ffn = layers.dropout(rngs[ridx + 1], ffn, cfg.dropout, train)
+            ridx += 2
+            b_g = stk("b").reshape(3, 1, 1, 1)
+            qcur = ln(stk("norm2", "scale"), stk("norm2", "bias"),
+                      qcur + b_g * ffn)
+            if collect == "per_layer":
+                for si in range(3):
+                    per_stream[si].append(qcur[si])
+        if collect == "final":
+            for si in range(3):
+                collected[qm].append(qcur[si])
+        else:
+            # reference appends ALL of a stream's layers before the next
+            # stream (l_list = [ll_1..ll_n, lv_1..lv_n, la_1..la_n])
+            for si in range(3):
+                collected[qm].extend(per_stream[si])
+    return collected
+
+
 def apply_grid(
     p, cfg, l, v, a, l_mask, v_mask, a_mask, *,
     rng=None, train: bool = False, impl: str = "xla",
@@ -200,15 +310,20 @@ def apply_grid(
 
     src = {"l": l, "v": v, "a": a}
     masks = {"l": l_mask, "v": v_mask, "a": a_mask}
-    if (MERGED_FAST_PATH and cfg.block == "minus" and cfg.n_layers == 1
-            and impl == "xla"):
-        # merged-stream fast path (exact same math, see docstring below);
-        # per-layer vs final collect coincide at one layer
-        collected = _apply_grid_minus_merged(p, cfg, src, masks,
-                                             rng=rngs[1], train=train)
-        lc = jnp.concatenate(collected["l"], axis=2)
-        vc = jnp.concatenate(collected["v"], axis=2)
-        ac = jnp.concatenate(collected["a"], axis=2)
+    fast = None
+    if MERGED_FAST_PATH and impl == "xla":
+        if cfg.block == "minus" and cfg.n_layers == 1:
+            # per-layer vs final collect coincide at one layer
+            fast = _apply_grid_minus_merged(p, cfg, src, masks,
+                                            rng=rngs[1], train=train)
+        elif (REALFORMER_STACKED and cfg.block == "realformer"
+              and l.shape[1] == v.shape[1] == a.shape[1]):
+            fast = _apply_grid_realformer_stacked(
+                p, cfg, src, masks, rng=rngs[1], train=train, collect=collect)
+    if fast is not None:
+        lc = jnp.concatenate(fast["l"], axis=2)
+        vc = jnp.concatenate(fast["v"], axis=2)
+        ac = jnp.concatenate(fast["a"], axis=2)
         return mean_max_pool(jnp.concatenate([lc, ac, vc], axis=1))
     collected = {"l": [], "v": [], "a": []}
     ridx = 2

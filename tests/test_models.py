@@ -191,3 +191,32 @@ def test_merged_fast_path_matches_unrolled():
             gridmod.MERGED_FAST_PATH = True
         np.testing.assert_allclose(fast, slow, rtol=2e-5, atol=2e-5,
                                    err_msg=name)
+
+
+def test_realformer_stacked_fast_path_matches_unrolled():
+    """Equal-length realformer grids: stacked streams == unrolled chains,
+    including the c-gated score chaining across layers."""
+    import dataclasses
+    import multimodal_emotion_processing_tpu.models.grid as gridmod
+
+    exp = configs.get("mosei_realformer")
+    m = dataclasses.replace(exp.model, l_len=6, v_len=6, a_len=6, dim=12,
+                            n_heads=2, l_dim=10, v_dim=7, a_dim=5, p_len=2,
+                            n_layers=2, ffn=2)
+    model = build_model(dataclasses.replace(exp, model=m))
+    params = model.init(jax.random.PRNGKey(3))
+    # nonzero gates so the a/b/c residual paths are actually exercised
+    for name in gridmod.TARGET:
+        for blk in params["feature"]["blocks"][name]:
+            blk["a"] = jnp.asarray([0.3])
+            blk["b"] = jnp.asarray([0.2])
+            blk["c"] = jnp.asarray([0.4])
+    batch = make_pair_batch(m, b=2, p=m.p_len, rng=np.random.default_rng(13))
+    try:
+        gridmod.REALFORMER_STACKED = True
+        fast = np.asarray(model.apply(params, batch))
+        gridmod.REALFORMER_STACKED = False
+        slow = np.asarray(model.apply(params, batch))
+    finally:
+        gridmod.REALFORMER_STACKED = False
+    np.testing.assert_allclose(fast, slow, rtol=3e-5, atol=3e-5)
