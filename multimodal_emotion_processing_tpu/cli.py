@@ -80,6 +80,10 @@ def parse_overrides(pairs):
 def cmd_train(args, eval_only=False):
     from .pipelines import run_experiment
 
+    if eval_only and not args.checkpoint_dir:
+        raise SystemExit(
+            "eval requires --checkpoint-dir (otherwise there are no trained "
+            "members to ensemble — run `train` first)")
     result = run_experiment(
         args.config,
         synthetic_data=args.data_root is None,

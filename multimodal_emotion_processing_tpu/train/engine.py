@@ -188,7 +188,11 @@ class Trainer:
     def __init__(self, model, tcfg, *, impl: str = "xla",
                  checkpoint_cb: Optional[Callable] = None,
                  log_cb: Optional[Callable] = None,
-                 prefetch: int = 2):
+                 prefetch: int = 2,
+                 profile_dir: Optional[str] = None):
+        """`profile_dir`: capture a jax.profiler trace of epoch 1 (steady
+        state, post-compile) into this directory — view with Perfetto or the
+        TensorBoard profile plugin."""
         self.model = model
         self.tcfg = tcfg
         self.tx, self.train_step = make_train_step(model, tcfg, impl=impl)
@@ -196,6 +200,7 @@ class Trainer:
         self.checkpoint_cb = checkpoint_cb
         self.log_cb = log_cb
         self.prefetch = prefetch
+        self.profile_dir = profile_dir
 
     def _iter(self, loader):
         if self.prefetch:
@@ -216,6 +221,10 @@ class Trainer:
         history = []
         n_epochs = tcfg.epochs if epochs is None else epochs
         for epoch in range(n_epochs):
+            from ..utils.logging import profile_trace
+
+            trace = profile_trace(self.profile_dir if epoch == 1 else None)
+            trace.__enter__()
             t0 = time.perf_counter()
             # losses stay on-device until epoch end — fetching per step would
             # serialize host and chip and defeat the prefetch pipeline
@@ -230,6 +239,7 @@ class Trainer:
                          for batch in self._iter(valid_loader)]
             va_steps = len(va_losses)
             va_loss = float(np.sum(jax.device_get(va_losses))) if va_losses else 0.0
+            trace.__exit__(None, None, None)
             stats = EpochStats(
                 train_loss=tr_loss / max(n_steps, 1),
                 valid_loss=va_loss / max(va_steps, 1),

@@ -91,3 +91,31 @@ def test_profile_trace_noop_and_nan_toggle():
             jax.jit(lambda x: x / 0.0 * 0.0)(jax.numpy.ones(()))  # nan -> raise
     finally:
         enable_nan_debugging(False)
+
+
+def test_trainer_profile_dir(tmp_path):
+    import dataclasses
+    from multimodal_emotion_processing_tpu import configs
+    from multimodal_emotion_processing_tpu.models import build_model
+    from multimodal_emotion_processing_tpu.train import Trainer
+    from multimodal_emotion_processing_tpu.data.loader import Batcher
+    from multimodal_emotion_processing_tpu.data.synthetic import synthetic_dataset
+
+    exp = configs.get("rencecps")
+    exp = dataclasses.replace(
+        exp, model=dataclasses.replace(exp.model, dim=16),
+        train=dataclasses.replace(exp.train, batch_size=8))
+    model = build_model(exp)
+    samples = synthetic_dataset("rencecps", exp.model, 16, seed=0)
+    loader = Batcher(samples, 8, shuffle=False)
+    tr = Trainer(model, exp.train, profile_dir=str(tmp_path / "prof"))
+    tr.fit(loader, loader, epochs=2)
+    # epoch 1 wrote a trace
+    assert any((tmp_path / "prof").rglob("*")), "no profiler output written"
+
+
+def test_process_batch_slice():
+    from multimodal_emotion_processing_tpu.parallel.mesh import process_batch_slice
+
+    sl = process_batch_slice(64)  # single-process: full batch
+    assert sl == slice(0, 64)
