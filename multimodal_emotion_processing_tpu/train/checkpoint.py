@@ -32,8 +32,13 @@ class CheckpointStore:
         <root>/<name>/full/     (orbax pytree: full TrainState dict)
     """
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, *, use_async: bool = False):
+        """use_async=True saves through ocp.AsyncCheckpointer: the device→host
+        copy happens inline but serialization overlaps with training (the
+        standard TPU-pod practice); `wait()` or the next save joins it."""
         self.root = root
+        self.use_async = use_async
+        self._async = None
         os.makedirs(root, exist_ok=True)
         self._manifest_path = os.path.join(root, "manifest.json")
         self.manifest: Dict[str, Dict] = {}
@@ -53,9 +58,21 @@ class CheckpointStore:
 
         if os.path.exists(path):
             shutil.rmtree(path)
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, tree)
-        ckptr.wait_until_finished()
+        if self.use_async:
+            if self._async is None:
+                self._async = ocp.AsyncCheckpointer(
+                    ocp.StandardCheckpointHandler())
+            self._async.wait_until_finished()  # join any in-flight save
+            self._async.save(path, args=ocp.args.StandardSave(tree))
+        else:
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(path, tree)
+            ckptr.wait_until_finished()
+
+    def wait(self) -> None:
+        """Block until any in-flight async save has landed."""
+        if self._async is not None:
+            self._async.wait_until_finished()
 
     def save_best(self, name: str, state, epoch: int, valid_loss: float) -> None:
         self._save_tree(self._dir(name, "params"), _tree_to_numpy(state.params))

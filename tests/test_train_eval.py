@@ -260,3 +260,29 @@ def test_fused_optimizer_matches_per_leaf():
             ls.append(float(loss))
         losses[fused] = ls
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5, atol=1e-6)
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    exp = tiny_exp("rencecps")
+    model = build_model(exp)
+    tx, step = eng.make_train_step(model, exp.train, donate=False)
+    state = eng.init_state(model, tx, seed=7)
+    store = CheckpointStore(str(tmp_path), use_async=True)
+    store.save_best("m", state, epoch=0, valid_loss=2.0)
+    store.save_best("m2", state, epoch=1, valid_loss=1.5)  # joins first save
+    store.wait()
+    p = store.restore_params("m2", model.init(jax.random.PRNGKey(0)))
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(p)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_batcher_deterministic_order():
+    """Deterministic-data-order check (SURVEY §5 race-detection analogue):
+    same seed -> identical batch stream; different seed -> different order."""
+    samples = [{"x": np.full((2,), i, np.float32)} for i in range(32)]
+    a = [b["x"][:, 0].tolist() for b in Batcher(samples, 8, seed=3)()]
+    b = [b["x"][:, 0].tolist() for b in Batcher(samples, 8, seed=3)()]
+    c = [b["x"][:, 0].tolist() for b in Batcher(samples, 8, seed=4)()]
+    assert a == b
+    assert a != c
