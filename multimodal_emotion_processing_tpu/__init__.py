@@ -23,3 +23,17 @@ scripts) as one framework:
 __version__ = "0.1.0"
 
 from . import configs  # noqa: F401
+
+
+def get_config(name: str):
+    """Shorthand for configs.get(name)."""
+    return configs.get(name)
+
+
+def build(name_or_config):
+    """Build a model from a config name or ExperimentConfig."""
+    from .models import build_model
+
+    cfg = (configs.get(name_or_config) if isinstance(name_or_config, str)
+           else name_or_config)
+    return build_model(cfg)
