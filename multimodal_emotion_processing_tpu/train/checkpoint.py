@@ -56,18 +56,21 @@ class CheckpointStore:
     def _save_tree(self, path: str, tree) -> None:
         import orbax.checkpoint as ocp
 
-        if os.path.exists(path):
-            shutil.rmtree(path)
         if self.use_async:
             if self._async is None:
                 self._async = ocp.AsyncCheckpointer(
                     ocp.StandardCheckpointHandler())
-            self._async.wait_until_finished()  # join any in-flight save
+            # join any in-flight save BEFORE deleting its (possible) target
+            self._async.wait_until_finished()
+            if os.path.exists(path):
+                shutil.rmtree(path)
             self._async.save(path, args=ocp.args.StandardSave(tree))
-        else:
-            ckptr = ocp.StandardCheckpointer()
-            ckptr.save(path, tree)
-            ckptr.wait_until_finished()
+            return
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, tree)
+        ckptr.wait_until_finished()
 
     def wait(self) -> None:
         """Block until any in-flight async save has landed."""
@@ -88,6 +91,7 @@ class CheckpointStore:
     def restore_params(self, name: str, params_like) -> Any:
         import orbax.checkpoint as ocp
 
+        self.wait()  # read-after-write safety for async saves
         ckptr = ocp.StandardCheckpointer()
         return ckptr.restore(self.manifest[name]["params"],
                              _tree_to_numpy(params_like))
@@ -97,6 +101,7 @@ class CheckpointStore:
 
         from .engine import TrainState
 
+        self.wait()  # read-after-write safety for async saves
         ckptr = ocp.StandardCheckpointer()
         restored = ckptr.restore(self.manifest[name]["full"],
                                  _state_dict(state_like))

@@ -219,27 +219,30 @@ class Trainer:
         stopper = schedule.EarlyStop(patience=tcfg.early_stop,
                                      save_guard=tcfg.save_guard)
         history = []
-        n_epochs = tcfg.epochs if epochs is None else epochs
-        for epoch in range(n_epochs):
-            from ..utils.logging import profile_trace
+        from ..utils.logging import profile_trace
 
-            trace = profile_trace(self.profile_dir if epoch == 1 else None)
-            trace.__enter__()
-            t0 = time.perf_counter()
-            # losses stay on-device until epoch end — fetching per step would
-            # serialize host and chip and defeat the prefetch pipeline
-            losses, n_steps, n_samples = [], 0, 0
-            for batch in self._iter(train_loader):
-                state, loss = self.train_step(state, batch)
-                losses.append(loss)
-                n_steps += 1
-                n_samples += int(batch["label"].shape[0])
-            tr_loss = float(np.sum(jax.device_get(losses))) if losses else 0.0
-            va_losses = [self.eval_step(state.params, batch)
-                         for batch in self._iter(valid_loader)]
-            va_steps = len(va_losses)
-            va_loss = float(np.sum(jax.device_get(va_losses))) if va_losses else 0.0
-            trace.__exit__(None, None, None)
+        n_epochs = tcfg.epochs if epochs is None else epochs
+        # profile the first post-compile epoch; single-epoch runs profile
+        # epoch 0 (compile included) rather than silently producing nothing
+        profile_epoch = 1 if n_epochs > 1 else 0
+        for epoch in range(n_epochs):
+            with profile_trace(self.profile_dir
+                               if epoch == profile_epoch else None):
+                t0 = time.perf_counter()
+                # losses stay on-device until epoch end — fetching per step
+                # would serialize host and chip and defeat the prefetch pipeline
+                losses, n_steps, n_samples = [], 0, 0
+                for batch in self._iter(train_loader):
+                    state, loss = self.train_step(state, batch)
+                    losses.append(loss)
+                    n_steps += 1
+                    n_samples += int(batch["label"].shape[0])
+                tr_loss = float(np.sum(jax.device_get(losses))) if losses else 0.0
+                va_losses = [self.eval_step(state.params, batch)
+                             for batch in self._iter(valid_loader)]
+                va_steps = len(va_losses)
+                va_loss = (float(np.sum(jax.device_get(va_losses)))
+                           if va_losses else 0.0)
             stats = EpochStats(
                 train_loss=tr_loss / max(n_steps, 1),
                 valid_loss=va_loss / max(va_steps, 1),
