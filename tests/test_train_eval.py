@@ -286,3 +286,17 @@ def test_batcher_deterministic_order():
     c = [b["x"][:, 0].tolist() for b in Batcher(samples, 8, seed=4)()]
     assert a == b
     assert a != c
+
+
+def test_report_formatting_and_save(tmp_path):
+    import json
+    from multimodal_emotion_processing_tpu.eval.report import (
+        format_report, save_report)
+
+    rep = {"per_emotion": {"happ": {"acc": 0.9, "f1": 0.8}},
+           "micro_f1": 0.7, "macro_f1": 0.6}
+    text = format_report(rep, title="t")
+    assert "happ_acc: 0.9" in text and "micro_f1: 0.7" in text
+    path = str(tmp_path / "r.json")
+    save_report(rep, path)
+    assert json.load(open(path)) == rep
