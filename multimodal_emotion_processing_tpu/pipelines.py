@@ -62,13 +62,13 @@ def load_real_data(exp, data_root: str):
         from .data import mosei
         from .data.sources import CsdSource
 
+        from .data.mosei_folds import standard_test_fold
+
         l_src = CsdSource(os.path.join(data_root, "glove_vectors.csd"))
         v_src = CsdSource(os.path.join(data_root, "FACET 4.2.csd"))
         a_src = CsdSource(os.path.join(data_root, "COAVAREP.csd"))
+        test_fold = standard_test_fold(data_root)
         if name == "mosei_trans":
-            from mmsdk import mmdatasdk  # optional dependency, real data only
-
-            test_fold = set(mmdatasdk.cmu_mosei.standard_folds.standard_test_fold)
             train_pairs, test_pairs, labels = mosei.parse_labels(
                 os.path.join(data_root, "labels.txt"),
                 test_videos=test_fold)
@@ -78,9 +78,6 @@ def load_real_data(exp, data_root: str):
             return (asm.materialize_units(train_pairs),
                     asm.materialize(test_pairs), None)
         label_src = CsdSource(os.path.join(data_root, "All Labels.csd"))
-        from mmsdk import mmdatasdk
-
-        test_fold = set(mmdatasdk.cmu_mosei.standard_folds.standard_test_fold)
         videos = sorted({n.split("[")[0] for n in v_src.names()})
         train_v = [v for v in videos if v not in test_fold]
         test_v = [v for v in videos if v in test_fold]
@@ -96,7 +93,7 @@ def load_real_data(exp, data_root: str):
         txt = os.path.join(data_root, "1487_txt_hier_sents_202002")
         xml = os.path.join(data_root, "1487_xml_doc_segmented_utf8")
         feat = NpyDirSource(os.path.join(data_root, "ren_text_feat"))
-        asm = rencecps.RenCecpsAssembler(feat)
+        asm = rencecps.RenCecpsAssembler(feat, dim=m.l_dim)
         return (asm.materialize(rencecps.pair_list(rencecps.load_split(txt, xml, "train"))),
                 asm.materialize(rencecps.pair_list(rencecps.load_split(txt, xml, "test"))),
                 None)
