@@ -73,6 +73,59 @@ def measure_jax(exp, batch, *, steps=30, warmup=3, reps=5, impl="xla"):
     return train_sps, infer_sps
 
 
+def measure_jax_datafed(exp, *, n_samples=2048, epochs=3, impl="xla"):
+    """END-TO-END data-fed throughput: host batch assembly (Batcher) →
+    background-thread H2D prefetch → jitted train step.  This is the number
+    real-corpus training sees (SURVEY §7.3.5: the benchmark is won or lost in
+    host assembly, not the MXU).  Best-of-`epochs` passes over the samples."""
+    import jax
+
+    from multimodal_emotion_processing_tpu.data.loader import (
+        Batcher, prefetch_to_device)
+    from multimodal_emotion_processing_tpu.data.synthetic import synthetic_dataset
+    from multimodal_emotion_processing_tpu.models import build_model
+    from multimodal_emotion_processing_tpu.train import engine as eng
+
+    samples = synthetic_dataset(exp.name, exp.model, n_samples, 0)
+    batcher = Batcher(samples, exp.train.batch_size, shuffle=True, seed=0)
+    model = build_model(exp)
+    tx, train_step = eng.make_train_step(model, exp.train, impl=impl)
+    state = eng.init_state(model, tx, seed=0)
+
+    # one warmup epoch compiles both the padded-final and full-batch shapes
+    for batch in prefetch_to_device(iter(batcher())):
+        state, loss = train_step(state, batch)
+    jax.block_until_ready(loss)
+
+    best = 0.0
+    for _ in range(epochs):
+        t0 = time.perf_counter()
+        for batch in prefetch_to_device(iter(batcher())):
+            state, loss = train_step(state, batch)
+        jax.block_until_ready(loss)
+        best = max(best, len(samples) / (time.perf_counter() - t0))
+    return best
+
+
+def pallas_parity(exp, batch):
+    """Forward parity of the fused Pallas kernel vs the XLA einsum path on
+    THIS device — on TPU this is the compiled-kernel correctness check the
+    test suite (CPU interpret mode) cannot record."""
+    import jax
+    import numpy as np
+
+    from multimodal_emotion_processing_tpu.models import build_model
+    from multimodal_emotion_processing_tpu.train import engine as eng
+
+    model = build_model(exp)
+    params = model.init(jax.random.PRNGKey(0))
+    dev_batch = jax.device_put(batch)
+    out_xla = np.asarray(eng.make_predict_step(model, impl="xla")(params, dev_batch))
+    out_pal = np.asarray(eng.make_predict_step(model, impl="pallas")(params, dev_batch))
+    maxdiff = float(np.max(np.abs(out_xla - out_pal)))
+    return maxdiff, maxdiff / (float(np.max(np.abs(out_xla))) + 1e-9)
+
+
 def combined(train_sps, infer_sps, bsz):
     return bsz / (bsz / train_sps + bsz / infer_sps)
 
@@ -90,18 +143,48 @@ def main():
     log(f"devices: {jax.devices()}")
 
     jax_train, jax_infer = measure_jax(exp, batch)
-    log(f"jax: train {jax_train:.1f} samples/s, infer {jax_infer:.1f} samples/s")
+    log(f"jax[xla]: train {jax_train:.1f} samples/s, infer {jax_infer:.1f} samples/s")
+
+    datafed = measure_jax_datafed(exp)
+    log(f"jax[xla] data-fed (host assembly + prefetch + step): "
+        f"{datafed:.1f} samples/s")
+
+    # pallas runs LAST: on this image's relay-tunneled chip, executing a
+    # pallas program degrades subsequent fresh-H2D step throughput ~10x
+    # (measured 4324 -> 352 samples/s data-fed; device-resident loops are
+    # unaffected) — an axon/PJRT quirk, so order the benchmark around it
+    pal_train, pal_infer = measure_jax(exp, batch, impl="pallas")
+    parity, parity_rel = pallas_parity(exp, batch)
+    log(f"jax[pallas]: train {pal_train:.1f} samples/s, infer {pal_infer:.1f} "
+        f"samples/s, forward parity max|xla-pallas| = {parity:.2e} "
+        f"(relative {parity_rel:.2e})")
 
     torch_train, torch_infer = measure_torch_cpu(m, batch)
     log(f"torch-cpu: train {torch_train:.1f} samples/s, infer {torch_infer:.1f} samples/s")
 
-    ours = combined(jax_train, jax_infer, b)
+    ours_xla = combined(jax_train, jax_infer, b)
+    ours_pal = combined(pal_train, pal_infer, b)
+    # parity gate is relative to logit scale (both paths round differently
+    # through the MXU's bf16 passes; ~1e-3 absolute on O(10) logits is noise)
+    impl = "pallas" if ours_pal > ours_xla and parity_rel < 1e-2 else "xla"
+    ours = max(ours_xla, ours_pal) if impl == "pallas" else ours_xla
     base = combined(torch_train, torch_infer, b)
     print(json.dumps({
         "metric": "cmu-mosei flagship train+infer samples/sec/chip",
         "value": round(ours, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": round(ours / base, 2),
+        "diagnostics": {
+            "impl": impl,
+            "xla": {"train_sps": round(jax_train, 1), "infer_sps": round(jax_infer, 1)},
+            "pallas": {"train_sps": round(pal_train, 1),
+                       "infer_sps": round(pal_infer, 1),
+                       "forward_parity_maxdiff": parity,
+                       "forward_parity_relative": parity_rel},
+            "datafed_train_sps": round(datafed, 1),
+            "torch_cpu": {"train_sps": round(torch_train, 1),
+                          "infer_sps": round(torch_infer, 1)},
+        },
     }))
 
 

@@ -147,9 +147,16 @@ def main(argv=None):
     elif args.cmd == "serve":
         cmd_serve(args)
     elif args.cmd == "bench":
+        import os
         import runpy
 
-        runpy.run_path("bench.py", run_name="__main__")
+        # bench.py lives at the repo root next to the package — resolve it
+        # relative to this file so `bench` works from any cwd
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py")
+        if not os.path.exists(path):
+            raise SystemExit(f"bench script not found at {path}")
+        runpy.run_path(path, run_name="__main__")
 
 
 if __name__ == "__main__":
