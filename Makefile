@@ -1,4 +1,6 @@
-.PHONY: test bench entry dryrun
+.PHONY: test bench entry dryrun pallas-check
+pallas-check:
+	python -m multimodal_emotion_processing_tpu.bench.pallas_check
 test:
 	python -m pytest tests/ -q
 bench:

@@ -29,7 +29,7 @@ def build_parser():
         sp.add_argument("--n-test", type=int, default=64)
         sp.add_argument("--log-dir", default=None)
         sp.add_argument("--checkpoint-dir", default=None)
-        sp.add_argument("--impl", choices=["xla", "pallas"], default="xla")
+        sp.add_argument("--impl", choices=["xla", "pallas", "cp"], default="xla")
         sp.add_argument("--sweep-thresholds", action="store_true")
         sp.add_argument("--quiet", action="store_true")
         sp.add_argument("--set", action="append", default=[], metavar="K=V",
@@ -44,7 +44,7 @@ def build_parser():
     sv = sub.add_parser("serve", help="streaming single-sample inference demo")
     sv.add_argument("config", nargs="?", default="robot_demo")
     sv.add_argument("--checkpoint-dir", default=None)
-    sv.add_argument("--impl", choices=["xla", "pallas"], default="xla")
+    sv.add_argument("--impl", choices=["xla", "pallas", "cp"], default="xla")
 
     sub.add_parser("bench", help="train+infer throughput benchmark")
     sub.add_parser("configs", help="list configs")

@@ -57,7 +57,6 @@ def _broadcast_mask(mask: jnp.ndarray, n_heads: int) -> jnp.ndarray:
     raise ValueError(f"mask must be 2-D or 3-D, got shape {mask.shape}")
 
 
-@partial(jax.jit, static_argnames=("n_heads", "impl"))
 def scored_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -75,15 +74,28 @@ def scored_attention(
       q: (B, Lq, D); k, v: (B, Lkv, D); mask: None | (B, Lkv) | (B, Lq, Lkv);
       scores_prev: None | (B, H, Lq, Lkv) masked scores from the previous block
         in this stream; c: (1,) learned residual gate.
+      impl: 'xla' (einsum oracle/default) | 'pallas' (fused TPU kernel) |
+        'cp' (kv-sharded over the ambient `cp_context` mesh axis).
 
     Returns:
-      (context (B, Lq, D), scores (B, H, Lq, Lkv)) — scores are post-mask.
+      (context (B, Lq, D), scores (B, H, Lq, Lkv)) — scores are post-mask
+      (sharded over the kv axis under 'cp').
     """
     if impl == "pallas":
         from .pallas_attention import scored_attention_pallas
 
         return scored_attention_pallas(q, k, v, mask, scores_prev, c, n_heads=n_heads)
+    if impl == "cp":
+        from .context_parallel import current_cp, scored_attention_cp
 
+        mesh, axis = current_cp()
+        return scored_attention_cp(q, k, v, mask, scores_prev, c,
+                                   n_heads=n_heads, mesh=mesh, axis=axis)
+    return _scored_attention_xla(q, k, v, mask, scores_prev, c, n_heads=n_heads)
+
+
+@partial(jax.jit, static_argnames=("n_heads",))
+def _scored_attention_xla(q, k, v, mask, scores_prev, c, *, n_heads: int):
     qh = split_heads(q, n_heads)
     kh = split_heads(k, n_heads)
     vh = split_heads(v, n_heads)

@@ -20,14 +20,46 @@ alternative and is unnecessary at these shapes.
 
 from __future__ import annotations
 
+import contextlib
 import math
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .attention import MASK_PENALTY, merge_heads, split_heads
+
+# Ambient CP binding for `impl="cp"` model paths: (mesh, axis name).  Set with
+# `cp_context`; read at TRACE time by ops.attention.scored_attention, so enter
+# the context before jit-compiling the model call (re-tracing picks up a new
+# mesh; an already-compiled program keeps the mesh it was traced with).
+_ACTIVE: list = []
+
+
+@contextlib.contextmanager
+def cp_context(mesh: Mesh, axis: str = "context"):
+    """Bind the mesh/axis that `impl='cp'` attention runs over.
+
+        mesh = Mesh(np.asarray(jax.devices()), ("context",))
+        with cp_context(mesh):
+            logits = model.apply(params, batch, impl="cp")
+    """
+    if axis not in mesh.axis_names:
+        raise ValueError(f"mesh has no axis {axis!r}: {mesh.axis_names}")
+    _ACTIVE.append((mesh, axis))
+    try:
+        yield
+    finally:
+        _ACTIVE.pop()
+
+
+def current_cp() -> Tuple[Mesh, str]:
+    if not _ACTIVE:
+        raise RuntimeError(
+            "impl='cp' requires an active cp_context(mesh) — wrap the model "
+            "call: `with cp_context(mesh): model.apply(..., impl='cp')`")
+    return _ACTIVE[-1]
 
 
 def scored_attention_cp(

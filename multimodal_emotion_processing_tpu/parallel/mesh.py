@@ -83,13 +83,16 @@ def tp_param_spec(params, enable: bool = True):
         if not enable or not _is_matrix(leaf):
             return P()
         names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
-        in_block = "blocks" in names
-        if in_block and names[-1] == "w":
-            parent = names[-2] if len(names) >= 2 else ""
+        parent = names[-2] if len(names) >= 2 else ""
+        if "blocks" in names and names[-1] == "w":
             if parent in ("proj", "wq", "wk", "wv", "ffn1"):
                 return P(None, "model")
             if parent in ("minus", "ffn2"):
                 return P("model", None)
+        # classifiers shard on their input (pooled-feature) axis; the output
+        # axis is the handful of emotion logits and must stay whole
+        if parent == "classifier" and names[-1] == "w":
+            return P("model", None)
         return P()
 
     return jax.tree_util.tree_map_with_path(spec_for, params)

@@ -14,7 +14,10 @@ class RunLogger:
     """Writes `<dir>/<name>.csv` with epoch,train_loss,valid_loss(,extras) and
     mirrors scalars to TensorBoard when available."""
 
-    def __init__(self, log_dir: str, name: str, *, tensorboard: bool = False):
+    def __init__(self, log_dir: str, name: str, *, tensorboard: bool = True):
+        """TensorBoard mirrors by default — the reference always writes TB
+        scalars alongside its txt log (cmu-mosei/run.py:397,408); falls back
+        silently to CSV-only when no TB writer is importable."""
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, f"{name}.csv")
         self.name = name

@@ -62,3 +62,47 @@ def test_cp_no_mask_no_prev():
                                     mesh=_mesh())
     np.testing.assert_allclose(np.asarray(ctx_cp), np.asarray(ctx_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_model_impl_cp_long_sequence_matches_xla():
+    """The long-context scaling demo (SURVEY §5): an artificially long
+    sequence (audio 8x the flagship kv budget) through the FULL flagship model
+    with `impl='cp'` on the 8-device mesh equals the single-device forward.
+    CP is selected like any other impl, under an ambient `cp_context`."""
+    import dataclasses
+
+    from multimodal_emotion_processing_tpu import configs
+    from multimodal_emotion_processing_tpu.models import build_model
+    from multimodal_emotion_processing_tpu.ops import cp_context
+
+    exp = configs.get("mosei_trans")
+    m = dataclasses.replace(exp.model, l_len=8, v_len=16, a_len=8 * 200,
+                            dim=24, n_heads=2, l_dim=5, v_dim=4, a_dim=3)
+    exp = dataclasses.replace(exp, model=m)
+    model = build_model(exp)
+    params = model.init(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    b = 2
+    batch = {
+        "l": rng.standard_normal((b, 2, m.l_len, m.l_dim)).astype(np.float32),
+        "v": rng.standard_normal((b, 2, m.v_len, m.v_dim)).astype(np.float32),
+        "a": rng.standard_normal((b, 2, m.a_len, m.a_dim)).astype(np.float32),
+        "l_mask": np.ones((b, 2, m.l_len), np.float32),
+        "v_mask": np.ones((b, 2, m.v_len), np.float32),
+        "a_mask": (rng.random((b, 2, m.a_len)) > 0.2).astype(np.float32),
+    }
+    out_ref = model.apply(params, batch, impl="xla")
+    mesh = Mesh(np.asarray(jax.devices()), ("context",))
+    with cp_context(mesh):
+        out_cp = model.apply(params, batch, impl="cp")
+    np.testing.assert_allclose(np.asarray(out_cp), np.asarray(out_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_impl_cp_requires_context():
+    import pytest
+
+    q, k, v, m, prev, c, h = _inputs()
+    with pytest.raises(RuntimeError, match="cp_context"):
+        scored_attention(q, k, v, m, prev, c, n_heads=h, impl="cp")

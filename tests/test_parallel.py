@@ -105,6 +105,24 @@ def test_tp_gradients_match_replicated():
                                        rtol=1e-8, atol=1e-10)
 
 
+def test_tp_spec_shards_classifier_input_axis():
+    """The classifier kernel must shard P('model', None) — its input axis —
+    and the sharded classifier grads must still match (f64)."""
+    from jax.sharding import PartitionSpec as P
+
+    from multimodal_emotion_processing_tpu.parallel import tp_param_spec
+
+    exp = _tiny_exp()
+    model = build_model(exp)
+    params = model.init(jax.random.PRNGKey(0))
+    specs = tp_param_spec(params, enable=True)
+    cls = specs["stimulation"]["classifier"]["w"]
+    assert cls == P("model", None)
+    assert specs["stimulation"]["blocks"]["ll"][0]["proj"]["w"] == P(None, "model")
+    # and the classifier's input axis divides the model-axis size
+    assert params["stimulation"]["classifier"]["w"].shape[0] % 2 == 0
+
+
 def test_dp_tp_step_runs():
     exp = _tiny_exp()
     model = build_model(exp)

@@ -53,6 +53,64 @@ def test_ren_mme_pipeline_rdrop():
     assert res.report is not None
 
 
+ROBOT_OV = {"model": {"l_len": 4, "v_len": 6, "a_len": 8, "dim": 12,
+                      "n_heads": 2, "n_layers": 1, "ffn": 1, "l_dim": 5,
+                      "a_dim": 4, "v_dims_multires": (3, 5, 7)},
+            "train": {"n_folds": 2, "batch_size": 4}}
+
+
+def test_robot_demo_pipeline_and_serve(tmp_path):
+    """Full robot path: grid_only head + multires batch keys through training
+    and ensemble eval, then the serving path with the reference's calibrated
+    sigmoid offsets (robot_demo.py:594-622)."""
+    import dataclasses
+
+    import jax
+
+    from multimodal_emotion_processing_tpu import configs
+    from multimodal_emotion_processing_tpu.data.synthetic import synthetic_dataset
+    from multimodal_emotion_processing_tpu.models import build_model
+    from multimodal_emotion_processing_tpu.serve import StreamingPredictor
+
+    res = run_experiment(
+        "robot_demo", synthetic_data=True, n_train=16, n_test=8, epochs=1,
+        quiet=True, checkpoint_dir=str(tmp_path / "ck"), overrides=ROBOT_OV)
+    assert res.report is not None
+    assert set(res.report["per_emotion"]) == {"happ", "sadn", "ange", "disg",
+                                              "surp", "fear"}
+
+    exp = configs.get("robot_demo")
+    exp = dataclasses.replace(
+        exp, model=dataclasses.replace(exp.model, **ROBOT_OV["model"]))
+    model = build_model(exp)
+    params_like = model.init(jax.random.PRNGKey(0))
+    store = res.store
+    members = [store.restore_params(n, params_like)
+               for n in store.best_members("robot_demo")]
+    sp = StreamingPredictor(model, members, offsets=exp.thresholds)
+    sample = synthetic_dataset("robot_demo", exp.model, 1, seed=3)[0]
+    emotions = sp.emotions(sample, exp.emotion_names)
+    assert set(emotions) == set(exp.emotion_names)
+    assert all(0.0 <= p <= 1.0 for p in emotions.values())
+
+
+def test_run_logger_writes_tensorboard_by_default(tmp_path):
+    """Reference parity: TB scalars always written alongside the txt log
+    (cmu-mosei/run.py:397,408)."""
+    import os
+
+    from multimodal_emotion_processing_tpu.utils.logging import RunLogger
+
+    class Stats:
+        train_loss, valid_loss, samples_per_sec = 1.0, 2.0, 3.0
+
+    lg = RunLogger(str(tmp_path), "run1")
+    lg.log_epoch(0, Stats())
+    lg.close()
+    assert (tmp_path / "run1.csv").exists()
+    assert any(f.startswith("events.") for f in os.listdir(tmp_path))
+
+
 def test_cli_configs(capsys):
     from multimodal_emotion_processing_tpu.cli import main
 
