@@ -133,6 +133,15 @@ def apply_block_minus(
     impl: str = "xla",
 ):
     """q,k,v (B,L,dim) — k,v used raw (no projections); returns (q', scores')."""
+    if impl == "pallas_fused":
+        if not (train and rate > 0.0) and (mask is None or mask.ndim == 2):
+            from ..ops.fused_block import fused_minus_block
+
+            return fused_minus_block(q, k, v, mask, scores, p["c"],
+                                     p["proj"]["w"], p["minus"]["w"],
+                                     p["norm"]["scale"], p["norm"]["bias"],
+                                     n_heads=n_heads)
+        impl = "pallas"  # active dropout: fused attention + einsum epilogue
     r1, r2 = jax.random.split(rng) if rng is not None else (None, None)
     ctx, scores = scored_attention(
         q, k, v, mask, scores, p["c"], n_heads=n_heads, impl=impl
@@ -165,6 +174,9 @@ def apply_block_realformer(
     p, q, k, v, mask, scores, *, n_heads: int, rate: float, rng, train: bool,
     impl: str = "xla",
 ):
+    if impl == "pallas_fused":
+        impl = "pallas"  # realformer keeps the fused-attention kernel with an
+        # einsum epilogue (LN+FFN fusion — see docs/ENGINEERING_NOTES.md)
     r1, r2 = jax.random.split(rng) if rng is not None else (None, None)
     qp = init.apply_linear(p["wq"], q)
     kp_ = init.apply_linear(p["wk"], k)

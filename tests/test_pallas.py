@@ -59,6 +59,103 @@ def test_pallas_backward_matches_einsum():
                                    rtol=2e-4, atol=2e-4, err_msg=n)
 
 
+def _block_params(d=8, seed=5):
+    from multimodal_emotion_processing_tpu.models import layers
+
+    return layers.init_block_minus(jax.random.PRNGKey(seed), d)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+@pytest.mark.parametrize("with_prev", [False, True])
+def test_fused_minus_block_forward(with_mask, with_prev):
+    """The whole-block fused kernel equals apply_block_minus (xla)."""
+    from multimodal_emotion_processing_tpu.models import layers
+
+    q, k, v, mask, prev, c, h = _inputs(with_mask=with_mask, with_prev=with_prev)
+    p = _block_params(d=q.shape[-1])
+    out_x, s_x = layers.apply_block_minus(p, q, k, v, mask, prev, n_heads=h,
+                                          rate=0.0, rng=None, train=False,
+                                          impl="xla")
+    out_f, s_f = layers.apply_block_minus(p, q, k, v, mask, prev, n_heads=h,
+                                          rate=0.0, rng=None, train=False,
+                                          impl="pallas_fused")
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_x),
+                               rtol=1e-5, atol=1e-2 if with_mask else 1e-5)
+
+
+def test_fused_minus_block_backward():
+    """Chained fused blocks (score handoff live) gradients vs the xla path,
+    including the epilogue weight grads."""
+    from multimodal_emotion_processing_tpu.models import layers
+
+    q, k, v, mask, prev, c, h = _inputs()
+    p = _block_params(d=q.shape[-1])
+
+    def make_loss(impl):
+        def loss(p, q, k, v, prev):
+            o1, s1 = layers.apply_block_minus(p, q, k, v, mask, prev,
+                                              n_heads=h, rate=0.0, rng=None,
+                                              train=False, impl=impl)
+            o2, _ = layers.apply_block_minus(p, o1, k, v, mask, s1,
+                                             n_heads=h, rate=0.0, rng=None,
+                                             train=False, impl=impl)
+            return jnp.sum(o2 ** 2) + 0.1 * jnp.sum(o1 ** 2)
+        return loss
+
+    gx = jax.grad(make_loss("xla"), argnums=(0, 1, 2, 3, 4))(p, q, k, v, prev)
+    gf = jax.grad(make_loss("pallas_fused"), argnums=(0, 1, 2, 3, 4))(p, q, k, v, prev)
+    for a, b in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=3e-4, atol=3e-4)
+
+
+def test_fused_minus_block_dropout_fallback():
+    """Active dropout must fall back (fused kernel has no RNG) yet stay
+    deterministic per rng: fused-impl call equals the plain pallas path."""
+    from multimodal_emotion_processing_tpu.models import layers
+
+    q, k, v, mask, prev, c, h = _inputs(seed=9)
+    p = _block_params(d=q.shape[-1])
+    rng = jax.random.PRNGKey(11)
+    out_f, _ = layers.apply_block_minus(p, q, k, v, mask, prev, n_heads=h,
+                                        rate=0.3, rng=rng, train=True,
+                                        impl="pallas_fused")
+    out_p, _ = layers.apply_block_minus(p, q, k, v, mask, prev, n_heads=h,
+                                        rate=0.3, rng=rng, train=True,
+                                        impl="pallas")
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fused_full_model_parity():
+    """Whole flagship forward with impl='pallas_fused' matches impl='xla'."""
+    import dataclasses
+    from multimodal_emotion_processing_tpu import configs
+    from multimodal_emotion_processing_tpu.models import build_model
+
+    exp = configs.get("mosei_trans")
+    m = dataclasses.replace(exp.model, l_len=4, v_len=6, a_len=8, dim=12,
+                            n_heads=2, l_dim=5, v_dim=4, a_dim=3, n_layers=2)
+    model = build_model(dataclasses.replace(exp, model=m))
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(4)
+    b = 3
+    batch = {
+        "l": jnp.asarray(rng.standard_normal((b, 2, m.l_len, m.l_dim)).astype(np.float32)),
+        "v": jnp.asarray(rng.standard_normal((b, 2, m.v_len, m.v_dim)).astype(np.float32)),
+        "a": jnp.asarray(rng.standard_normal((b, 2, m.a_len, m.a_dim)).astype(np.float32)),
+        "l_mask": jnp.asarray((rng.random((b, 2, m.l_len)) > 0.2).astype(np.float32)),
+        "v_mask": jnp.asarray((rng.random((b, 2, m.v_len)) > 0.2).astype(np.float32)),
+        "a_mask": jnp.asarray((rng.random((b, 2, m.a_len)) > 0.2).astype(np.float32)),
+    }
+    out_x = model.apply(params, batch, impl="xla")
+    out_f = model.apply(params, batch, impl="pallas_fused")
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_pallas_full_model_parity():
     """Whole flagship forward with impl='pallas' matches impl='xla'."""
     import dataclasses
