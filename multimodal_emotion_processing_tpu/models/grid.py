@@ -337,6 +337,9 @@ def apply_grid(
                 q, src[kvm], src[kvm], masks[kvm], scores,
                 n_heads=cfg.n_heads, rate=rate, rng=rngs[ridx], train=train,
                 impl=impl,
+                # the stream's last block has no consumer for its scores —
+                # lean pallas kernel skips the dead (B,H,Lq,Lkv) HBM write
+                emit_scores=(i < cfg.n_layers - 1),
             )
             ridx += 1
             if collect == "per_layer":

@@ -130,7 +130,7 @@ def init_block_minus(key, dim: int):
 
 def apply_block_minus(
     p, q, k, v, mask, scores, *, n_heads: int, rate: float, rng, train: bool,
-    impl: str = "xla",
+    impl: str = "xla", emit_scores: bool = True,
 ):
     """q,k,v (B,L,dim) — k,v used raw (no projections); returns (q', scores')."""
     if impl == "pallas_fused":
@@ -144,7 +144,8 @@ def apply_block_minus(
         impl = "pallas"  # active dropout: fused attention + einsum epilogue
     r1, r2 = jax.random.split(rng) if rng is not None else (None, None)
     ctx, scores = scored_attention(
-        q, k, v, mask, scores, p["c"], n_heads=n_heads, impl=impl
+        q, k, v, mask, scores, p["c"], n_heads=n_heads, impl=impl,
+        emit_scores=emit_scores,
     )
     x = dropout(r1, init.apply_linear(p["proj"], ctx), rate, train)
     q = jnp.concatenate([q, x], axis=-1)
@@ -172,7 +173,7 @@ def init_block_realformer(key, dim: int, ffn_mult: int):
 
 def apply_block_realformer(
     p, q, k, v, mask, scores, *, n_heads: int, rate: float, rng, train: bool,
-    impl: str = "xla",
+    impl: str = "xla", emit_scores: bool = True,
 ):
     if impl == "pallas_fused":
         impl = "pallas"  # realformer keeps the fused-attention kernel with an
@@ -182,7 +183,8 @@ def apply_block_realformer(
     kp_ = init.apply_linear(p["wk"], k)
     vp = init.apply_linear(p["wv"], v)
     ctx, scores = scored_attention(
-        qp, kp_, vp, mask, scores, p["c"], n_heads=n_heads, impl=impl
+        qp, kp_, vp, mask, scores, p["c"], n_heads=n_heads, impl=impl,
+        emit_scores=emit_scores,
     )
     x = dropout(r1, init.apply_linear(p["proj"], ctx), rate, train)
     q = init.apply_layer_norm(p["norm1"], q + p["a"] * x)

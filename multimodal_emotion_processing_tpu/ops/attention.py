@@ -67,6 +67,7 @@ def scored_attention(
     *,
     n_heads: int,
     impl: str = "xla",
+    emit_scores: bool = True,
 ):
     """Residual-score attention.
 
@@ -76,15 +77,19 @@ def scored_attention(
         in this stream; c: (1,) learned residual gate.
       impl: 'xla' (einsum oracle/default) | 'pallas' (fused TPU kernel) |
         'cp' (kv-sharded over the ambient `cp_context` mesh axis).
+      emit_scores: False for terminal blocks whose scores have no consumer —
+        the pallas path then skips the scores HBM write (XLA's own DCE covers
+        the einsum path, so 'xla'/'cp' ignore the flag and still return them).
 
     Returns:
       (context (B, Lq, D), scores (B, H, Lq, Lkv)) — scores are post-mask
-      (sharded over the kv axis under 'cp').
+      (sharded over the kv axis under 'cp'; None for pallas+emit_scores=False).
     """
     if impl == "pallas":
         from .pallas_attention import scored_attention_pallas
 
-        return scored_attention_pallas(q, k, v, mask, scores_prev, c, n_heads=n_heads)
+        return scored_attention_pallas(q, k, v, mask, scores_prev, c,
+                                       n_heads=n_heads, emit_scores=emit_scores)
     if impl == "cp":
         from .context_parallel import current_cp, scored_attention_cp
 

@@ -46,28 +46,50 @@ def _interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, sprev_ref, c_ref,
-                ctx_ref, scores_ref, *, n_heads: int, block_b: int):
-    d = q_ref.shape[-1]
-    dh = d // n_heads
-    inv_sqrt = 1.0 / math.sqrt(dh)
-    c = c_ref[0, 0]
-    for bb in range(block_b):
-        neg = MASK_PENALTY * (1.0 - mask_ref[bb, 0, :])[None, :]
-        for h in range(n_heads):
-            sl = slice(h * dh, (h + 1) * dh)
-            qh = q_ref[bb, :, sl]
-            kh = k_ref[bb, :, sl]
-            s = jax.lax.dot_general(
-                qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * inv_sqrt
-            s = s + c * sprev_ref[bb, h]
-            s = s - neg
-            scores_ref[bb, h] = s
-            p = jax.nn.softmax(s, axis=-1)
-            ctx_ref[bb, :, sl] = jnp.dot(p, v_ref[bb, :, sl],
-                                         preferred_element_type=jnp.float32)
+def _make_fwd_kernel(n_heads: int, block_b: int, has_sprev: bool, emit: bool):
+    """Kernel variants: the score residual input and the score emission are
+    each optional.  Terminal blocks of a stream have no consumer for their
+    scores, and first blocks have no S_prev — at flagship shapes the dead
+    (B,H,Lq,Lkv) zeros read + scores write dominate the kernel's HBM traffic
+    (measured 20.3 -> 16.0 us on the 200x200 stream when both are dropped)."""
+
+    def kernel(*refs):
+        i = 0
+        q_ref, k_ref, v_ref, mask_ref = refs[:4]
+        i = 4
+        sprev_ref = None
+        if has_sprev:
+            sprev_ref = refs[i]
+            i += 1
+        c_ref = refs[i]
+        i += 1
+        ctx_ref = refs[i]
+        scores_ref = refs[i + 1] if emit else None
+
+        d = q_ref.shape[-1]
+        dh = d // n_heads
+        inv_sqrt = 1.0 / math.sqrt(dh)
+        c = c_ref[0, 0]
+        for bb in range(block_b):
+            neg = MASK_PENALTY * (1.0 - mask_ref[bb, 0, :])[None, :]
+            for h in range(n_heads):
+                sl = slice(h * dh, (h + 1) * dh)
+                qh = q_ref[bb, :, sl]
+                kh = k_ref[bb, :, sl]
+                s = jax.lax.dot_general(
+                    qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * inv_sqrt
+                if has_sprev:
+                    s = s + c * sprev_ref[bb, h]
+                s = s - neg
+                if emit:
+                    scores_ref[bb, h] = s
+                p = jax.nn.softmax(s, axis=-1)
+                ctx_ref[bb, :, sl] = jnp.dot(p, v_ref[bb, :, sl],
+                                             preferred_element_type=jnp.float32)
+
+    return kernel
 
 
 _VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under ~16 MB/core
@@ -86,76 +108,163 @@ def _pick_block_b(b, lq, lkv, d, h):
     return best
 
 
-def _forward(q, k, v, mask, sprev, c, n_heads: int):
+def _forward(q, k, v, mask, sprev, c, n_heads: int, emit: bool):
     b, lq, d = q.shape
     lkv = k.shape[1]
     h = n_heads
+    has_sprev = sprev is not None
     bb = _pick_block_b(b, lq, lkv, d, h)
-    kernel = functools.partial(_fwd_kernel, n_heads=n_heads, block_b=bb)
-    ctx, scores = pl.pallas_call(
+    kernel = _make_fwd_kernel(n_heads, bb, has_sprev, emit)
+    in_specs = [
+        pl.BlockSpec((bb, lq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, lkv, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, lkv, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, 1, lkv), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v, mask.reshape(b, 1, lkv)]
+    if has_sprev:
+        in_specs.append(pl.BlockSpec((bb, h, lq, lkv), lambda i: (i, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(sprev)
+    in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM))
+    args.append(c.reshape(1, 1))
+    out_specs = [pl.BlockSpec((bb, lq, d), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((b, lq, d), q.dtype)]
+    if emit:
+        out_specs.append(pl.BlockSpec((bb, h, lq, lkv), lambda i: (i, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, h, lq, lkv), jnp.float32))
+    out = pl.pallas_call(
         kernel,
         grid=(b // bb,),
-        in_specs=[
-            pl.BlockSpec((bb, lq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, lkv, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, lkv, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, 1, lkv), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, h, lq, lkv), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((bb, lq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, h, lq, lkv), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, lq, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, lq, lkv), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_interpret(),
-    )(q, k, v, mask.reshape(b, 1, lkv), sprev, c.reshape(1, 1))
-    return ctx, scores
+    )(*args)
+    return (out[0], out[1]) if emit else (out[0], None)
+
+
+def _attn_bwd(q, k, v, scores, ds_extra, dctx, n_heads):
+    """Shared backward math: softmax recomputed from (masked) scores; returns
+    (ds, dq, dk, dv) with dq/dk/dv merged-head arrays."""
+    qh = split_heads(q, n_heads)
+    kh = split_heads(k, n_heads)
+    vh = split_heads(v, n_heads)
+    dh = qh.shape[-1]
+    inv_sqrt = 1.0 / math.sqrt(dh)
+    p = jax.nn.softmax(scores, axis=-1)                      # (B,H,Lq,Lkv)
+    dctx_h = split_heads(dctx, n_heads)                      # (B,H,Lq,dh)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, dctx_h,
+                    preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", dctx_h, vh,
+                    preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    if ds_extra is not None:
+        ds = ds + ds_extra                                   # next block's c·S use
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kh,
+                    preferred_element_type=jnp.float32) * inv_sqrt
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qh,
+                    preferred_element_type=jnp.float32) * inv_sqrt
+    return ds, merge_heads(dq), merge_heads(dk), merge_heads(dv)
+
+
+def _recompute_scores(q, k, mask, sprev, c, n_heads):
+    """Rebuild the masked score tensor (for emit=False variants, whose VJP has
+    no emitted scores residual): QKᵀ/√d (+ c·S_prev) − 1e8(1−mask)."""
+    qh = split_heads(q, n_heads)
+    kh = split_heads(k, n_heads)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                   preferred_element_type=jnp.float32) / math.sqrt(qh.shape[-1])
+    if sprev is not None:
+        s = s + c * sprev
+    return s - MASK_PENALTY * (1.0 - mask[:, None, None, :].astype(jnp.float32))
 
 
 @functools.lru_cache(maxsize=None)
-def _make(n_heads: int):
+def _make(n_heads: int, has_sprev: bool, emit: bool):
+    """Four kernel/VJP variants keyed on (score-residual input present,
+    scores output consumed).  All share the same math; the lean variants skip
+    dead HBM traffic (docstring of _make_fwd_kernel)."""
+    if has_sprev and emit:
+        @jax.custom_vjp
+        def attn(q, k, v, mask, sprev, c):
+            return _forward(q, k, v, mask, sprev, c, n_heads, True)
+
+        def fwd(q, k, v, mask, sprev, c):
+            ctx, scores = _forward(q, k, v, mask, sprev, c, n_heads, True)
+            return (ctx, scores), (q, k, v, sprev, c, scores)
+
+        def bwd(res, grads):
+            q, k, v, sprev, c, scores = res
+            dctx, dscores = grads
+            ds, dq, dk, dv = _attn_bwd(q, k, v, scores, dscores, dctx, n_heads)
+            dc = jnp.sum(ds * sprev).reshape(1).astype(c.dtype)
+            dmask = MASK_PENALTY * jnp.sum(ds, axis=(1, 2))
+            return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+                    dmask.astype(q.dtype), (c * ds).astype(sprev.dtype), dc)
+
+        attn.defvjp(fwd, bwd)
+        return attn
+
+    if has_sprev and not emit:
+        @jax.custom_vjp
+        def attn(q, k, v, mask, sprev, c):
+            return _forward(q, k, v, mask, sprev, c, n_heads, False)[0]
+
+        def fwd(q, k, v, mask, sprev, c):
+            ctx = _forward(q, k, v, mask, sprev, c, n_heads, False)[0]
+            return ctx, (q, k, v, mask, sprev, c)
+
+        def bwd(res, dctx):
+            q, k, v, mask, sprev, c = res
+            scores = _recompute_scores(q, k, mask, sprev, c, n_heads)
+            ds, dq, dk, dv = _attn_bwd(q, k, v, scores, None, dctx, n_heads)
+            dc = jnp.sum(ds * sprev).reshape(1).astype(c.dtype)
+            dmask = MASK_PENALTY * jnp.sum(ds, axis=(1, 2))
+            return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+                    dmask.astype(q.dtype), (c * ds).astype(sprev.dtype), dc)
+
+        attn.defvjp(fwd, bwd)
+        return attn
+
+    if not has_sprev and emit:
+        @jax.custom_vjp
+        def attn(q, k, v, mask, c):
+            return _forward(q, k, v, mask, None, c, n_heads, True)
+
+        def fwd(q, k, v, mask, c):
+            ctx, scores = _forward(q, k, v, mask, None, c, n_heads, True)
+            return (ctx, scores), (q, k, v, c, scores)
+
+        def bwd(res, grads):
+            q, k, v, c, scores = res
+            dctx, dscores = grads
+            ds, dq, dk, dv = _attn_bwd(q, k, v, scores, dscores, dctx, n_heads)
+            dmask = MASK_PENALTY * jnp.sum(ds, axis=(1, 2))
+            return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+                    dmask.astype(q.dtype), jnp.zeros_like(c))
+
+        attn.defvjp(fwd, bwd)
+        return attn
+
     @jax.custom_vjp
-    def attn(q, k, v, mask, sprev, c):
-        return _forward(q, k, v, mask, sprev, c, n_heads)
+    def attn(q, k, v, mask, c):
+        return _forward(q, k, v, mask, None, c, n_heads, False)[0]
 
-    def fwd(q, k, v, mask, sprev, c):
-        ctx, scores = _forward(q, k, v, mask, sprev, c, n_heads)
-        return (ctx, scores), (q, k, v, sprev, c, scores)
+    def fwd(q, k, v, mask, c):
+        ctx = _forward(q, k, v, mask, None, c, n_heads, False)[0]
+        return ctx, (q, k, v, mask, c)
 
-    def bwd(res, grads):
-        q, k, v, sprev, c, scores = res
-        dctx, dscores = grads
-        qh = split_heads(q, n_heads)
-        kh = split_heads(k, n_heads)
-        vh = split_heads(v, n_heads)
-        dh = qh.shape[-1]
-        inv_sqrt = 1.0 / math.sqrt(dh)
-
-        p = jax.nn.softmax(scores, axis=-1)                      # (B,H,Lq,Lkv)
-        dctx_h = split_heads(dctx, n_heads)                      # (B,H,Lq,dh)
-        dv = jnp.einsum("bhqk,bhqd->bhkd", p, dctx_h,
-                        preferred_element_type=jnp.float32)
-        dp = jnp.einsum("bhqd,bhkd->bhqk", dctx_h, vh,
-                        preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        ds = ds + dscores                                        # next block's c·S use
-        dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kh,
-                        preferred_element_type=jnp.float32) * inv_sqrt
-        dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qh,
-                        preferred_element_type=jnp.float32) * inv_sqrt
-        dc = jnp.sum(ds * sprev).reshape(1).astype(c.dtype)
-        dsprev = c * ds
-        # mask enters as -1e8*(1-mask): d/dmask = +1e8, summed over heads & queries
+    def bwd(res, dctx):
+        q, k, v, mask, c = res
+        scores = _recompute_scores(q, k, mask, None, None, n_heads)
+        ds, dq, dk, dv = _attn_bwd(q, k, v, scores, None, dctx, n_heads)
         dmask = MASK_PENALTY * jnp.sum(ds, axis=(1, 2))
-        return (merge_heads(dq).astype(q.dtype), merge_heads(dk).astype(k.dtype),
-                merge_heads(dv).astype(v.dtype), dmask.astype(q.dtype),
-                dsprev.astype(sprev.dtype), dc)
+        return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+                dmask.astype(q.dtype), jnp.zeros_like(c))
 
     attn.defvjp(fwd, bwd)
     return attn
@@ -170,8 +279,15 @@ def scored_attention_pallas(
     c: jnp.ndarray,
     *,
     n_heads: int,
+    emit_scores: bool = True,
 ):
     """Drop-in for ops.attention.scored_attention (impl='pallas').
+
+    `emit_scores=False` selects the lean kernel for terminal blocks (no
+    consumer for the score tensor): the scores HBM write is skipped, and its
+    VJP recomputes scores instead of storing them.  A `scores_prev=None`
+    first block likewise skips the dead zeros read.  Returns (ctx, None)
+    when emit_scores=False.
 
     Only 2-D key masks are fused (the only kind the reference configs use);
     3-D masks fall back to the einsum path.
@@ -185,6 +301,9 @@ def scored_attention_pallas(
     lkv = k.shape[1]
     if mask is None:
         mask = jnp.ones((b, lkv), q.dtype)
-    if scores_prev is None:
-        scores_prev = jnp.zeros((b, n_heads, lq, lkv), jnp.float32)
-    return _make(n_heads)(q, k, v, mask.astype(q.dtype), scores_prev, c)
+    has_sprev = scores_prev is not None
+    fn = _make(n_heads, has_sprev, emit_scores)
+    args = ((q, k, v, mask.astype(q.dtype), scores_prev, c) if has_sprev
+            else (q, k, v, mask.astype(q.dtype), c))
+    out = fn(*args)
+    return out if emit_scores else (out, None)

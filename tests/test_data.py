@@ -310,6 +310,34 @@ def test_batcher_rdrop_duplicate_adjacent():
     np.testing.assert_array_equal(first[0], first[1])  # duplicates adjacent
 
 
+def test_batcher_soa_equals_rowwise():
+    """The struct-of-arrays fast path must produce byte-identical batches to
+    the per-row fallback (same seed -> same shuffle), incl. the padded final
+    batch and R-Drop duplication."""
+    rng = np.random.default_rng(0)
+    samples = [{"x": rng.standard_normal((3, 4)).astype(np.float32),
+                "label": rng.integers(0, 2, 5).astype(np.int32)}
+               for _ in range(7)]
+    for dup in (False, True):
+        fast = Batcher(samples, 2, shuffle=True, seed=3, duplicate=dup)
+        slow = Batcher(samples, 2, shuffle=True, seed=3, duplicate=dup)
+        slow._stack = lambda: False  # force the rowwise fallback
+        for bf, bs in zip(fast(), slow()):
+            assert set(bf) == set(bs)
+            for k in bf:
+                np.testing.assert_array_equal(bf[k], bs[k])
+
+
+def test_batcher_heterogeneous_samples_fall_back():
+    """Ragged sample shapes can't stack — rowwise path must kick in (only
+    reachable with pad_final=False since padding needs uniform shapes)."""
+    samples = [{"x": np.zeros((2, 3), np.float32)},
+               {"x": np.zeros((4, 3), np.float32)}]
+    b = Batcher(samples, 1, shuffle=False, pad_final=False)
+    got = [batch["x"].shape for batch in b()]
+    assert got == [(1, 2, 3), (1, 4, 3)]
+
+
 def test_contains_chinese_word_semantics():
     # reference compares whole words lexicographically (first-char check)
     assert robot.contains_chinese(["中文", "abc"])

@@ -59,6 +59,35 @@ def test_pallas_backward_matches_einsum():
                                    rtol=2e-4, atol=2e-4, err_msg=n)
 
 
+@pytest.mark.parametrize("with_prev", [False, True])
+def test_emit_scores_false_matches_xla(with_prev):
+    """The lean terminal-block variants (no scores output, and no S_prev input
+    when None) must match the xla path in value AND gradients — their VJPs
+    recompute scores instead of storing them."""
+    q, k, v, mask, prev, c, h = _inputs(with_prev=with_prev)
+
+    def loss(impl):
+        def f(q, k, v, c):
+            ctx, s = scored_attention(q, k, v, mask, prev, c, n_heads=h,
+                                      impl=impl, emit_scores=(impl == "xla"))
+            if impl == "pallas":
+                assert s is None
+            return jnp.sum(ctx ** 2)
+        return f
+
+    ctx_x, _ = scored_attention(q, k, v, mask, prev, c, n_heads=h, impl="xla")
+    ctx_p, s_p = scored_attention(q, k, v, mask, prev, c, n_heads=h,
+                                  impl="pallas", emit_scores=False)
+    assert s_p is None
+    np.testing.assert_allclose(np.asarray(ctx_p), np.asarray(ctx_x),
+                               rtol=1e-5, atol=1e-5)
+    gx = jax.grad(loss("xla"), argnums=(0, 1, 2, 3))(q, k, v, c)
+    gp = jax.grad(loss("pallas"), argnums=(0, 1, 2, 3))(q, k, v, c)
+    for n, a, b in zip(("dq", "dk", "dv", "dc"), gx, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4, err_msg=n)
+
+
 def _block_params(d=8, seed=5):
     from multimodal_emotion_processing_tpu.models import layers
 
