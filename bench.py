@@ -73,11 +73,13 @@ def measure_jax(exp, batch, *, steps=30, warmup=3, reps=5, impl="xla"):
     return train_sps, infer_sps
 
 
-def measure_jax_datafed(exp, *, n_samples=2048, epochs=3, impl="xla"):
+def measure_jax_datafed(exp, *, n_samples=512, epochs=8, impl="xla"):
     """END-TO-END data-fed throughput: host batch assembly (Batcher) →
     background-thread H2D prefetch → jitted train step.  This is the number
     real-corpus training sees (SURVEY §7.3.5: the benchmark is won or lost in
-    host assembly, not the MXU).  Best-of-`epochs` passes over the samples."""
+    host assembly, not the MXU).  Best of `epochs` SHORT windows — the
+    relay's H2D throughput wanders ~4x on multi-second timescales, so many
+    short windows beat few long ones at catching an uncontended slot."""
     import jax
 
     from multimodal_emotion_processing_tpu.data.loader import (

@@ -135,16 +135,23 @@ def measure_torch_cpu(m, batch: Dict[str, np.ndarray], *, train_steps: int = 4,
 
     for _ in range(warmup):
         train_step()
-    t0 = time.perf_counter()
-    for _ in range(train_steps):
-        train_step()
-    train_sps = bsz * train_steps / (time.perf_counter() - t0)
+    # best-of-3 windows: the single shared host core makes one-window
+    # baselines swing ~10x (measured 3.4-44 samples/s), which distorts
+    # vs_baseline in both directions; best-of is also what the jax side uses
+    train_sps = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(train_steps):
+            train_step()
+        train_sps = max(train_sps, bsz * train_steps / (time.perf_counter() - t0))
 
     model.eval()
     with torch.no_grad():
         model(*args)
-        t0 = time.perf_counter()
-        for _ in range(infer_steps):
-            model(*args)
-        infer_sps = bsz * infer_steps / (time.perf_counter() - t0)
+        infer_sps = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(infer_steps):
+                model(*args)
+            infer_sps = max(infer_sps, bsz * infer_steps / (time.perf_counter() - t0))
     return train_sps, infer_sps

@@ -91,11 +91,13 @@ def scored_attention(
         return scored_attention_pallas(q, k, v, mask, scores_prev, c,
                                        n_heads=n_heads, emit_scores=emit_scores)
     if impl == "cp":
-        from .context_parallel import current_cp, scored_attention_cp
+        from .context_parallel import (current_cp, ring_scored_attention,
+                                       scored_attention_cp)
 
-        mesh, axis = current_cp()
-        return scored_attention_cp(q, k, v, mask, scores_prev, c,
-                                   n_heads=n_heads, mesh=mesh, axis=axis)
+        mesh, axis, mode = current_cp()
+        fn = ring_scored_attention if mode == "ring" else scored_attention_cp
+        return fn(q, k, v, mask, scores_prev, c,
+                  n_heads=n_heads, mesh=mesh, axis=axis)
     return _scored_attention_xla(q, k, v, mask, scores_prev, c, n_heads=n_heads)
 
 

@@ -38,23 +38,30 @@ _ACTIVE: list = []
 
 
 @contextlib.contextmanager
-def cp_context(mesh: Mesh, axis: str = "context"):
+def cp_context(mesh: Mesh, axis: str = "context", mode: str = "psum"):
     """Bind the mesh/axis that `impl='cp'` attention runs over.
 
         mesh = Mesh(np.asarray(jax.devices()), ("context",))
-        with cp_context(mesh):
+        with cp_context(mesh):                # or mode="ring"
             logits = model.apply(params, batch, impl="cp")
+
+    mode='psum': Q replicated, kv sharded, psum/pmax global softmax (any
+    sequence length).  mode='ring': Q-sharded classic ring attention —
+    kv blocks hop neighbor-to-neighbor on ICI (`ring_scored_attention`);
+    needs Lq and Lkv divisible by the axis size.
     """
     if axis not in mesh.axis_names:
         raise ValueError(f"mesh has no axis {axis!r}: {mesh.axis_names}")
-    _ACTIVE.append((mesh, axis))
+    if mode not in ("psum", "ring"):
+        raise ValueError(f"unknown cp mode {mode!r}")
+    _ACTIVE.append((mesh, axis, mode))
     try:
         yield
     finally:
         _ACTIVE.pop()
 
 
-def current_cp() -> Tuple[Mesh, str]:
+def current_cp() -> Tuple[Mesh, str, str]:
     if not _ACTIVE:
         raise RuntimeError(
             "impl='cp' requires an active cp_context(mesh) — wrap the model "
@@ -108,5 +115,98 @@ def scored_attention_cp(
         in_specs=(P(), P(None, axis, None), P(None, axis, None), P(None, axis),
                   P(None, None, None, axis), P()),
         out_specs=(P(), P(None, None, None, axis)),
+    )
+    return shard(q, k, v, mask, scores_prev, c)
+
+
+def ring_scored_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    scores_prev: Optional[jnp.ndarray],
+    c: jnp.ndarray,
+    *,
+    n_heads: int,
+    mesh: Mesh,
+    axis: str = "context",
+):
+    """Classic RING attention adapted to residual-score chaining.
+
+    Layout (vs `scored_attention_cp`, which replicates Q and psums the
+    softmax): Q is sharded over `axis` on its sequence rows, each device
+    starts with its own K/V block, and the (K, V, mask) blocks rotate around
+    the ring via `ppermute` — N-1 neighbor hops on ICI, no all-to-all.  Each
+    device runs an online (flash-style) softmax over the arriving blocks, so
+    only its own Lq/N query rows ever materialize.  The residual-score chain
+    survives because each device also OWNS the full score rows for its query
+    shard: S is emitted sharded on the q axis — exactly the layout the next
+    block consumes its `scores_prev` in, so chaining costs no resharding.
+
+    Requires Lq and Lkv divisible by the axis size.  Returns
+    (ctx q-sharded, scores q-sharded (B, H, Lq, Lkv)).
+    """
+    b, lq, d = q.shape
+    lkv = k.shape[1]
+    n = mesh.shape[axis]
+    if lq % n or lkv % n:
+        raise ValueError(f"ring CP needs Lq ({lq}) and Lkv ({lkv}) divisible "
+                         f"by the '{axis}' axis size ({n})")
+    if mask is None:
+        mask = jnp.ones((b, lkv), q.dtype)
+    if mask.ndim != 2:
+        raise NotImplementedError("ring CP attention supports 2-D key masks")
+    if scores_prev is None:
+        scores_prev = jnp.zeros((b, n_heads, lq, lkv), jnp.float32)
+    blk = lkv // n
+    fwd_perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def local(ql, kl, vl, ml, sl, cg):
+        # ql (B, Lq/N, D); kl/vl (B, blk, D); ml (B, blk);
+        # sl (B, H, Lq/N, Lkv) — full kv columns for OUR query rows
+        me = jax.lax.axis_index(axis)
+        qh = split_heads(ql, n_heads)                     # (B,H,lq/N,dh)
+        dh = qh.shape[-1]
+        inv_sqrt = 1.0 / math.sqrt(dh)
+        lq_l = qh.shape[2]
+
+        m_run = jnp.full((b, n_heads, lq_l, 1), -jnp.inf, jnp.float32)
+        z_run = jnp.zeros((b, n_heads, lq_l, 1), jnp.float32)
+        acc = jnp.zeros((b, n_heads, lq_l, dh), jnp.float32)
+        s_full = jnp.zeros((b, n_heads, lq_l, lkv), jnp.float32)
+
+        for t in range(n):
+            # after t hops of send-to-(i+1), device i holds block (i - t) % N
+            j = (me - t) % n
+            kh = split_heads(kl, n_heads)
+            vh = split_heads(vl, n_heads)
+            s_blk = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                               preferred_element_type=jnp.float32) * inv_sqrt
+            col0 = j * blk
+            sprev_blk = jax.lax.dynamic_slice_in_dim(sl, col0, blk, axis=3)
+            s_blk = s_blk + cg * sprev_blk
+            s_blk = s_blk - MASK_PENALTY * (1.0 - ml[:, None, None, :])
+            s_full = jax.lax.dynamic_update_slice_in_dim(s_full, s_blk, col0,
+                                                         axis=3)
+            # online softmax update
+            m_new = jnp.maximum(m_run, jnp.max(s_blk, axis=-1, keepdims=True))
+            scale = jnp.exp(m_run - m_new)
+            e = jnp.exp(s_blk - m_new)
+            z_run = z_run * scale + jnp.sum(e, axis=-1, keepdims=True)
+            acc = acc * scale + jnp.einsum("bhqk,bhkd->bhqd", e, vh,
+                                           preferred_element_type=jnp.float32)
+            m_run = m_new
+            if t < n - 1:  # rotate K/V/mask to the next neighbor (ICI hop)
+                kl = jax.lax.ppermute(kl, axis, fwd_perm)
+                vl = jax.lax.ppermute(vl, axis, fwd_perm)
+                ml = jax.lax.ppermute(ml, axis, fwd_perm)
+        ctx = merge_heads((acc / z_run).astype(ql.dtype))
+        return ctx, s_full
+
+    shard = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis, None), P(None, axis, None), P(None, axis, None),
+                  P(None, axis), P(None, None, axis, None), P()),
+        out_specs=(P(None, axis, None), P(None, None, axis, None)),
     )
     return shard(q, k, v, mask, scores_prev, c)

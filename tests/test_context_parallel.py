@@ -64,11 +64,16 @@ def test_cp_no_mask_no_prev():
                                rtol=1e-5, atol=1e-5)
 
 
-def test_model_impl_cp_long_sequence_matches_xla():
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["psum", "ring"])
+def test_model_impl_cp_long_sequence_matches_xla(mode):
     """The long-context scaling demo (SURVEY §5): an artificially long
     sequence (audio 8x the flagship kv budget) through the FULL flagship model
     with `impl='cp'` on the 8-device mesh equals the single-device forward.
-    CP is selected like any other impl, under an ambient `cp_context`."""
+    CP is selected like any other impl, under an ambient `cp_context`;
+    both collective patterns (psum softmax / ring) are demoed."""
     import dataclasses
 
     from multimodal_emotion_processing_tpu import configs
@@ -94,10 +99,68 @@ def test_model_impl_cp_long_sequence_matches_xla():
     }
     out_ref = model.apply(params, batch, impl="xla")
     mesh = Mesh(np.asarray(jax.devices()), ("context",))
-    with cp_context(mesh):
-        out_cp = model.apply(params, batch, impl="cp")
+    with cp_context(mesh, mode=mode):
+        # jit the whole forward: eager shard_map dispatches every collective
+        # op-by-op (minutes on CPU); compiled it's one program
+        out_cp = jax.jit(lambda p, b: model.apply(p, b, impl="cp"))(params, batch)
     np.testing.assert_allclose(np.asarray(out_cp), np.asarray(out_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_ring_attention_matches_single_device():
+    """Ring CP (q-sharded, kv rotating via ppermute, online softmax) equals
+    the single-device reference, including the emitted scores."""
+    from multimodal_emotion_processing_tpu.ops.context_parallel import (
+        ring_scored_attention)
+
+    q, k, v, m, prev, c, h = _inputs(b=2, lq=8, lkv=16, h=2, d=8, seed=4)
+    ctx_ref, s_ref = scored_attention(q, k, v, m, prev, c, n_heads=h)
+    ctx_r, s_r = ring_scored_attention(q, k, v, m, prev, c, n_heads=h,
+                                       mesh=_mesh())
+    np.testing.assert_allclose(np.asarray(ctx_r), np.asarray(ctx_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_r), np.asarray(s_ref),
+                               rtol=1e-5, atol=1e-1)  # masked entries ~ -1e8
+
+
+def test_ring_attention_chained_and_grads():
+    """Two chained ring blocks (q-sharded score handoff) match the reference
+    in value and gradients — shard_map/ppermute are differentiable."""
+    import jax.numpy as jnp
+
+    from multimodal_emotion_processing_tpu.ops.context_parallel import (
+        ring_scored_attention)
+
+    q, k, v, m, prev, c, h = _inputs(b=2, lq=8, lkv=16, h=2, d=8, seed=5)
+    mesh = _mesh()
+
+    def loss(fn, **kw):
+        def f(q, k, v, prev, c):
+            ctx1, s1 = fn(q, k, v, m, None, c, n_heads=h, **kw)
+            ctx2, _ = fn(ctx1, k, v, m, s1, c, n_heads=h, **kw)
+            return jnp.sum(ctx2 ** 2) + 0.1 * jnp.sum(ctx1 ** 2)
+        return f
+
+    ref = loss(scored_attention)
+    ring = loss(ring_scored_attention, mesh=mesh)
+    np.testing.assert_allclose(float(ring(q, k, v, prev, c)),
+                               float(ref(q, k, v, prev, c)), rtol=1e-5)
+    g_ref = jax.grad(ref, argnums=(0, 1, 2, 4))(q, k, v, prev, c)
+    g_ring = jax.grad(ring, argnums=(0, 1, 2, 4))(q, k, v, prev, c)
+    for n_, a, b in zip(("dq", "dk", "dv", "dc"), g_ref, g_ring):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4, err_msg=n_)
+
+
+def test_ring_attention_rejects_indivisible():
+    from multimodal_emotion_processing_tpu.ops.context_parallel import (
+        ring_scored_attention)
+
+    q, k, v, m, prev, c, h = _inputs(b=1, lq=6, lkv=16, h=2, d=8)
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        ring_scored_attention(q, k, v, m, prev, c, n_heads=h, mesh=_mesh())
 
 
 def test_impl_cp_requires_context():
