@@ -46,6 +46,14 @@ def build_parser():
     sv.add_argument("--checkpoint-dir", default=None)
     sv.add_argument("--impl", choices=["xla", "pallas", "cp"], default="xla")
 
+    ex = sub.add_parser("export", help="AOT-export the serving predictor "
+                        "(ensemble + calibrated sigmoid) to a StableHLO blob")
+    ex.add_argument("config", nargs="?", default="robot_demo")
+    ex.add_argument("--checkpoint-dir", default=None)
+    ex.add_argument("--out", default="predictor.shlo")
+    ex.add_argument("--platforms", default="tpu,cpu",
+                    help="comma-separated export platforms")
+
     sub.add_parser("bench", help="train+infer throughput benchmark")
     sub.add_parser("configs", help="list configs")
     return p
@@ -136,6 +144,35 @@ def cmd_serve(args):
           f"{len(members)}-model ensemble)", file=sys.stderr)
 
 
+def cmd_export(args):
+    import jax
+
+    from . import configs
+    from .data.synthetic import synthetic_dataset
+    from .models import build_model
+    from .serve import export_predictor
+    from .train.checkpoint import CheckpointStore
+
+    exp = configs.get(args.config)
+    model = build_model(exp)
+    params_like = model.init(jax.random.PRNGKey(0))
+    if args.checkpoint_dir:
+        store = CheckpointStore(args.checkpoint_dir)
+        members = [store.restore_params(n, params_like)
+                   for n in store.best_members(args.config)]
+    else:
+        members = [model.init(jax.random.PRNGKey(i)) for i in range(4)]
+        print("(no --checkpoint-dir: exporting randomly initialized ensemble)",
+              file=sys.stderr)
+    sample = synthetic_dataset(args.config, exp.model, 1, seed=0)[0]
+    blob = export_predictor(model, members, exp.thresholds, sample,
+                            platforms=tuple(args.platforms.split(",")))
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    print(f"wrote {args.out} ({len(blob) / 1e6:.1f} MB, "
+          f"platforms={args.platforms}, {len(members)}-member ensemble)")
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.cmd == "configs":
@@ -146,6 +183,8 @@ def main(argv=None):
         cmd_train(args, eval_only=True)
     elif args.cmd == "serve":
         cmd_serve(args)
+    elif args.cmd == "export":
+        cmd_export(args)
     elif args.cmd == "bench":
         import os
         import runpy

@@ -1,1 +1,2 @@
 from .stream import StreamingPredictor  # noqa: F401
+from .export import export_predictor, load_predictor  # noqa: F401

@@ -208,6 +208,31 @@ def test_streaming_predictor():
         rtol=1e-5)
 
 
+def test_export_predictor_roundtrip(tmp_path):
+    """AOT serving export: serialize the ensemble predictor to a StableHLO
+    blob, deserialize WITHOUT model code, and match the live predictor."""
+    from multimodal_emotion_processing_tpu.serve import (
+        export_predictor, load_predictor)
+
+    exp = tiny_exp("robot_demo")
+    model = build_model(exp)
+    ps = [model.init(jax.random.PRNGKey(i)) for i in range(3)]
+    sample = synthetic_dataset("robot_demo", exp.model, 1, seed=6)[0]
+    sp = StreamingPredictor(model, ps, offsets=exp.thresholds)
+    pred_ref, probs_ref = sp.predict(sample)
+
+    blob = export_predictor(model, ps, exp.thresholds, sample,
+                            platforms=("cpu",))
+    path = tmp_path / "predictor.shlo"
+    path.write_bytes(blob)
+    fn = load_predictor(path.read_bytes())
+    batch1 = {k: np.expand_dims(np.asarray(v), 0) for k, v in sample.items()
+              if k != "label"}
+    pred, probs = fn(batch1)
+    np.testing.assert_allclose(np.asarray(pred), pred_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(probs), probs_ref, rtol=1e-5, atol=1e-5)
+
+
 def test_bfloat16_compute_trains():
     import jax.numpy as jnp
     from multimodal_emotion_processing_tpu.data.loader import Batcher
