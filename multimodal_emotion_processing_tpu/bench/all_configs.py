@@ -1,0 +1,69 @@
+"""Per-config throughput sweep: one JSON line per config family on stderr-free
+stdout — evidence that every model family's hot path is measured, not just
+the flagship (`bench.py` stays the single-line driver artifact).
+
+    python -m multimodal_emotion_processing_tpu.bench.all_configs [impl]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def synth_batch(name, m, b):
+    from multimodal_emotion_processing_tpu.data.loader import Batcher
+    from multimodal_emotion_processing_tpu.data.synthetic import synthetic_dataset
+
+    samples = synthetic_dataset(name, m, b, seed=0)
+    return next(iter(Batcher(samples, b, shuffle=False, pad_final=False)()))
+
+
+def measure(name, *, impl="xla", steps=20, reps=4):
+    import jax
+
+    from multimodal_emotion_processing_tpu import configs
+    from multimodal_emotion_processing_tpu.models import build_model
+    from multimodal_emotion_processing_tpu.train import engine as eng
+
+    exp = configs.get(name)
+    model = build_model(exp)
+    b = exp.train.batch_size
+    batch = jax.device_put(synth_batch(name, exp.model, b))
+    tx, step = eng.make_train_step(model, exp.train, impl=impl)
+    state = eng.init_state(model, tx, seed=0)
+    state, loss = step(state, batch)
+    jax.block_until_ready(loss)
+    train_sps = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, loss = step(state, batch)
+        jax.block_until_ready(loss)
+        train_sps = max(train_sps, b * steps / (time.perf_counter() - t0))
+
+    predict = eng.make_predict_step(model, impl=impl)
+    out = predict(state.params, batch)
+    jax.block_until_ready(out)
+    infer_sps = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = predict(state.params, batch)
+        jax.block_until_ready(out)
+        infer_sps = max(infer_sps, b * steps / (time.perf_counter() - t0))
+    return {"config": name, "impl": impl, "batch": b,
+            "train_sps": round(train_sps, 1), "infer_sps": round(infer_sps, 1)}
+
+
+def main():
+    impl = sys.argv[1] if len(sys.argv) > 1 else "xla"
+    from multimodal_emotion_processing_tpu import configs
+
+    for name in sorted(configs.REGISTRY):
+        print(json.dumps(measure(name, impl=impl)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

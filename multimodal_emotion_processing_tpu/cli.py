@@ -35,6 +35,9 @@ def build_parser():
         sp.add_argument("--set", action="append", default=[], metavar="K=V",
                         help="config override, e.g. --set train.batch_size=32 "
                              "--set model.n_layers=2 (values parsed as JSON)")
+        sp.add_argument("--debug-nans", action="store_true",
+                        help="fail fast on the first NaN-producing op "
+                             "(jax_debug_nans)")
 
     common(sub.add_parser("train", help="k-fold training + ensemble eval"))
 
@@ -88,6 +91,10 @@ def parse_overrides(pairs):
 def cmd_train(args, eval_only=False):
     from .pipelines import run_experiment
 
+    if getattr(args, "debug_nans", False):
+        from .utils.logging import enable_nan_debugging
+
+        enable_nan_debugging(True)
     if eval_only and not args.checkpoint_dir:
         raise SystemExit(
             "eval requires --checkpoint-dir (otherwise there are no trained "

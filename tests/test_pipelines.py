@@ -111,6 +111,22 @@ def test_run_logger_writes_tensorboard_by_default(tmp_path):
     assert any(f.startswith("events.") for f in os.listdir(tmp_path))
 
 
+def test_run_experiment_deterministic():
+    """Two identical runs produce identical loss trajectories — the
+    deterministic-data-order check standing in for a race detector on this
+    single-controller runtime (SURVEY §5)."""
+    kw = dict(synthetic_data=True, n_train=24, n_test=8, epochs=2, quiet=True,
+              overrides={"model": {"l_len": 4, "v_len": 6, "a_len": 8,
+                                   "dim": 12, "n_heads": 2, "l_dim": 5,
+                                   "v_dim": 4, "a_dim": 3},
+                         "train": {"n_folds": 2, "batch_size": 8}})
+    r1 = run_experiment("mosei_trans", **kw)
+    r2 = run_experiment("mosei_trans", **kw)
+    t1 = [(e.train_loss, e.valid_loss) for h in r1.fold_histories for e in h]
+    t2 = [(e.train_loss, e.valid_loss) for h in r2.fold_histories for e in h]
+    assert t1 == t2
+
+
 def test_cli_configs(capsys):
     from multimodal_emotion_processing_tpu.cli import main
 
