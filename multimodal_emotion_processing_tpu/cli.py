@@ -38,6 +38,9 @@ def build_parser():
         sp.add_argument("--debug-nans", action="store_true",
                         help="fail fast on the first NaN-producing op "
                              "(jax_debug_nans)")
+        sp.add_argument("--resume", action="store_true",
+                        help="resume an interrupted k-fold run from its "
+                             "per-epoch checkpoints (requires --checkpoint-dir)")
 
     common(sub.add_parser("train", help="k-fold training + ensemble eval"))
 
@@ -107,7 +110,8 @@ def cmd_train(args, eval_only=False):
         epochs=0 if eval_only else args.epochs,
         log_dir=args.log_dir, checkpoint_dir=args.checkpoint_dir,
         impl=args.impl, sweep_thresholds=args.sweep_thresholds,
-        quiet=args.quiet, overrides=parse_overrides(args.set))
+        quiet=args.quiet, overrides=parse_overrides(args.set),
+        resume=getattr(args, "resume", False))
     if result.report is not None:
         print(json.dumps(result.report, indent=2))
     if result.sweep is not None:

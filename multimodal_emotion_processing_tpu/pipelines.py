@@ -158,6 +158,7 @@ def run_experiment(
     quiet: bool = False,
     overrides: Optional[Dict] = None,
     vmap_folds: bool = True,
+    resume: bool = False,
 ) -> PipelineResult:
     exp = configs.get(config_name)
     if overrides:
@@ -234,6 +235,13 @@ def run_experiment(
         _log(f"[{config_name}] pair-level folds require the sequential "
              "k-fold driver; disabling vmap_folds", quiet)
         vmap_folds = False
+    if resume:
+        if store is None:
+            raise ValueError("resume=True requires checkpoint_dir")
+        if vmap_folds:
+            _log(f"[{config_name}] resume uses the sequential k-fold driver; "
+                 "disabling vmap_folds", quiet)
+            vmap_folds = False
     if vmap_folds and exp.train.n_folds > 1:
         # all folds train in one vmapped step (measured ~4-5x wall-clock on
         # v5e vs sequential; semantics preserved — see train/vmap_kfold.py)
@@ -248,7 +256,7 @@ def run_experiment(
         results = run_kfold(train_samples, make_loaders, model, exp.train,
                             store=store, name_prefix=config_name, epochs=epochs,
                             impl=impl, log_cb=log_cb,
-                            fold_size=exp.train.fold_size)
+                            fold_size=exp.train.fold_size, resume=resume)
 
     report = sweep = None
     if test_samples:

@@ -15,7 +15,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Optional
 
 import jax
 import numpy as np
@@ -80,13 +80,48 @@ class CheckpointStore:
     def save_best(self, name: str, state, epoch: int, valid_loss: float) -> None:
         self._save_tree(self._dir(name, "params"), _tree_to_numpy(state.params))
         self._save_tree(self._dir(name, "full"), _state_dict(state))
-        self.manifest[name] = {
+        self.manifest.setdefault(name, {}).update({
             "params": self._dir(name, "params"),
             "full": self._dir(name, "full"),
             "valid_loss": float(valid_loss),
             "epoch": int(epoch),
+        })
+        self._write_manifest()
+
+    def save_last(self, name: str, state, epoch: int,
+                  schedule: Optional[Dict] = None) -> None:
+        """Every-epoch resume point: full train state + host-side schedule
+        (plateau LR controller + early-stop counters).  This is what restart-
+        resume restores after preemption; `save_best` keeps serving/ensemble
+        artifacts separate."""
+        self._save_tree(self._dir(name, "last"), _state_dict(state))
+        self.manifest.setdefault(name, {})["last"] = {
+            "path": self._dir(name, "last"),
+            "epoch": int(epoch),
+            "schedule": schedule or {},
         }
         self._write_manifest()
+
+    def restore_last(self, name: str, state_like):
+        """Returns (TrainState, last-entry dict) or None if no resume point."""
+        import orbax.checkpoint as ocp
+
+        from .engine import TrainState
+
+        entry = self.manifest.get(name, {}).get("last")
+        if not entry:
+            return None
+        self.wait()
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(entry["path"], _state_dict(state_like))
+        return TrainState(**restored), entry
+
+    def mark_done(self, name: str) -> None:
+        self.manifest.setdefault(name, {})["done"] = True
+        self._write_manifest()
+
+    def is_done(self, name: str) -> bool:
+        return bool(self.manifest.get(name, {}).get("done"))
 
     def restore_params(self, name: str, params_like) -> Any:
         import orbax.checkpoint as ocp
@@ -108,7 +143,8 @@ class CheckpointStore:
         return TrainState(**restored)
 
     def best_members(self, prefix: str = "") -> List[str]:
-        return sorted(n for n in self.manifest if n.startswith(prefix))
+        return sorted(n for n, e in self.manifest.items()
+                      if n.startswith(prefix) and "params" in e)
 
 
 def _state_dict(state) -> Dict:

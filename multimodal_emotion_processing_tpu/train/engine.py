@@ -210,14 +210,19 @@ class Trainer:
         return loader()
 
     def fit(self, train_loader, valid_loader, *, state: Optional[TrainState] = None,
-            epochs: Optional[int] = None, seed: Optional[int] = None):
+            epochs: Optional[int] = None, seed: Optional[int] = None,
+            start_epoch: int = 0, plateau=None, stopper=None, last_cb=None):
+        """`start_epoch`/`plateau`/`stopper` inject a restored resume point
+        (train/checkpoint.py restore_last); `last_cb(state, epoch, plateau,
+        stopper)` fires after every epoch so the driver can persist it."""
         tcfg = self.tcfg
         state = state if state is not None else init_state(
             self.model, self.tx, tcfg.seed if seed is None else seed)
-        plateau = schedule.PlateauState(lr=tcfg.lr, factor=tcfg.plateau_factor,
-                                        patience=tcfg.plateau_patience)
-        stopper = schedule.EarlyStop(patience=tcfg.early_stop,
-                                     save_guard=tcfg.save_guard)
+        plateau = plateau or schedule.PlateauState(
+            lr=tcfg.lr, factor=tcfg.plateau_factor,
+            patience=tcfg.plateau_patience)
+        stopper = stopper or schedule.EarlyStop(patience=tcfg.early_stop,
+                                                save_guard=tcfg.save_guard)
         history = []
         from ..utils.logging import profile_trace
 
@@ -225,7 +230,7 @@ class Trainer:
         # profile the first post-compile epoch; single-epoch runs profile
         # epoch 0 (compile included) rather than silently producing nothing
         profile_epoch = 1 if n_epochs > 1 else 0
-        for epoch in range(n_epochs):
+        for epoch in range(start_epoch, n_epochs):
             with profile_trace(self.profile_dir
                                if epoch == profile_epoch else None):
                 t0 = time.perf_counter()
@@ -257,6 +262,8 @@ class Trainer:
             save, stop = stopper.step(stats.valid_loss)
             if save and self.checkpoint_cb:
                 self.checkpoint_cb(state, epoch, stats.valid_loss)
+            if last_cb:
+                last_cb(state, epoch, plateau, stopper)
             if stop:
                 break
         return state, history

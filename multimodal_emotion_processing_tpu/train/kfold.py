@@ -37,13 +37,27 @@ def run_kfold(
     impl: str = "xla",
     shuffle_seed: int = 0,
     log_cb=None,
+    resume: bool = False,
 ):
     """Train tcfg.n_folds models.  `make_loaders(train_samples, valid_samples)`
     -> (train_loader, valid_loader) zero-arg callables.
 
     Returns list of (final TrainState, history) per fold; best checkpoints go
     to `store` under '{name_prefix}_{i+1}'.
+
+    With a store, every epoch also persists a resume point (full train state
+    + plateau/early-stop schedule); `resume=True` restarts an interrupted
+    driver: completed folds are skipped (their best checkpoints stay valid)
+    and a mid-fold interruption continues from its last finished epoch with
+    params/optimizer/RNG/LR/counters restored.  Loader epoch order restarts
+    from the loader's own seed — with shuffle disabled the resumed trajectory
+    equals the uninterrupted one exactly (tested).
     """
+    import dataclasses
+
+    from . import schedule
+    from .engine import init_state
+
     samples = list(samples)
     rng = random.Random(shuffle_seed)
     rng.shuffle(samples)  # shuffle ONCE, before carving (cmu-mosei/run.py:423)
@@ -51,6 +65,13 @@ def run_kfold(
     # one Trainer for all folds: the jitted step compiles once and is reused
     # (per-fold rebuild recompiled XLA programs k times)
     current = {"name": None}
+
+    def last_cb(state, epoch, plateau, stopper):
+        store.save_last(current["name"], state, epoch, {
+            "plateau": dataclasses.asdict(plateau),
+            "stopper": dataclasses.asdict(stopper),
+        })
+
     trainer = Trainer(
         model, tcfg, impl=impl,
         checkpoint_cb=(lambda state, epoch, vl:
@@ -59,11 +80,33 @@ def run_kfold(
         log_cb=(lambda e, s: log_cb(current["name"], e, s)) if log_cb else None)
     for i, (valid_sl, train_ranges) in enumerate(
             contiguous_folds(len(samples), tcfg.n_folds, fold_size)):
+        name = f"{name_prefix}_{i + 1}"
+        current["name"] = name
+        if resume and store is not None and store.is_done(name):
+            results.append((None, []))
+            continue
         valid = samples[valid_sl]
         train = [samples[j] for r in train_ranges for j in r]
-        current["name"] = f"{name_prefix}_{i + 1}"
         train_loader, valid_loader = make_loaders(train, valid)
-        state, history = trainer.fit(train_loader, valid_loader,
-                                     epochs=epochs, seed=tcfg.seed + i)
+        state = None
+        start_epoch = 0
+        plateau = stopper = None
+        if resume and store is not None:
+            restored = store.restore_last(
+                name, init_state(model, trainer.tx, seed=tcfg.seed + i))
+            if restored is not None:
+                state, entry = restored
+                start_epoch = entry["epoch"] + 1
+                sched = entry.get("schedule", {})
+                if "plateau" in sched:
+                    plateau = schedule.PlateauState(**sched["plateau"])
+                if "stopper" in sched:
+                    stopper = schedule.EarlyStop(**sched["stopper"])
+        state, history = trainer.fit(
+            train_loader, valid_loader, epochs=epochs, seed=tcfg.seed + i,
+            state=state, start_epoch=start_epoch, plateau=plateau,
+            stopper=stopper, last_cb=last_cb if store is not None else None)
+        if store is not None:
+            store.mark_done(name)
         results.append((state, history))
     return results

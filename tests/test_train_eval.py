@@ -208,6 +208,71 @@ def test_streaming_predictor():
         rtol=1e-5)
 
 
+def _kfold_run(tmp_path, sub, *, epochs, resume=False, n=32, crash_at=None):
+    """crash_at=(fold_name, epoch): raise mid-run AFTER that epoch's resume
+    point has been saved (simulating preemption)."""
+    from multimodal_emotion_processing_tpu.train.kfold import run_kfold
+
+    exp = tiny_exp("rencecps", n_folds=2, epochs=99)
+    model = build_model(exp)
+    samples = synthetic_dataset("rencecps", exp.model, n, seed=0)
+    store = CheckpointStore(str(tmp_path / sub))
+    losses = {}
+
+    orig_save_last = store.save_last
+
+    def save_last(name, state, epoch, schedule=None):
+        orig_save_last(name, state, epoch, schedule)
+        if crash_at is not None and (name, epoch) == crash_at:
+            raise KeyboardInterrupt("simulated preemption")
+
+    store.save_last = save_last
+
+    def log_cb(name, epoch, stats):
+        losses.setdefault(name, []).append((stats.train_loss, stats.valid_loss))
+
+    def make_loaders(train, valid):
+        return (Batcher(train, exp.train.batch_size, shuffle=False),
+                Batcher(valid, exp.train.batch_size, shuffle=False))
+
+    results = run_kfold(samples, make_loaders, model, exp.train, store=store,
+                        name_prefix="m", epochs=epochs, resume=resume,
+                        log_cb=log_cb)
+    return results, store, losses
+
+
+def test_kfold_resume_matches_uninterrupted(tmp_path):
+    """Crash mid-fold-1 after epoch 1's resume point, resume: the stitched
+    trajectory must EXACTLY equal the uninterrupted run (params/optimizer/
+    RNG/LR/counters all restored; shuffle disabled so data order aligns)."""
+    full, _, full_losses = _kfold_run(tmp_path, "full", epochs=5)
+    try:
+        _kfold_run(tmp_path, "resumable", epochs=5, crash_at=("m_1", 1))
+        assert False, "crash did not fire"
+    except KeyboardInterrupt:
+        pass
+    resumed, store, res_losses = _kfold_run(tmp_path, "resumable", epochs=5,
+                                            resume=True)
+    # fold 1: epochs 0-1 before the crash, 2-4 after resume; fold 2: all 5
+    assert len(res_losses["m_1"]) == 3 and len(res_losses["m_2"]) == 5
+    assert res_losses["m_1"] == full_losses["m_1"][2:]
+    assert res_losses["m_2"] == full_losses["m_2"]
+    for (s_full, _), (s_res, _) in zip(full, resumed):
+        for a, b in zip(jax.tree_util.tree_leaves(s_full.params),
+                        jax.tree_util.tree_leaves(s_res.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_kfold_resume_skips_done_folds(tmp_path):
+    _, store, _ = _kfold_run(tmp_path, "ck", epochs=2)
+    assert store.is_done("m_1") and store.is_done("m_2")
+    resumed, store2, losses = _kfold_run(tmp_path, "ck", epochs=2, resume=True)
+    # both folds skipped: no new training happened
+    assert all(state is None and hist == [] for state, hist in resumed)
+    assert losses == {}
+    assert store2.best_members("m") == ["m_1", "m_2"]
+
+
 def test_export_predictor_roundtrip(tmp_path):
     """AOT serving export: serialize the ensemble predictor to a StableHLO
     blob, deserialize WITHOUT model code, and match the live predictor."""
