@@ -105,6 +105,20 @@ def test_tp_gradients_match_replicated():
                                        rtol=1e-8, atol=1e-10)
 
 
+def test_process_batch_slice_partitions_global_batch():
+    """Per-host batch slicing for multi-process pods: slices tile the global
+    batch exactly once (single-process here, so the identity slice)."""
+    from multimodal_emotion_processing_tpu.parallel.mesh import process_batch_slice
+
+    sl = process_batch_slice(32)
+    assert sl == slice(0, 32)  # 1 process owns the whole batch
+    # the formula partitions for any process count
+    per = 32 // 4
+    slices = [slice(i * per, (i + 1) * per) for i in range(4)]
+    covered = [j for s in slices for j in range(s.start, s.stop)]
+    assert covered == list(range(32))
+
+
 def test_tp_spec_shards_classifier_input_axis():
     """The classifier kernel must shard P('model', None) — its input axis —
     and the sharded classifier grads must still match (f64)."""

@@ -131,3 +131,35 @@ def test_concat_trans_training_trajectory_matches_torch():
 
     np.testing.assert_allclose(our_losses, torch_losses, rtol=5e-4, atol=5e-4)
     assert abs(torch_losses[-1] - torch_losses[0]) > 1e-3
+
+    # metric-level parity after training: identical thresholded predictions
+    # and per-emotion acc/F1 on a held-out batch (the reference's evaluation
+    # recipe, cmu-mosei/run.py:481-510) — the F1-parity claim, demonstrated
+    from multimodal_emotion_processing_tpu.eval import apply_thresholds
+    from multimodal_emotion_processing_tpu.train import metrics as M
+
+    held = {
+        "l": rng.standard_normal((16, 2, m.l_len, m.l_dim)).astype(np.float32),
+        "v": rng.standard_normal((16, 2, m.v_len, m.v_dim)).astype(np.float32),
+        "a": rng.standard_normal((16, 2, m.a_len, m.a_dim)).astype(np.float32),
+        "l_mask": np.ones((16, 2, m.l_len), np.float32),
+        "v_mask": np.ones((16, 2, m.v_len), np.float32),
+        "a_mask": np.ones((16, 2, m.a_len), np.float32),
+    }
+    labels = (rng.random((16, 7)) > 0.6).astype(np.int32)
+    with torch.no_grad():
+        oracle.eval()
+        t_logits = oracle(*(torch.tensor(held[k]) for k in
+                            ("l", "v", "a", "l_mask", "v_mask", "a_mask"))).numpy()
+    j_logits = np.asarray(model.apply(state.params, held, train=False))
+    np.testing.assert_allclose(j_logits, t_logits, rtol=5e-4, atol=5e-4)
+    th = list(exp.thresholds)
+    t_pred = apply_thresholds(t_logits, th, exp.emotion_index)
+    j_pred = apply_thresholds(j_logits, th, exp.emotion_index)
+    np.testing.assert_array_equal(j_pred, t_pred)
+    for col, ei in enumerate(exp.emotion_index):
+        ours = (M.accuracy(labels[:, ei], j_pred[:, col]),
+                M.weighted_f1(labels[:, ei], j_pred[:, col]))
+        ref = (M.accuracy(labels[:, ei], t_pred[:, col]),
+               M.weighted_f1(labels[:, ei], t_pred[:, col]))
+        assert ours == ref
