@@ -100,10 +100,12 @@ def init_grid_head(key, cfg, collect: str, out: str):
 # callers (jax caches compiled programs); toggle before the first call, or
 # call model.apply unjitted, when cross-checking paths.
 MERGED_FAST_PATH = True
-# realformer stream stacking measured ~8% SLOWER on v5e at the reference
-# shapes (1.24 vs 1.14 ms/step: per-step weight restacking + 5-D einsum
-# overhead outweighs the batching win), so it is opt-in; kept because the
-# balance flips at larger dims
+# realformer stream stacking: ~11% SLOWER on the TRAIN step (per-step weight
+# restacking + 5-D einsum backward overhead) but ~60% FASTER at inference
+# (8 interleaved windows, round 2: infer median 300k vs 183k samples/s;
+# train 48k vs 54k; combined train+infer a wash).  Off by default
+# (train-optimal); flip to True before building inference-only
+# ensembles/predictors when serving throughput matters.
 REALFORMER_STACKED = False
 
 

@@ -111,6 +111,24 @@ def test_run_logger_writes_tensorboard_by_default(tmp_path):
     assert any(f.startswith("events.") for f in os.listdir(tmp_path))
 
 
+def test_cli_eval_from_checkpoints(tmp_path, capsys):
+    """`eval` reloads the trained ensemble members from the store (the
+    reference's reload-by-filename step, cmu-mosei/run.py:446-453) and
+    reproduces the training run's report without training."""
+    import json as _json
+
+    from multimodal_emotion_processing_tpu.cli import main
+
+    common = ["rencecps", "--n-train", "48", "--n-test", "16", "--quiet",
+              "--checkpoint-dir", str(tmp_path / "ck"),
+              "--set", "train.n_folds=2", "--set", "train.batch_size=8"]
+    main(["train", "--epochs", "2"] + common)
+    train_out = capsys.readouterr().out
+    main(["eval"] + common)
+    eval_out = capsys.readouterr().out
+    assert _json.loads(train_out) == _json.loads(eval_out)
+
+
 def test_run_experiment_deterministic():
     """Two identical runs produce identical loss trajectories — the
     deterministic-data-order check standing in for a race detector on this
