@@ -35,7 +35,7 @@ def make_batch(m, b, seed=0):
     }
 
 
-def measure_jax(exp, batch, *, steps=30, warmup=3, reps=5, impl="xla"):
+def measure_jax(exp, batch, *, steps=30, warmup=3, reps=7, impl="xla"):
     """Best-of-`reps` measurement windows (the chip is shared through a
     network relay on this image; contention makes single windows noisy)."""
     import jax
