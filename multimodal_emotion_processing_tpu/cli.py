@@ -38,6 +38,10 @@ def build_parser():
         sp.add_argument("--debug-nans", action="store_true",
                         help="fail fast on the first NaN-producing op "
                              "(jax_debug_nans)")
+        sp.add_argument("--scan-steps", type=int, default=1,
+                        help="chain N train/eval steps into one dispatch "
+                             "(lax.scan; identical math, amortizes dispatch "
+                             "overhead — 12-49x measured at these sizes)")
         sp.add_argument("--resume", action="store_true",
                         help="resume an interrupted k-fold run from its "
                              "per-epoch checkpoints (requires --checkpoint-dir)")
@@ -111,7 +115,8 @@ def cmd_train(args, eval_only=False):
         log_dir=args.log_dir, checkpoint_dir=args.checkpoint_dir,
         impl=args.impl, sweep_thresholds=args.sweep_thresholds,
         quiet=args.quiet, overrides=parse_overrides(args.set),
-        resume=getattr(args, "resume", False))
+        resume=getattr(args, "resume", False),
+        scan_steps=getattr(args, "scan_steps", 1))
     if result.report is not None:
         print(json.dumps(result.report, indent=2))
     if result.sweep is not None:

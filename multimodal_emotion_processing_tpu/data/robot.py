@@ -138,23 +138,59 @@ class RobotAssembler:
     multi-res video + audio (robot_demo.py:256-284)."""
 
     def __init__(self, m, video_dir: str, audio_src, ren_text_src,
-                 label_dict: Dict[str, List], substitution: SubstitutionSampler):
+                 label_dict: Dict[str, List], substitution: SubstitutionSampler,
+                 *, cache_features: bool = True):
+        """`cache_features`: video/audio features are a pure function of the
+        clip name (only the TEXT substitution changes per epoch), yet the
+        reference's loader re-reads every .pk/.npy each epoch
+        (robot_demo.py:258-284).  The cache keys on name and stores only the
+        winning-resolution video block + mask (the two zero resolution slots
+        are reconstructed on demand), so epochs after the first skip all
+        video/audio I/O.  Turn off for corpora too large for host RAM."""
         self.m = m
         self.video_dir = video_dir
         self.audio_src = audio_src
         self.ren_text_src = ren_text_src
         self.label_dict = label_dict
         self.sub = substitution
+        self.cache_features = cache_features
+        self._video_cache: Dict[str, tuple] = {}
+        self._audio_cache: Dict[str, tuple] = {}
+
+    def _video_for(self, name: str):
+        cached = self._video_cache.get(name)
+        dims = self.m.v_dims_multires
+        if cached is not None:
+            res, feat, mask = cached
+            out = {d: (feat if d == res
+                       else np.zeros((self.m.v_len, d), np.float32))
+                   for d in dims}
+            return out[dims[0]], out[dims[1]], out[dims[2]], mask
+        v = load_video_multires(
+            os.path.join(self.video_dir, name + ".pk"), self.m.v_len, dims=dims)
+        if self.cache_features:
+            slots = v[:3]
+            # the non-zero slot is the winner; all-zero pickles store slot 0
+            res_i = next((i for i, x in enumerate(slots) if x.any()), 0)
+            self._video_cache[name] = (dims[res_i], slots[res_i], v[3])
+        return v
+
+    def _audio_for(self, name: str):
+        cached = self._audio_cache.get(name)
+        if cached is not None:
+            return cached
+        a = masking.pad_or_subsample(self.audio_src.get(name), self.m.a_len)
+        if self.cache_features:
+            self._audio_cache[name] = a
+        return a
 
     def sample_for(self, name: str) -> Dict[str, np.ndarray]:
         label = [int(x) for x in self.label_dict[name]]
         ren_name = self.sub.pick("".join(str(x) for x in label))
         l, l_mask = masking.pad_or_subsample(self.ren_text_src.get(ren_name),
                                              self.m.l_len)
-        v256, v512, v1024, v_mask = load_video_multires(
-            os.path.join(self.video_dir, name + ".pk"), self.m.v_len,
-            dims=self.m.v_dims_multires)
-        a, a_mask = masking.pad_or_subsample(self.audio_src.get(name), self.m.a_len)
+        v256, v512, v1024, v_mask = self._video_for(name)
+        a, a_mask = self._audio_for(name)
         return {
             "l": l, "v256": v256, "v512": v512, "v1024": v1024, "a": a,
             "l_mask": l_mask, "v_mask": v_mask, "a_mask": a_mask,

@@ -159,7 +159,11 @@ def run_experiment(
     overrides: Optional[Dict] = None,
     vmap_folds: bool = True,
     resume: bool = False,
+    scan_steps: int = 1,
 ) -> PipelineResult:
+    """`scan_steps`: chain this many train/eval steps into one dispatch
+    (lax.scan over host-stacked batch groups) — identical math, measured
+    12-49x step throughput at these model sizes (train/engine.py)."""
     exp = configs.get(config_name)
     if overrides:
         exp = dataclasses.replace(
@@ -250,13 +254,14 @@ def run_experiment(
         states, hists, best_member_params, best_member_losses = run_kfold_vmapped(
             train_samples, make_loaders, model, exp.train, store=store,
             name_prefix=config_name, epochs=epochs, impl=impl, log_cb=log_cb,
-            fold_size=exp.train.fold_size)
+            fold_size=exp.train.fold_size, scan_steps=scan_steps)
         results = [(None, hists[i]) for i in range(exp.train.n_folds)]
     else:
         results = run_kfold(train_samples, make_loaders, model, exp.train,
                             store=store, name_prefix=config_name, epochs=epochs,
                             impl=impl, log_cb=log_cb,
-                            fold_size=exp.train.fold_size, resume=resume)
+                            fold_size=exp.train.fold_size, resume=resume,
+                            scan_steps=scan_steps)
 
     report = sweep = None
     if test_samples:

@@ -94,21 +94,9 @@ def batch_loss(model, tcfg, params, batch, rng, train: bool, impl: str):
     return loss
 
 
-def make_train_step(model, tcfg, *, impl: str = "xla", donate: bool = True,
-                    fused: bool = True):
-    """One jitted program per step.
-
-    fused=True runs the optimizer over ONE flattened vector (mathematically
-    identical: global-norm clip is global, AdamW is elementwise) — ~100
-    per-leaf optimizer kernels collapse into a handful.  Crucially the ravel
-    happens AFTER autodiff (per-leaf value_and_grad, then flatten grads +
-    params for the update): differentiating THROUGH unravel compiled
-    pathologically on this backend (8.2 ms/step), while post-grad ravel
-    measured 0.40 ms/step vs 1.29 ms per-leaf on v5e — a 3.2x step speedup.
-    The sharded/TP path (parallel/mesh) requires fused=False (per-leaf
-    sharding specs on the optimizer state).
-    """
-    tx = make_optimizer(tcfg)
+def _make_step_fn(model, tcfg, tx, *, impl: str, fused: bool):
+    """The un-jitted single-step body shared by make_train_step (one dispatch
+    per step) and make_scan_train_step (k steps per dispatch)."""
 
     def step(state: TrainState, batch):
         from jax.flatten_util import ravel_pytree
@@ -129,7 +117,47 @@ def make_train_step(model, tcfg, *, impl: str = "xla", donate: bool = True,
             params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, rng, state.step + 1), loss
 
+    return step
+
+
+def make_train_step(model, tcfg, *, impl: str = "xla", donate: bool = True,
+                    fused: bool = True):
+    """One jitted program per step.
+
+    fused=True runs the optimizer over ONE flattened vector (mathematically
+    identical: global-norm clip is global, AdamW is elementwise) — ~100
+    per-leaf optimizer kernels collapse into a handful.  Crucially the ravel
+    happens AFTER autodiff (per-leaf value_and_grad, then flatten grads +
+    params for the update): differentiating THROUGH unravel compiled
+    pathologically on this backend (8.2 ms/step), while post-grad ravel
+    measured 0.40 ms/step vs 1.29 ms per-leaf on v5e — a 3.2x step speedup.
+    The sharded/TP path (parallel/mesh) requires fused=False (per-leaf
+    sharding specs on the optimizer state).
+    """
+    tx = make_optimizer(tcfg)
+    step = _make_step_fn(model, tcfg, tx, impl=impl, fused=fused)
     return tx, jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_scan_train_step(model, tcfg, *, impl: str = "xla",
+                         donate: bool = True, fused: bool = True):
+    """k sequential optimizer steps in ONE dispatch: `lax.scan` over a batch
+    pytree whose leaves carry a leading micro-batch axis (k, B, ...).
+
+    Identical math to k calls of make_train_step's program (same RNG
+    splitting, same update order) — only the dispatch count changes.  At
+    these model sizes a step is ~0.4 ms of device work, so per-dispatch
+    launch/transfer overhead is a first-order cost (especially over this
+    image's network-relayed chip); chaining steps amortizes it.  Returns
+    (state, losses(k,)) — losses stay on device like Trainer's epoch loop.
+    """
+    tx = make_optimizer(tcfg)
+    step = _make_step_fn(model, tcfg, tx, impl=impl, fused=fused)
+
+    def scan_step(state: TrainState, batches):
+        return jax.lax.scan(step, state, batches)
+
+    return tx, jax.jit(scan_step, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(model, tcfg, *, impl: str = "xla"):
@@ -139,9 +167,33 @@ def make_eval_step(model, tcfg, *, impl: str = "xla"):
     return jax.jit(step)
 
 
+def make_scan_eval_step(model, tcfg, *, impl: str = "xla"):
+    """Eval losses for a stacked (k, B, ...) batch pytree in one dispatch;
+    returns (k,) per-batch losses."""
+    def step(params, batches):
+        return jax.lax.scan(
+            lambda _, b: (None, batch_loss(model, tcfg, params, b, None,
+                                           False, impl)),
+            None, batches)[1]
+
+    return jax.jit(step)
+
+
 def make_predict_step(model, *, impl: str = "xla"):
     def step(params, batch):
         return model.apply(params, batch, train=False, impl=impl)
+
+    return jax.jit(step)
+
+
+def make_scan_predict_step(model, *, impl: str = "xla"):
+    """Forward over a stacked batch pytree (k, B, ...) in ONE dispatch —
+    the inference-side twin of make_scan_train_step (same dispatch-overhead
+    amortization; logits come back as (k, B, E))."""
+    def step(params, batches):
+        return jax.lax.scan(
+            lambda _, b: (None, model.apply(params, b, train=False, impl=impl)),
+            None, batches)[1]
 
     return jax.jit(step)
 
@@ -189,25 +241,43 @@ class Trainer:
                  checkpoint_cb: Optional[Callable] = None,
                  log_cb: Optional[Callable] = None,
                  prefetch: int = 2,
-                 profile_dir: Optional[str] = None):
+                 profile_dir: Optional[str] = None,
+                 scan_steps: int = 1):
         """`profile_dir`: capture a jax.profiler trace of epoch 1 (steady
         state, post-compile) into this directory — view with Perfetto or the
-        TensorBoard profile plugin."""
+        TensorBoard profile plugin.
+
+        `scan_steps`: chain this many train/eval steps into one dispatch via
+        lax.scan over host-stacked batch groups (data/loader.stack_batches).
+        Identical math and RNG chain to scan_steps=1 (tested); at these model
+        sizes steps are dispatch-bound, so chaining measured 12-49x step
+        throughput on v5e.  The epoch tail (< scan_steps batches) runs as a
+        smaller stack — one extra compile, constant across epochs."""
         self.model = model
         self.tcfg = tcfg
         self.tx, self.train_step = make_train_step(model, tcfg, impl=impl)
         self.eval_step = make_eval_step(model, tcfg, impl=impl)
+        self.scan_steps = scan_steps
+        if scan_steps > 1:
+            _, self.train_step_scan = make_scan_train_step(model, tcfg,
+                                                           impl=impl)
+            self.eval_step_scan = make_scan_eval_step(model, tcfg, impl=impl)
         self.checkpoint_cb = checkpoint_cb
         self.log_cb = log_cb
         self.prefetch = prefetch
         self.profile_dir = profile_dir
 
     def _iter(self, loader):
+        it = iter(loader())
+        if self.scan_steps > 1:
+            from ..data.loader import stack_batches
+
+            it = stack_batches(it, self.scan_steps)
         if self.prefetch:
             from ..data.loader import prefetch_to_device
 
-            return prefetch_to_device(iter(loader()), size=self.prefetch)
-        return loader()
+            return prefetch_to_device(it, size=self.prefetch)
+        return it
 
     def fit(self, train_loader, valid_loader, *, state: Optional[TrainState] = None,
             epochs: Optional[int] = None, seed: Optional[int] = None,
@@ -234,19 +304,26 @@ class Trainer:
             with profile_trace(self.profile_dir
                                if epoch == profile_epoch else None):
                 t0 = time.perf_counter()
+                scan = self.scan_steps > 1
+                train_fn = self.train_step_scan if scan else self.train_step
+                eval_fn = self.eval_step_scan if scan else self.eval_step
                 # losses stay on-device until epoch end — fetching per step
                 # would serialize host and chip and defeat the prefetch pipeline
                 losses, n_steps, n_samples = [], 0, 0
                 for batch in self._iter(train_loader):
-                    state, loss = self.train_step(state, batch)
+                    state, loss = train_fn(state, batch)
                     losses.append(loss)
-                    n_steps += 1
-                    n_samples += int(batch["label"].shape[0])
-                tr_loss = float(np.sum(jax.device_get(losses))) if losses else 0.0
-                va_losses = [self.eval_step(state.params, batch)
+                    n_steps += int(loss.shape[0]) if loss.ndim else 1
+                    n_samples += int(np.prod(batch["label"].shape[:2])
+                                     if scan else batch["label"].shape[0])
+                tr_loss = (float(sum(np.sum(x) for x in jax.device_get(losses)))
+                           if losses else 0.0)
+                va_losses = [eval_fn(state.params, batch)
                              for batch in self._iter(valid_loader)]
-                va_steps = len(va_losses)
-                va_loss = (float(np.sum(jax.device_get(va_losses)))
+                va_steps = sum(int(x.shape[0]) if x.ndim else 1
+                               for x in va_losses)
+                va_loss = (float(sum(np.sum(x)
+                                     for x in jax.device_get(va_losses)))
                            if va_losses else 0.0)
             stats = EpochStats(
                 train_loss=tr_loss / max(n_steps, 1),

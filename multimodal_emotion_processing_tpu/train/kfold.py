@@ -38,6 +38,7 @@ def run_kfold(
     shuffle_seed: int = 0,
     log_cb=None,
     resume: bool = False,
+    scan_steps: int = 1,
 ):
     """Train tcfg.n_folds models.  `make_loaders(train_samples, valid_samples)`
     -> (train_loader, valid_loader) zero-arg callables.
@@ -73,7 +74,7 @@ def run_kfold(
         })
 
     trainer = Trainer(
-        model, tcfg, impl=impl,
+        model, tcfg, impl=impl, scan_steps=scan_steps,
         checkpoint_cb=(lambda state, epoch, vl:
                        store.save_best(current["name"], state, epoch, vl))
         if store is not None else None,

@@ -412,3 +412,56 @@ def test_robot_epoch_materialize_rotates_substitution(tmp_path):
     # different epochs draw different same-label texts for at least one clip
     diff = any(not np.allclose(a["l"], b["l"]) for a, b in zip(e0, e1))
     assert diff
+
+
+def test_robot_assembler_feature_cache(tmp_path):
+    """Cached video/audio features equal a fresh read exactly, and epochs
+    after the first never touch the .pk/.npy files again (only the text
+    substitution changes per epoch)."""
+    import dataclasses
+    m = dataclasses.replace(configs.get("robot_demo").model,
+                            l_len=3, v_len=4, a_len=5, l_dim=6, a_dim=2,
+                            v_dims_multires=(4, 6, 8))
+    rng = np.random.default_rng(1)
+    for n in ("clipA", "clipB"):
+        with open(tmp_path / f"{n}.pk", "wb") as f:
+            pickle.dump([rng.standard_normal(6).astype(np.float32)
+                         for _ in range(3)], f)
+        np.save(tmp_path / f"{n}_audio.npy",
+                rng.standard_normal((4, 2)).astype(np.float32))
+
+    class AudioSrc:
+        def get(self, name):
+            return np.load(tmp_path / f"{name}_audio.npy")
+
+    class TextSrc:
+        def get(self, name):
+            r = np.random.default_rng(abs(hash(name)) % 2**32)
+            return r.standard_normal((3, 6)).astype(np.float32)
+
+    table = {"1000000": ["t1"], "0000001": ["tn"]}
+    labels = {"clipA": ["1", "0", "0", "0", "0", "0", "0"],
+              "clipB": ["1", "0", "0", "0", "0", "0", "0"]}
+
+    def build(cache):
+        return robot.RobotAssembler(
+            m, str(tmp_path), AudioSrc(), TextSrc(), labels,
+            robot.SubstitutionSampler(table), cache_features=cache)
+
+    names = ["clipA", "clipB"]
+    fresh = build(False).materialize(names)
+    cached_asm = build(True)
+    first = cached_asm.materialize(names)
+    for a, b in zip(fresh, first):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+    # remove the backing files: the cached assembler must not need them
+    for n in names:
+        (tmp_path / f"{n}.pk").unlink()
+        (tmp_path / f"{n}_audio.npy").unlink()
+    second = cached_asm.materialize(names)
+    for a, b in zip(first, second):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+    with pytest.raises(FileNotFoundError):
+        build(False).materialize(names)

@@ -352,6 +352,73 @@ def test_fused_optimizer_matches_per_leaf():
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5, atol=1e-6)
 
 
+def test_scan_train_step_matches_sequential():
+    """k scanned micro-steps in one dispatch == k sequential dispatches:
+    same RNG split chain, same update order, same losses and params."""
+    exp = tiny_exp("rencecps")
+    model = build_model(exp)
+    k = 4
+    batches = [next(iter(Batcher(synthetic_dataset("rencecps", exp.model, 8,
+                                                   seed=s), 8)()))
+               for s in range(k)]
+
+    tx, step = eng.make_train_step(model, exp.train, donate=False)
+    state_seq = eng.init_state(model, tx, seed=0)
+    seq_losses = []
+    for b in batches:
+        state_seq, loss = step(state_seq, b)
+        seq_losses.append(float(loss))
+
+    tx2, scan_step = eng.make_scan_train_step(model, exp.train, donate=False)
+    state_scan = eng.init_state(model, tx2, seed=0)
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+    state_scan, losses = scan_step(state_scan, stacked)
+
+    np.testing.assert_allclose(np.asarray(losses), seq_losses,
+                               rtol=1e-5, atol=1e-6)
+    assert int(state_scan.step) == int(state_seq.step) == k
+    for a, b in zip(jax.tree_util.tree_leaves(state_scan.params),
+                    jax.tree_util.tree_leaves(state_seq.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_trainer_scan_steps_matches_plain():
+    """Trainer(scan_steps=k) — k chained steps per dispatch, tail as a smaller
+    stack — produces the same per-epoch losses, step counts, and final params
+    as the one-dispatch-per-step path."""
+    exp = tiny_exp("rencecps")
+    samples = synthetic_dataset("rencecps", exp.model, 56, seed=0)
+    model = build_model(exp)
+
+    def loaders():
+        # 40/8 = 5 train batches -> one stack of 3 + tail of 2;
+        # 16/8 = 2 valid batches -> a single tail stack of 2
+        tr = Batcher(samples[:40], 8, shuffle=True, seed=5)
+        va = Batcher(samples[40:], 8, shuffle=False)
+        return (lambda: tr()), (lambda: va())
+
+    results = {}
+    for k in (1, 3):
+        trainer = eng.Trainer(model, exp.train, scan_steps=k)
+        tr, va = loaders()
+        state, hist = trainer.fit(tr, va, epochs=2, seed=0)
+        results[k] = (hist, state)
+
+    h1, h3 = results[1][0], results[3][0]
+    assert len(h1) == len(h3) == 2
+    for a, b in zip(h1, h3):
+        assert a.steps == b.steps == 5
+        np.testing.assert_allclose(a.train_loss, b.train_loss,
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(a.valid_loss, b.valid_loss,
+                                   rtol=1e-5, atol=1e-6)
+    for x, y in zip(jax.tree_util.tree_leaves(results[1][1].params),
+                    jax.tree_util.tree_leaves(results[3][1].params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_async_checkpoint_roundtrip(tmp_path):
     exp = tiny_exp("rencecps")
     model = build_model(exp)

@@ -58,6 +58,35 @@ def test_vmapped_matches_sequential(tmp_path):
                for x in jax.tree_util.tree_leaves(p))
 
 
+def test_vmapped_scan_steps_matches_plain():
+    """scan_steps=s (s vmapped steps per dispatch, tail as a smaller stack)
+    is the same computation as one dispatch per step."""
+    exp = _exp()
+    model = build_model(exp)
+    samples = synthetic_dataset("rencecps", exp.model, n=64, seed=3)
+
+    # 32 train samples / bs 8 = 4 steps/epoch -> one stack of 3 + tail of 1
+    _, h1, b1, l1 = run_kfold_vmapped(samples, _loaders(exp), model,
+                                      exp.train, epochs=2, shuffle_seed=0)
+    _, h3, b3, l3 = run_kfold_vmapped(samples, _loaders(exp), model,
+                                      exp.train, epochs=2, shuffle_seed=0,
+                                      scan_steps=3)
+    for hist1, hist3 in zip(h1, h3):
+        assert len(hist1) == len(hist3)
+        for a, b in zip(hist1, hist3):
+            assert a.steps == b.steps
+            np.testing.assert_allclose(b.train_loss, a.train_loss,
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(b.valid_loss, a.valid_loss,
+                                       rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(l3, l1, rtol=1e-5, atol=1e-6)
+    for p1, p3 in zip(b1, b3):
+        for x, y in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(p3)):
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                       rtol=1e-5, atol=1e-6)
+
+
 def test_vmapped_early_stop_per_fold():
     exp = _exp()
     exp = dataclasses.replace(
