@@ -192,7 +192,9 @@ def main():
     jax_train, jax_infer = measure_jax(exp, batch)
     log(f"jax[xla]: train {jax_train:.1f} samples/s, infer {jax_infer:.1f} samples/s")
 
-    scan_k = 64
+    # K-sweep on this chip: 4/16/64/128/256 -> 4.0x/12.5x/49x/93x/164x over
+    # the plain step (train); 128 balances staging cost vs amortization
+    scan_k = 128
     scan_train, scan_infer = measure_jax_scan(exp, k=scan_k)
     log(f"jax[xla,scan k={scan_k}]: train {scan_train:.1f} samples/s, "
         f"infer {scan_infer:.1f} samples/s")

@@ -20,8 +20,9 @@ def synth_batch(name, m, b):
     return next(iter(Batcher(samples, b, shuffle=False, pad_final=False)()))
 
 
-def measure(name, *, impl="xla", steps=20, reps=4):
+def measure(name, *, impl="xla", steps=20, reps=4, scan_k=32):
     import jax
+    import numpy as np
 
     from multimodal_emotion_processing_tpu import configs
     from multimodal_emotion_processing_tpu.models import build_model
@@ -53,8 +54,39 @@ def measure(name, *, impl="xla", steps=20, reps=4):
             out = predict(state.params, batch)
         jax.block_until_ready(out)
         infer_sps = max(infer_sps, b * steps / (time.perf_counter() - t0))
+
+    # scan-chained path: scan_k distinct batches, scan_k steps per dispatch
+    host = synth_batch(name, exp.model, b)
+    stacked = jax.device_put({
+        k: np.ascontiguousarray(np.broadcast_to(a[None], (scan_k,) + a.shape))
+        for k, a in host.items()})
+    _, scan_step = eng.make_scan_train_step(model, exp.train, impl=impl)
+    sstate = eng.init_state(model, eng.make_optimizer(exp.train), seed=0)
+    sstate, losses = scan_step(sstate, stacked)
+    jax.block_until_ready(losses)
+    scan_train = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(2):
+            sstate, losses = scan_step(sstate, stacked)
+        jax.block_until_ready(losses)
+        scan_train = max(scan_train, b * scan_k * 2 / (time.perf_counter() - t0))
+
+    scan_predict = eng.make_scan_predict_step(model, impl=impl)
+    outs = scan_predict(sstate.params, stacked)
+    jax.block_until_ready(outs)
+    scan_infer = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(2):
+            outs = scan_predict(sstate.params, stacked)
+        jax.block_until_ready(outs)
+        scan_infer = max(scan_infer, b * scan_k * 2 / (time.perf_counter() - t0))
+
     return {"config": name, "impl": impl, "batch": b,
-            "train_sps": round(train_sps, 1), "infer_sps": round(infer_sps, 1)}
+            "train_sps": round(train_sps, 1), "infer_sps": round(infer_sps, 1),
+            "scan_k": scan_k, "scan_train_sps": round(scan_train, 1),
+            "scan_infer_sps": round(scan_infer, 1)}
 
 
 def main():

@@ -1,0 +1,176 @@
+"""Device-resident epoch training: stage the whole dataset in HBM once, then
+run each epoch as ONE dispatch.
+
+These corpora are tiny by TPU standards (CMU-MOSEI: 18.6k train sentences
+x ~194 KB of features ~= 3.6 GB — a quarter of one v5e's HBM), yet the
+reference re-ships every batch host->device every step
+(cmu-mosei/run.py:361-363), and even our prefetched host pipeline is
+H2D-bound on relay-attached chips (docs/ENGINEERING_NOTES.md).  The
+TPU-native fix is to move the EPOCH, not the batch: `device_put` the
+struct-of-arrays dataset once, draw the shuffle permutation on device
+(`jax.random.permutation`), gather each batch from HBM inside a `lax.scan`
+over train steps, and return per-step losses — one dispatch per epoch,
+zero steady-state H2D.  Measured on v5e: the same scan-rate throughput as
+the device-resident benchmark (millions of samples/s) instead of the host
+pipeline's thousands.
+
+Semantics vs train/engine.Trainer:
+  * the optimizer step, RNG chain, loss math, and R-Drop adjacent
+    duplication are identical (same `_make_step_fn`);
+  * the shuffle is `jax.random.permutation` (device) rather than the host
+    Batcher's numpy shuffle — same distribution, different draws;
+  * train epochs DROP the final partial batch (static scan shape); eval
+    covers every sample exactly via zero-weight row padding, so epoch
+    valid losses equal the host path's batch-mean aggregation bit-for-bit
+    on the same parameters (tested).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import schedule
+from .engine import (EpochStats, _make_step_fn, batch_loss, init_state,
+                     make_optimizer, set_learning_rate)
+
+
+def stage_dataset(samples, *, pad_to_multiple: Optional[int] = None):
+    """Stack samples struct-of-arrays and device_put ONCE.  With
+    `pad_to_multiple`, zero rows + a `sample_weight` vector are appended so
+    unshuffled slicing covers every sample in static-shape batches (the
+    weighted loss ignores the padding exactly like data/loader.Batcher's
+    padded final batch).  Returns (device data dict, n_real)."""
+    samples = list(samples)
+    if not samples:
+        raise ValueError("empty sample list")
+    soa = {k: np.stack([np.asarray(s[k]) for s in samples])
+           for k in samples[0]}
+    n = len(samples)
+    if pad_to_multiple:
+        m = -(-n // pad_to_multiple) * pad_to_multiple
+        if m != n:
+            soa = {k: np.concatenate(
+                [v, np.zeros((m - n,) + v.shape[1:], v.dtype)])
+                for k, v in soa.items()}
+        w = np.zeros(m, np.float32)
+        w[:n] = 1.0
+        soa["sample_weight"] = w
+    return jax.device_put(soa), n
+
+
+def make_train_epoch(model, tcfg, n_real: int, *, impl: str = "xla",
+                     duplicate: bool = False):
+    """One jitted program per TRAIN EPOCH: device-side shuffle, scan over
+    steps, each step gathering its batch from the staged dataset.  The final
+    partial batch is dropped (static shapes).  `duplicate` repeats each
+    drawn sample twice adjacently (Ren-MME R-Drop, Ren-MME/run.py:143-146).
+    Returns (tx, epoch_fn(state, data, perm_key) -> (state, losses))."""
+    tx = make_optimizer(tcfg)
+    step = _make_step_fn(model, tcfg, tx, impl=impl, fused=True)
+    bs = tcfg.batch_size
+    rows = bs * (2 if duplicate else 1)
+    n_steps = n_real // bs
+    if n_steps == 0:
+        raise ValueError(f"need >= {bs} samples, have {n_real}")
+
+    def epoch(state, data, perm_key):
+        perm = jax.random.permutation(perm_key, n_real)
+        if duplicate:
+            perm = jnp.repeat(perm, 2)
+
+        def body(st, i):
+            idx = jax.lax.dynamic_slice_in_dim(perm, i * rows, rows)
+            batch = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), data)
+            return step(st, batch)
+
+        return jax.lax.scan(body, state, jnp.arange(n_steps))
+
+    return tx, jax.jit(epoch, donate_argnums=(0,))
+
+
+def make_eval_epoch(model, tcfg, n_padded: int, *, impl: str = "xla",
+                    duplicate: bool = False):
+    """One jitted program per EVAL EPOCH over a `stage_dataset(...,
+    pad_to_multiple=batch_size)` set: unshuffled contiguous slices, per-batch
+    weighted losses (k,) back.  Matches the host path's per-batch losses
+    bit-for-bit on the same params.  `duplicate` mirrors an eval loader built
+    with R-Drop duplication (not used by the reference's eval protocol —
+    pipelines build eval loaders without it)."""
+    bs = tcfg.batch_size
+    if n_padded % bs:
+        raise ValueError(f"staged eval set ({n_padded}) not a multiple of "
+                         f"batch_size ({bs}) — stage with pad_to_multiple")
+    n_steps = n_padded // bs
+
+    def epoch(params, data):
+        def body(carry, i):
+            batch = jax.tree.map(
+                lambda x: jax.lax.dynamic_slice_in_dim(x, i * bs, bs), data)
+            if duplicate:
+                batch = jax.tree.map(lambda x: jnp.repeat(x, 2, axis=0), batch)
+            return carry, batch_loss(model, tcfg, params, batch, None, False,
+                                     impl)
+
+        return jax.lax.scan(body, None, jnp.arange(n_steps))[1]
+
+    return jax.jit(epoch)
+
+
+def fit_device_resident(
+    model, tcfg, train_samples, valid_samples, *,
+    epochs: Optional[int] = None, impl: str = "xla", seed: Optional[int] = None,
+    duplicate: bool = False, checkpoint_cb=None, log_cb=None,
+):
+    """Trainer.fit's epoch driver (plateau LR, early stop with save guard,
+    best-checkpoint callback) with one dispatch per train epoch and one per
+    eval epoch.  Use when the dataset fits HBM (see module docstring);
+    returns (final TrainState, [EpochStats])."""
+    train_data, n_train = stage_dataset(train_samples)
+    valid_data, _ = stage_dataset(valid_samples,
+                                  pad_to_multiple=tcfg.batch_size)
+    n_padded = int(valid_data["sample_weight"].shape[0])
+
+    tx, train_epoch = make_train_epoch(model, tcfg, n_train, impl=impl,
+                                       duplicate=duplicate)
+    eval_epoch = make_eval_epoch(model, tcfg, n_padded, impl=impl)
+
+    state = init_state(model, tx, tcfg.seed if seed is None else seed)
+    plateau = schedule.PlateauState(lr=tcfg.lr, factor=tcfg.plateau_factor,
+                                    patience=tcfg.plateau_patience)
+    stopper = schedule.EarlyStop(patience=tcfg.early_stop,
+                                 save_guard=tcfg.save_guard)
+    shuffle_key = jax.random.PRNGKey(
+        (tcfg.seed if seed is None else seed) + 777)
+    history = []
+    n_epochs = tcfg.epochs if epochs is None else epochs
+    bs = tcfg.batch_size
+    for epoch in range(n_epochs):
+        t0 = time.perf_counter()
+        state, tr_losses = train_epoch(state, train_data,
+                                       jax.random.fold_in(shuffle_key, epoch))
+        va_losses = eval_epoch(state.params, valid_data)
+        tr = np.asarray(jax.device_get(tr_losses))
+        va = np.asarray(jax.device_get(va_losses))
+        stats = EpochStats(
+            train_loss=float(tr.mean()), valid_loss=float(va.mean()),
+            steps=int(tr.shape[0]), samples=int(tr.shape[0]) * bs,
+            seconds=time.perf_counter() - t0)
+        history.append(stats)
+        if log_cb:
+            log_cb(epoch, stats)
+        state = set_learning_rate(state, plateau.step(stats.valid_loss))
+        save, stop = stopper.step(stats.valid_loss)
+        if save and checkpoint_cb:
+            checkpoint_cb(state, epoch, stats.valid_loss)
+        if stop:
+            break
+    return state, history
+
+
+__all__ = ["stage_dataset", "make_train_epoch", "make_eval_epoch",
+           "fit_device_resident"]

@@ -310,6 +310,18 @@ def test_batcher_rdrop_duplicate_adjacent():
     np.testing.assert_array_equal(first[0], first[1])  # duplicates adjacent
 
 
+def test_stack_batches_groups_and_tail():
+    from multimodal_emotion_processing_tpu.data.loader import stack_batches
+
+    batches = [{"x": np.full((4, 2), i, np.float32)} for i in range(5)]
+    stacks = list(stack_batches(iter(batches), 2))
+    assert [s["x"].shape for s in stacks] == [(2, 4, 2), (2, 4, 2), (1, 4, 2)]
+    np.testing.assert_array_equal(stacks[0]["x"][1], batches[1]["x"])
+    np.testing.assert_array_equal(stacks[2]["x"][0], batches[4]["x"])
+    with pytest.raises(ValueError):
+        next(stack_batches(iter(batches), 0))
+
+
 def test_batcher_soa_equals_rowwise():
     """The struct-of-arrays fast path must produce byte-identical batches to
     the per-row fallback (same seed -> same shuffle), incl. the padded final
