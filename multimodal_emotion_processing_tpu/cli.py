@@ -42,6 +42,10 @@ def build_parser():
                         help="chain N train/eval steps into one dispatch "
                              "(lax.scan; identical math, amortizes dispatch "
                              "overhead — 12-49x measured at these sizes)")
+        sp.add_argument("--device-resident", action="store_true",
+                        help="stage the dataset in HBM once and run each "
+                             "k-fold epoch as one dispatch (31x steady-state "
+                             "epochs measured; needs the corpus to fit HBM)")
         sp.add_argument("--resume", action="store_true",
                         help="resume an interrupted k-fold run from its "
                              "per-epoch checkpoints (requires --checkpoint-dir)")
@@ -116,7 +120,8 @@ def cmd_train(args, eval_only=False):
         impl=args.impl, sweep_thresholds=args.sweep_thresholds,
         quiet=args.quiet, overrides=parse_overrides(args.set),
         resume=getattr(args, "resume", False),
-        scan_steps=getattr(args, "scan_steps", 1))
+        scan_steps=getattr(args, "scan_steps", 1),
+        device_resident=getattr(args, "device_resident", False))
     if result.report is not None:
         print(json.dumps(result.report, indent=2))
     if result.sweep is not None:

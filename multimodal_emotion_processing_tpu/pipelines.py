@@ -160,10 +160,17 @@ def run_experiment(
     vmap_folds: bool = True,
     resume: bool = False,
     scan_steps: int = 1,
+    device_resident: bool = False,
 ) -> PipelineResult:
     """`scan_steps`: chain this many train/eval steps into one dispatch
     (lax.scan over host-stacked batch groups) — identical math, measured
-    12-49x step throughput at these model sizes (train/engine.py)."""
+    12-49x step throughput at these model sizes (train/engine.py).
+
+    `device_resident`: stage the whole dataset in HBM once and run each
+    k-fold epoch as ONE dispatch (train/vmap_kfold.py; 31x steady-state
+    epochs measured).  Requires the vmapped driver and a static sample set —
+    falls back with a log line when pair-level folds or the robot per-epoch
+    substitution make that impossible."""
     exp = configs.get(config_name)
     if overrides:
         exp = dataclasses.replace(
@@ -246,6 +253,13 @@ def run_experiment(
             _log(f"[{config_name}] resume uses the sequential k-fold driver; "
                  "disabling vmap_folds", quiet)
             vmap_folds = False
+    if device_resident and (not vmap_folds or exp.train.n_folds <= 1
+                            or loader_ctx is not None):
+        # robot real-data re-materializes samples per epoch (text
+        # substitution) — a static HBM-staged set cannot represent that
+        _log(f"[{config_name}] device_resident requires the vmapped driver "
+             "and a static sample set; falling back to host loaders", quiet)
+        device_resident = False
     if vmap_folds and exp.train.n_folds > 1:
         # all folds train in one vmapped step (measured ~4-5x wall-clock on
         # v5e vs sequential; semantics preserved — see train/vmap_kfold.py)
@@ -254,7 +268,8 @@ def run_experiment(
         states, hists, best_member_params, best_member_losses = run_kfold_vmapped(
             train_samples, make_loaders, model, exp.train, store=store,
             name_prefix=config_name, epochs=epochs, impl=impl, log_cb=log_cb,
-            fold_size=exp.train.fold_size, scan_steps=scan_steps)
+            fold_size=exp.train.fold_size, scan_steps=scan_steps,
+            device_resident=device_resident, duplicate=duplicate)
         results = [(None, hists[i]) for i in range(exp.train.n_folds)]
     else:
         results = run_kfold(train_samples, make_loaders, model, exp.train,

@@ -56,6 +56,8 @@ def run_kfold_vmapped(
     shuffle_seed: int = 0,
     log_cb=None,
     scan_steps: int = 1,
+    device_resident: bool = False,
+    duplicate: bool = False,
 ):
     """Drop-in alternative to kfold.run_kfold with the same fold carving and
     checkpoint contract; returns (stacked final TrainState, histories[k],
@@ -66,7 +68,17 @@ def run_kfold_vmapped(
     dispatch (lax.scan over (s, k, B, ...) stacks) — the fold axis fills the
     chip, the scan axis amortizes dispatch overhead; identical math either
     way (tested).  The epoch tail runs as a smaller stack (one extra
-    compile, constant across epochs)."""
+    compile, constant across epochs).
+
+    `device_resident`: stage the full (uniform-shape) sample array in HBM
+    once and run each epoch as ONE dispatch per phase — per-fold device-side
+    shuffles, HBM-gathered (k, B, ...) batches, scan over steps (see
+    train/device_epochs.py for the single-model version and the measured
+    31× steady-state epoch win).  `make_loaders` is unused in this mode;
+    train epochs drop the final partial batch (static shapes), eval covers
+    every sample via zero-weight padding.  `duplicate` reproduces the R-Drop
+    adjacent duplication the host Batcher would apply (train AND valid, as
+    the reference's Ren-MME loaders do, Ren-MME/run.py:123-148)."""
     k = tcfg.n_folds
     samples = list(samples)
     rng = random.Random(shuffle_seed)
@@ -158,38 +170,107 @@ def run_kfold_vmapped(
                                for batches in group])
                 for key in group[0][0]}
 
-    loaders = [make_loaders(t, v) for t, v in splits]
+    if device_resident:
+        bs = tcfg.batch_size
+        rows = bs * (2 if duplicate else 1)
+        data = jax.device_put({key: np.stack([np.asarray(s[key])
+                                              for s in samples])
+                               for key in samples[0]})
+        train_idx = jax.device_put(np.stack(
+            [np.concatenate([np.arange(r.start, r.stop) for r in tr])
+             for _, tr in folds]).astype(np.int32))        # (k, n_tr)
+        n_tr = int(train_idx.shape[1])
+        n_steps_tr = n_tr // bs
+        valid_np = np.stack([np.arange(va.start, va.stop)
+                             for va, _ in folds]).astype(np.int32)
+        n_va = valid_np.shape[1]
+        n_va_pad = -(-n_va // bs) * bs
+        ev_idx = jax.device_put(np.concatenate(
+            [valid_np, np.zeros((k, n_va_pad - n_va), np.int32)], axis=1))
+        ev_w = jax.device_put(np.concatenate(
+            [np.ones((k, n_va), np.float32),
+             np.zeros((k, n_va_pad - n_va), np.float32)], axis=1))
+
+        def _gather(idx):  # (k, rows) row ids -> (k, rows, ...) batch dict
+            return jax.tree.map(
+                lambda x: jnp.take(x, idx.reshape(-1), axis=0)
+                .reshape((k, idx.shape[1]) + x.shape[1:]), data)
+
+        def train_epoch(states_, key):
+            def perm_one(key_i, idx_i):
+                ids = idx_i[jax.random.permutation(key_i, n_tr)]
+                return jnp.repeat(ids, 2) if duplicate else ids
+
+            rowids = jax.vmap(perm_one)(jax.random.split(key, k), train_idx)
+
+            def body(st, i):
+                idx = jax.lax.dynamic_slice_in_dim(rowids, i * rows, rows,
+                                                   axis=1)
+                return jax.vmap(single_step)(st, _gather(idx))
+
+            return jax.lax.scan(body, states_, jnp.arange(n_steps_tr))
+
+        def eval_epoch(states_):
+            def body(c, j):
+                idx = jax.lax.dynamic_slice_in_dim(ev_idx, j * bs, bs, axis=1)
+                w = jax.lax.dynamic_slice_in_dim(ev_w, j * bs, bs, axis=1)
+                if duplicate:
+                    idx = jnp.repeat(idx, 2, axis=1)
+                    w = jnp.repeat(w, 2, axis=1)
+                batch = _gather(idx)
+                batch["sample_weight"] = w
+                return c, jax.vmap(single_eval)(c, batch)
+
+            return jax.lax.scan(body, states_,
+                                jnp.arange(n_va_pad // bs))[1]  # (steps, k)
+
+        train_epoch = jax.jit(train_epoch, donate_argnums=(0,))
+        eval_epoch = jax.jit(eval_epoch)
+        shuffle_key = jax.random.PRNGKey(shuffle_seed + 20903)
+        loaders = None
+    else:
+        loaders = [make_loaders(t, v) for t, v in splits]
     n_epochs = tcfg.epochs if epochs is None else epochs
     for epoch in range(n_epochs):
         t0 = time.perf_counter()
-        train_iters = [tl() for tl, _ in loaders]
-        step_losses, n_steps, n_samples = [], 0, 0
-        if scan_steps > 1:
-            for group in _chunks(zip(*train_iters), scan_steps):
-                states, losses = vstep_scan(states, _stack_chunk(group))
-                step_losses.append(losses)  # (s, k)
-                n_steps += len(group)
-                n_samples += len(group) * int(group[0][0]["label"].shape[0])
+        if device_resident:
+            states, tr_losses = train_epoch(
+                states, jax.random.fold_in(shuffle_key, epoch))
+            n_steps = n_steps_tr
+            n_samples = n_steps_tr * tcfg.batch_size
+            tr = np.mean(np.asarray(jax.device_get(tr_losses)), axis=0)
+            va = np.mean(np.asarray(jax.device_get(eval_epoch(states))),
+                         axis=0)
+            dt = time.perf_counter() - t0
         else:
-            for batches in zip(*train_iters):
-                stacked = _stack_batches(batches)
-                states, losses = vstep(states, stacked)
-                step_losses.append(losses)  # (k,)
-                n_steps += 1
-                n_samples += int(batches[0]["label"].shape[0])
-        tr = np.mean(np.concatenate([np.atleast_2d(x) for x in
-                                     jax.device_get(step_losses)]), axis=0)
+            train_iters = [tl() for tl, _ in loaders]
+            step_losses, n_steps, n_samples = [], 0, 0
+            if scan_steps > 1:
+                for group in _chunks(zip(*train_iters), scan_steps):
+                    states, losses = vstep_scan(states, _stack_chunk(group))
+                    step_losses.append(losses)  # (s, k)
+                    n_steps += len(group)
+                    n_samples += len(group) * int(group[0][0]["label"].shape[0])
+            else:
+                for batches in zip(*train_iters):
+                    stacked = _stack_batches(batches)
+                    states, losses = vstep(states, stacked)
+                    step_losses.append(losses)  # (k,)
+                    n_steps += 1
+                    n_samples += int(batches[0]["label"].shape[0])
+            tr = np.mean(np.concatenate([np.atleast_2d(x) for x in
+                                         jax.device_get(step_losses)]), axis=0)
 
-        valid_iters = [vl() for _, vl in loaders]
-        if scan_steps > 1:
-            va_losses = [veval_scan(states, _stack_chunk(g))
-                         for g in _chunks(zip(*valid_iters), scan_steps)]
-        else:
-            va_losses = [veval(states, _stack_batches(bs))
-                         for bs in zip(*valid_iters)]
-        va = np.mean(np.concatenate([np.atleast_2d(x) for x in
-                                     jax.device_get(va_losses)]), axis=0)
-        dt = time.perf_counter() - t0
+            valid_iters = [vl() for _, vl in loaders]
+            if scan_steps > 1:
+                va_losses = [veval_scan(states, _stack_chunk(g))
+                             for g in _chunks(zip(*valid_iters), scan_steps)]
+            else:
+                va_losses = [veval(states, _stack_batches(bs))
+                             for bs in zip(*valid_iters)]
+            va = np.mean(np.concatenate([np.atleast_2d(x) for x in
+                                         jax.device_get(va_losses)]), axis=0)
+            dt = time.perf_counter() - t0
 
         lrs = []
         for i in range(k):

@@ -87,6 +87,66 @@ def test_vmapped_scan_steps_matches_plain():
                                        rtol=1e-5, atol=1e-6)
 
 
+def test_vmapped_device_resident_kfold():
+    """Device-resident mode: HBM-staged dataset, one dispatch per epoch
+    phase.  The reported per-fold valid loss must equal a host-side
+    recomputation (Batcher + eval_step) on the returned final params —
+    the eval epoch covers exactly the fold's samples."""
+    import random as pyrandom
+
+    from multimodal_emotion_processing_tpu.train import engine as eng
+    from multimodal_emotion_processing_tpu.train.kfold import contiguous_folds
+
+    exp = _exp()
+    model = build_model(exp)
+    samples = synthetic_dataset("rencecps", exp.model, n=44, seed=4)
+
+    states, hists, best, losses = run_kfold_vmapped(
+        samples, None, model, exp.train, epochs=1, shuffle_seed=0,
+        device_resident=True)
+    assert all(len(h) == 1 for h in hists)
+    assert all(np.isfinite([h[0].train_loss, h[0].valid_loss]).all()
+               for h in hists)
+    # 44 samples, 2 folds -> 22 valid / 22 train -> 2 full train steps (drop
+    # remainder of 6), valid padded to 24
+    assert hists[0][0].steps == 2
+
+    shuffled = list(samples)
+    pyrandom.Random(0).shuffle(shuffled)
+    eval_step = eng.make_eval_step(model, exp.train)
+    for i, (va_sl, _) in enumerate(
+            contiguous_folds(len(shuffled), exp.train.n_folds)):
+        params_i = jax.tree.map(lambda x: np.asarray(x[i]), states.params)
+        host = [float(eval_step(params_i, b))
+                for b in Batcher(shuffled[va_sl], exp.train.batch_size,
+                                 shuffle=False)()]
+        np.testing.assert_allclose(float(np.mean(host)),
+                                   hists[i][0].valid_loss,
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_vmapped_device_resident_rdrop_duplicate():
+    """duplicate=True (Ren-MME R-Drop) gathers each drawn sample twice
+    adjacently in train AND valid epochs."""
+    exp = configs.get("ren_mme")
+    exp = dataclasses.replace(
+        exp,
+        model=dataclasses.replace(exp.model, l_len=4, v_len=6, a_len=8,
+                                  dim=12, n_heads=2, l_dim=5, v_dim=4,
+                                  a_dim=3),
+        train=dataclasses.replace(exp.train, n_folds=2, batch_size=4))
+    model = build_model(exp)
+    samples = synthetic_dataset("ren_mme", exp.model, n=24, seed=5)
+    _, hists, best, losses = run_kfold_vmapped(
+        samples, None, model, exp.train, epochs=2, shuffle_seed=0,
+        device_resident=True, duplicate=True)
+    assert all(len(h) == 2 for h in hists)
+    assert all(np.isfinite(l) for l in losses)
+    for p in best:
+        assert all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree_util.tree_leaves(p))
+
+
 def test_vmapped_early_stop_per_fold():
     exp = _exp()
     exp = dataclasses.replace(
