@@ -119,3 +119,15 @@ def test_process_batch_slice():
 
     sl = process_batch_slice(64)  # single-process: full batch
     assert sl == slice(0, 64)
+
+
+def test_latency_bench_helpers():
+    """bench/latency: percentile math + the torch-CPU sequential-ensemble
+    protocol (cmu-mosei/run.py:462-476) run with tiny rep counts."""
+    from multimodal_emotion_processing_tpu.bench import latency
+
+    p = latency._percentiles([0.010, 0.020, 0.030])
+    assert p["p50_ms"] == 20.0 and p["best_ms"] == 10.0
+    t = latency.measure_torch("mosei_trans", members=2, reps=2)
+    assert t is not None and t["p50_ms"] > 0
+    assert latency.measure_torch("rencecps") is None
