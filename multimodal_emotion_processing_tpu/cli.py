@@ -128,36 +128,48 @@ def cmd_train(args, eval_only=False):
         print(json.dumps({"best_thresholds": result.sweep}, indent=2))
 
 
-def cmd_serve(args):
+def _load_members(args, model, verb: str):
+    """Ensemble member params for serve/export: the checkpoint store's best
+    members, or a 4-member random-init fallback (with a stderr note)."""
     import jax
-    import numpy as np
 
+    from .train.checkpoint import CheckpointStore
+
+    if args.checkpoint_dir:
+        store = CheckpointStore(args.checkpoint_dir)
+        params_like = model.init(jax.random.PRNGKey(0))
+        names = store.best_members(args.config)
+        if not names:
+            raise SystemExit(
+                f"no '{args.config}*' members with best checkpoints in "
+                f"{args.checkpoint_dir} — train with --checkpoint-dir first")
+        return [store.restore_params(n, params_like) for n in names]
+    print(f"(no --checkpoint-dir: {verb} randomly initialized ensemble)",
+          file=sys.stderr)
+    return [model.init(jax.random.PRNGKey(i)) for i in range(4)]
+
+
+def cmd_serve(args):
     from . import configs
     from .data.synthetic import synthetic_dataset
     from .models import build_model
     from .serve import StreamingPredictor
-    from .train.checkpoint import CheckpointStore
 
     exp = configs.get(args.config)
     model = build_model(exp)
-    params_like = model.init(jax.random.PRNGKey(0))
-    if args.checkpoint_dir:
-        store = CheckpointStore(args.checkpoint_dir)
-        members = [store.restore_params(n, params_like)
-                   for n in store.best_members(args.config)]
-    else:
-        members = [model.init(jax.random.PRNGKey(i)) for i in range(4)]
-        print("(no --checkpoint-dir: serving randomly initialized ensemble)",
-              file=sys.stderr)
+    members = _load_members(args, model, "serving")
+    from .ops.context_parallel import ensure_cp
+
     sp = StreamingPredictor(model, members, offsets=exp.thresholds,
                             impl=args.impl)
     sample = synthetic_dataset(args.config, exp.model, 1, seed=7)[0]
-    sp.warmup(sample)
     import time
 
-    t0 = time.perf_counter()
-    emotions = sp.emotions(sample, exp.emotion_names)
-    latency_ms = (time.perf_counter() - t0) * 1e3
+    with ensure_cp(args.impl):  # --impl cp: bind a default mesh at trace time
+        sp.warmup(sample)
+        t0 = time.perf_counter()
+        emotions = sp.emotions(sample, exp.emotion_names)
+        latency_ms = (time.perf_counter() - t0) * 1e3
     print("The emotion(s) is(are)")
     for name, prob in emotions.items():
         print(name, prob)
@@ -166,25 +178,14 @@ def cmd_serve(args):
 
 
 def cmd_export(args):
-    import jax
-
     from . import configs
     from .data.synthetic import synthetic_dataset
     from .models import build_model
     from .serve import export_predictor
-    from .train.checkpoint import CheckpointStore
 
     exp = configs.get(args.config)
     model = build_model(exp)
-    params_like = model.init(jax.random.PRNGKey(0))
-    if args.checkpoint_dir:
-        store = CheckpointStore(args.checkpoint_dir)
-        members = [store.restore_params(n, params_like)
-                   for n in store.best_members(args.config)]
-    else:
-        members = [model.init(jax.random.PRNGKey(i)) for i in range(4)]
-        print("(no --checkpoint-dir: exporting randomly initialized ensemble)",
-              file=sys.stderr)
+    members = _load_members(args, model, "exporting")
     sample = synthetic_dataset(args.config, exp.model, 1, seed=0)[0]
     blob = export_predictor(model, members, exp.thresholds, sample,
                             platforms=tuple(args.platforms.split(",")))

@@ -58,6 +58,7 @@ class Batcher:
             raise ValueError("empty sample list")
         self._keys = list(self.samples[0].keys())
         self._stacked = None  # struct-of-arrays cache (built lazily)
+        self._ragged = False  # _stack() failed; don't retry every epoch
 
     def _stack(self):
         """Struct-of-arrays: one contiguous (N, ...) array per key, built once
@@ -78,42 +79,25 @@ class Batcher:
             self.samples = list(self.resample(self._epoch))
             self._epoch += 1
             self._stacked = None  # fresh samples -> fresh SoA cache
-        if self._stacked is None and not self._stack():
-            yield from self._iter_rowwise()
-            return
+            self._ragged = False
+        if self._stacked is None and not self._ragged and not self._stack():
+            self._ragged = True  # remember: O(dataset) attempt, once not per epoch
+
+        def gather(idx, k):
+            if self._stacked is not None:
+                return self._stacked[k][idx]
+            # per-row fallback for heterogeneous sample lists
+            first = np.asarray(self.samples[idx[0]][k])
+            buf = np.zeros((len(idx),) + first.shape, dtype=first.dtype)
+            for row, i in enumerate(idx):
+                buf[row] = self.samples[i][k]
+            return buf
+
         order = np.arange(len(self.samples))
         if self.shuffle:
             self._rng.shuffle(order)
         if self.duplicate:
             order = np.repeat(order, 2)  # sample appears twice, adjacent rows
-        bs = self.batch_size * (2 if self.duplicate else 1)
-        n = len(order)
-        for start in range(0, n, bs):
-            idx = order[start:start + bs]
-            if len(idx) < bs and self.drop_remainder:
-                return
-            actual = len(idx)
-            batch = {}
-            for k, arr in self._stacked.items():
-                if actual == bs or not self.pad_final:
-                    batch[k] = arr[idx]
-                else:
-                    buf = np.zeros((bs,) + arr.shape[1:], dtype=arr.dtype)
-                    buf[:actual] = arr[idx]
-                    batch[k] = buf
-            if self.pad_final:
-                w = np.zeros(bs, np.float32)
-                w[:actual] = 1.0
-                batch["sample_weight"] = w
-            yield batch
-
-    def _iter_rowwise(self) -> Iterator[Dict[str, np.ndarray]]:
-        """Per-row assembly fallback for heterogeneous sample lists."""
-        order = np.arange(len(self.samples))
-        if self.shuffle:
-            self._rng.shuffle(order)
-        if self.duplicate:
-            order = np.repeat(order, 2)
         bs = self.batch_size * (2 if self.duplicate else 1)
         for start in range(0, len(order), bs):
             idx = order[start:start + bs]
@@ -122,13 +106,12 @@ class Batcher:
             actual = len(idx)
             batch = {}
             for k in self._keys:
-                first = np.asarray(self.samples[idx[0]][k])
-                buf = np.zeros((bs,) + first.shape, dtype=first.dtype)
-                for row, i in enumerate(idx):
-                    buf[row] = self.samples[i][k]
-                if not self.pad_final:
-                    buf = buf[:actual]
-                batch[k] = buf
+                g = gather(idx, k)
+                if actual < bs and self.pad_final:
+                    buf = np.zeros((bs,) + g.shape[1:], dtype=g.dtype)
+                    buf[:actual] = g
+                    g = buf
+                batch[k] = g
             if self.pad_final:
                 w = np.zeros(bs, np.float32)
                 w[:actual] = 1.0

@@ -61,6 +61,20 @@ def cp_context(mesh: Mesh, axis: str = "context", mode: str = "psum"):
         _ACTIVE.pop()
 
 
+def ensure_cp(impl: str):
+    """Context manager for entry points (pipelines, CLI serve): a no-op
+    unless `impl == "cp"` with no cp_context already active, in which case a
+    psum-mode binding over ALL local devices is entered — so
+    `--impl cp` works out of the box (one device = degenerate 1-way CP;
+    callers wanting ring mode or a sub-mesh enter cp_context themselves)."""
+    if impl != "cp" or _ACTIVE:
+        return contextlib.nullcontext()
+    import numpy as np
+
+    mesh = Mesh(np.asarray(jax.devices()), ("context",))
+    return cp_context(mesh)
+
+
 def current_cp() -> Tuple[Mesh, str, str]:
     if not _ACTIVE:
         raise RuntimeError(
@@ -102,7 +116,11 @@ def scored_attention_cp(
                        preferred_element_type=jnp.float32) / math.sqrt(dh)
         s = s + cg * sl
         s = s - MASK_PENALTY * (1.0 - ml[:, None, None, :])
-        m = jax.lax.pmax(jnp.max(s, axis=-1, keepdims=True), axis)
+        # stabilizer only — softmax is shift-invariant, so detaching is
+        # exact AND required: pmax has no differentiation rule (training
+        # through impl='cp' would otherwise fail at trace time)
+        m = jax.lax.pmax(
+            jnp.max(jax.lax.stop_gradient(s), axis=-1, keepdims=True), axis)
         e = jnp.exp(s - m)
         z = jax.lax.psum(jnp.sum(e, axis=-1, keepdims=True), axis)
         ctx = jax.lax.psum(

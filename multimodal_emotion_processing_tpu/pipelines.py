@@ -12,6 +12,7 @@ Every pipeline runs in two data modes:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import sys
 from typing import Dict, List, Optional
@@ -143,7 +144,7 @@ def load_real_data(exp, data_root: str):
     raise ValueError(name)
 
 
-def run_experiment(
+def _run_experiment(
     config_name: str,
     *,
     synthetic_data: bool = True,
@@ -342,3 +343,18 @@ def run_experiment(
     for lg in loggers.values():
         lg.close()
     return PipelineResult(config_name, [h for _, h in results], report, sweep, store)
+
+
+@functools.wraps(_run_experiment)
+def run_experiment(config_name: str, **kwargs) -> PipelineResult:
+    # `impl="cp"` needs an ambient cp_context at trace time; bind a default
+    # psum-mode mesh over all local devices when the caller didn't
+    # (ops/context_parallel.ensure_cp) so the CLI's --impl cp just works
+    from .ops.context_parallel import ensure_cp
+
+    with ensure_cp(kwargs.get("impl", "xla")):
+        return _run_experiment(config_name, **kwargs)
+
+
+run_experiment.__name__ = "run_experiment"
+run_experiment.__qualname__ = "run_experiment"

@@ -93,28 +93,50 @@ class CheckpointStore:
         """Every-epoch resume point: full train state + host-side schedule
         (plateau LR controller + early-stop counters).  This is what restart-
         resume restores after preemption; `save_best` keeps serving/ensemble
-        artifacts separate."""
-        self._save_tree(self._dir(name, "last"), _state_dict(state))
-        self.manifest.setdefault(name, {})["last"] = {
-            "path": self._dir(name, "last"),
+        artifacts separate.
+
+        Crash-safe by slot alternation: epochs write to `last_a`/`last_b`
+        alternately and the manifest keeps the previous entry as
+        `last_prev`, so a preemption in the delete-then-save window (the
+        exact scenario resume exists for) always leaves one complete resume
+        point — `restore_last` falls back to it."""
+        prev = self.manifest.get(name, {}).get("last")
+        slot = ("last_a" if prev is None
+                or prev["path"].endswith(("last_b", os.sep + "last"))
+                else "last_b")
+        self._save_tree(self._dir(name, slot), _state_dict(state))
+        entry = self.manifest.setdefault(name, {})
+        if prev is not None:
+            entry["last_prev"] = prev
+        entry["last"] = {
+            "path": self._dir(name, slot),
             "epoch": int(epoch),
             "schedule": schedule or {},
         }
         self._write_manifest()
 
     def restore_last(self, name: str, state_like):
-        """Returns (TrainState, last-entry dict) or None if no resume point."""
+        """Returns (TrainState, last-entry dict) or None if no resume point.
+        Falls back to the previous epoch's slot when the newest save was cut
+        short by a preemption (see save_last)."""
         import orbax.checkpoint as ocp
 
         from .engine import TrainState
 
-        entry = self.manifest.get(name, {}).get("last")
-        if not entry:
-            return None
+        member = self.manifest.get(name, {})
         self.wait()
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(entry["path"], _state_dict(state_like))
-        return TrainState(**restored), entry
+        for key in ("last", "last_prev"):
+            entry = member.get(key)
+            if not entry:
+                continue
+            try:
+                restored = ckptr.restore(entry["path"],
+                                         _state_dict(state_like))
+            except Exception:
+                continue  # partial/deleted save — try the previous slot
+            return TrainState(**restored), entry
+        return None
 
     def mark_done(self, name: str) -> None:
         self.manifest.setdefault(name, {})["done"] = True

@@ -107,7 +107,10 @@ def run_kfold(
             train_loader, valid_loader, epochs=epochs, seed=tcfg.seed + i,
             state=state, start_epoch=start_epoch, plateau=plateau,
             stopper=stopper, last_cb=last_cb if store is not None else None)
-        if store is not None:
+        # eval-only passes (epochs=0) must not mark the fold trained — a
+        # later --resume would skip it and report the partial checkpoints as
+        # a finished run
+        if store is not None and (tcfg.epochs if epochs is None else epochs) > 0:
             store.mark_done(name)
         results.append((state, history))
     return results

@@ -171,11 +171,11 @@ def run_kfold_vmapped(
                 for key in group[0][0]}
 
     if device_resident:
+        from .device_epochs import stage_dataset
+
         bs = tcfg.batch_size
         rows = bs * (2 if duplicate else 1)
-        data = jax.device_put({key: np.stack([np.asarray(s[key])
-                                              for s in samples])
-                               for key in samples[0]})
+        data, _ = stage_dataset(samples)  # one tested SoA-staging impl
         train_idx = jax.device_put(np.stack(
             [np.concatenate([np.arange(r.start, r.stop) for r in tr])
              for _, tr in folds]).astype(np.int32))        # (k, n_tr)
@@ -237,7 +237,9 @@ def run_kfold_vmapped(
             states, tr_losses = train_epoch(
                 states, jax.random.fold_in(shuffle_key, epoch))
             n_steps = n_steps_tr
-            n_samples = n_steps_tr * tcfg.batch_size
+            # `rows` counts the R-Drop duplicates like the host Batcher's
+            # label.shape[0] does — keeps samples/s comparable across modes
+            n_samples = n_steps_tr * rows
             tr = np.mean(np.asarray(jax.device_get(tr_losses)), axis=0)
             va = np.mean(np.asarray(jax.device_get(eval_epoch(states))),
                          axis=0)

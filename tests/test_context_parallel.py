@@ -169,3 +169,55 @@ def test_impl_cp_requires_context():
     q, k, v, m, prev, c, h = _inputs()
     with pytest.raises(RuntimeError, match="cp_context"):
         scored_attention(q, k, v, m, prev, c, n_heads=h, impl="cp")
+
+
+def test_ensure_cp_binding():
+    """Entry-point helper: null for xla, binds a default all-device psum mesh
+    for impl='cp' when none is active, and defers to an existing binding
+    (so `--impl cp` works from the CLI without crashing at trace time)."""
+    import contextlib
+
+    from multimodal_emotion_processing_tpu.ops.context_parallel import (
+        cp_context, current_cp, ensure_cp)
+
+    assert isinstance(ensure_cp("xla"), contextlib.nullcontext)
+    with ensure_cp("cp"):
+        mesh, axis, mode = current_cp()
+        assert axis == "context" and mode == "psum"
+        assert mesh.devices.size == len(jax.devices())
+        # an active binding wins: ensure_cp must not stack a second one
+        with ensure_cp("cp"):
+            assert current_cp()[0] is mesh
+    ring_mesh = _mesh(2)
+    with cp_context(ring_mesh, mode="ring"):
+        with ensure_cp("cp"):
+            assert current_cp() == (ring_mesh, "context", "ring")
+
+
+def test_psum_cp_grads_match_single_device():
+    """psum-mode CP gradients equal the einsum oracle's (chained blocks).
+    Regression: the softmax stabilizer pmax has no differentiation rule, so
+    it must sit behind stop_gradient (exact — softmax is shift-invariant);
+    before that fix, `train --impl cp` crashed at trace time."""
+    import jax.numpy as jnp
+
+    from multimodal_emotion_processing_tpu.ops.context_parallel import (
+        scored_attention_cp)
+
+    q, k, v, m, prev, c, h = _inputs(b=2, lq=8, lkv=16, h=2, d=8, seed=9)
+    mesh = _mesh()
+
+    def loss(fn, **kw):
+        def f(q, k, v, prev, c):
+            ctx1, s1 = fn(q, k, v, m, None, c, n_heads=h, **kw)
+            ctx2, _ = fn(ctx1, k, v, m, s1, c, n_heads=h, **kw)
+            return jnp.sum(ctx2 ** 2) + 0.1 * jnp.sum(ctx1 ** 2)
+        return jax.jit(f)
+
+    ref = loss(scored_attention)
+    cp = loss(scored_attention_cp, mesh=mesh)
+    g_ref = jax.grad(ref, argnums=(0, 1, 2, 4))(q, k, v, prev, c)
+    g_cp = jax.grad(cp, argnums=(0, 1, 2, 4))(q, k, v, prev, c)
+    for n_, a, b in zip(("dq", "dk", "dv", "dc"), g_ref, g_cp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4, err_msg=n_)

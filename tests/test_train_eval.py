@@ -457,3 +457,42 @@ def test_report_formatting_and_save(tmp_path):
     path = str(tmp_path / "r.json")
     save_report(rep, path)
     assert json.load(open(path)) == rep
+
+
+def test_eval_only_does_not_mark_done(tmp_path):
+    """epochs=0 (the eval CLI path) must not mark folds trained — a later
+    --resume would otherwise skip training entirely and report the partial
+    checkpoints as a finished run."""
+    _, store, _ = _kfold_run(tmp_path, "ck0", epochs=0)
+    assert not store.is_done("m_1") and not store.is_done("m_2")
+
+
+def test_save_last_crash_window_falls_back(tmp_path):
+    """A preemption that destroys the newest resume slot (the delete-then-
+    save window) must fall back to the previous epoch's slot: save_last
+    alternates last_a/last_b and keeps the prior manifest entry."""
+    import shutil
+
+    from multimodal_emotion_processing_tpu.train import engine as eng
+
+    exp = tiny_exp("rencecps", n_folds=2, epochs=9)
+    model = build_model(exp)
+    store = CheckpointStore(str(tmp_path / "ck"))
+    tx = eng.make_optimizer(exp.train)
+    s0 = eng.init_state(model, tx, seed=0)
+    s1 = eng.init_state(model, tx, seed=1)
+    store.save_last("m_1", s0, 0, {"tag": 0})
+    store.save_last("m_1", s1, 1, {"tag": 1})
+    # the two epochs landed in different slots
+    a = store.manifest["m_1"]["last_prev"]["path"]
+    b = store.manifest["m_1"]["last"]["path"]
+    assert a != b
+    # simulate the crash window: the newest slot is gone/partial
+    shutil.rmtree(b)
+    restored = store.restore_last("m_1", eng.init_state(model, tx, seed=7))
+    assert restored is not None
+    state, entry = restored
+    assert entry["epoch"] == 0 and entry["schedule"] == {"tag": 0}
+    for x, y in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(s0.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
