@@ -47,6 +47,9 @@ def load_video_multires(path: str, v_len: int,
     # reference >= chain: highest resolution wins ties (1024 over 512 over 256)
     res = max(sorted(dims, reverse=True), key=lambda d: len(by_res[d]))
     chosen = by_res[res]
+    if not chosen:  # frames exist but none match a resolution slot (corrupt
+        # or foreign-extractor features) — same zeros fallback as an empty file
+        return zeros[0], zeros[1], zeros[2], np.zeros(v_len, np.float32)
     feat, mask = masking.pad_or_subsample(np.stack(chosen), v_len)
     out = {d: np.zeros((v_len, d), np.float32) for d in dims}
     out[res] = feat

@@ -96,6 +96,17 @@ class CsdSource(FeatureSource):
     def names(self):
         return self._data.keys()
 
+    def close(self):
+        """Release the HDF5 handle (repeated experiment runs in one process
+        otherwise accumulate open fds); safe to call twice."""
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
 
 class NpyDirSource(FeatureSource):
     """Directory of per-sentence .npy files (Ren-MME/rencecps/robot layout)."""

@@ -106,6 +106,18 @@ def scored_attention_cp(
         raise NotImplementedError("CP attention supports 2-D key masks")
     if scores_prev is None:
         scores_prev = jnp.zeros((b, n_heads, lq, lkv), jnp.float32)
+    # shard_map needs the kv axis divisible by the mesh axis; pad k/v with
+    # zero rows carrying mask=0 (the −1e8 penalty zeroes them in the softmax,
+    # exactly like real masked keys) and slice the emitted scores back.  This
+    # keeps the "any sequence length" contract on any device count.
+    n = mesh.shape[axis]
+    pad = (-lkv) % n
+    if pad:
+        zrow = lambda x: jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        k, v = zrow(k), zrow(v)
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+        scores_prev = jnp.pad(scores_prev,
+                              ((0, 0), (0, 0), (0, 0), (0, pad)))
 
     def local(qg, kl, vl, ml, sl, cg):
         qh = split_heads(qg, n_heads)
@@ -134,7 +146,10 @@ def scored_attention_cp(
                   P(None, None, None, axis), P()),
         out_specs=(P(), P(None, None, None, axis)),
     )
-    return shard(q, k, v, mask, scores_prev, c)
+    ctx, scores = shard(q, k, v, mask, scores_prev, c)
+    if pad:
+        scores = scores[..., :lkv]  # drop the padded key columns
+    return ctx, scores
 
 
 def ring_scored_attention(

@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .attention import MASK_PENALTY, merge_heads, split_heads
-from .pallas_attention import _interpret, _VMEM_BUDGET
+from .pallas_attention import _attn_bwd, _interpret, _VMEM_BUDGET
 
 LN_EPS = 1e-5
 
@@ -184,30 +184,17 @@ def _make(n_heads: int):
         dctx = jnp.einsum("bqe,de->bqd", dx, projw.astype(acc))
         dprojw = jnp.einsum("bqd,bqe->de", ctx.astype(acc), dx).astype(projw.dtype)
 
-        # attention backward (identical to pallas_attention's VJP)
-        qh = split_heads(q, n_heads)
-        kh = split_heads(k, n_heads)
-        dh = qh.shape[-1]
-        inv_sqrt = 1.0 / math.sqrt(dh)
-        dctx_h = split_heads(dctx.astype(q.dtype), n_heads)
-        dv = jnp.einsum("bhqk,bhqd->bhkd", p, dctx_h,
-                        preferred_element_type=acc)
-        dp = jnp.einsum("bhqd,bhkd->bhqk", dctx_h, vh,
-                        preferred_element_type=acc)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        ds = ds + dscores_in
-        dq_attn = jnp.einsum("bhqk,bhkd->bhqd", ds, kh,
-                             preferred_element_type=acc) * inv_sqrt
-        dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qh,
-                        preferred_element_type=acc) * inv_sqrt
+        # attention backward — the one shared implementation
+        # (pallas_attention._attn_bwd; keeping a copy here drifted once)
+        ds, dq_attn, dk, dv = _attn_bwd(q, k, v, scores, dscores_in,
+                                        dctx.astype(q.dtype), n_heads)
         dc = jnp.sum(ds * sprev).reshape(1).astype(c.dtype)
         dsprev = c * ds
         dmask = MASK_PENALTY * jnp.sum(ds, axis=(1, 2))
-        dq = (dq_direct + merge_heads(dq_attn)).astype(q.dtype)
-        return (dq, merge_heads(dk).astype(k.dtype),
-                merge_heads(dv).astype(v.dtype), dmask.astype(q.dtype),
-                dsprev.astype(sprev.dtype), dc, dprojw, dmwq, dmwx,
-                dlns, dlnb)
+        dq = (dq_direct + dq_attn).astype(q.dtype)
+        return (dq, dk.astype(k.dtype), dv.astype(v.dtype),
+                dmask.astype(q.dtype), dsprev.astype(sprev.dtype), dc,
+                dprojw, dmwq, dmwx, dlns, dlnb)
 
     block.defvjp(fwd, bwd)
     return block

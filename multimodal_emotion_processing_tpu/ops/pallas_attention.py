@@ -86,8 +86,12 @@ def _make_fwd_kernel(n_heads: int, block_b: int, has_sprev: bool, emit: bool):
                 if emit:
                     scores_ref[bb, h] = s
                 p = jax.nn.softmax(s, axis=-1)
-                ctx_ref[bb, :, sl] = jnp.dot(p, v_ref[bb, :, sl],
-                                             preferred_element_type=jnp.float32)
+                # cast: the f32 MXU accumulation must match the (possibly
+                # bf16) output ref dtype — without it any non-f32 input
+                # crashes the store (compute_dtype="bfloat16" + impl="pallas")
+                ctx_ref[bb, :, sl] = jnp.dot(
+                    p, v_ref[bb, :, sl],
+                    preferred_element_type=jnp.float32).astype(ctx_ref.dtype)
 
     return kernel
 

@@ -65,28 +65,38 @@ def load_real_data(exp, data_root: str):
 
         from .data.mosei_folds import standard_test_fold
 
-        l_src = CsdSource(os.path.join(data_root, "glove_vectors.csd"))
-        v_src = CsdSource(os.path.join(data_root, "FACET 4.2.csd"))
-        a_src = CsdSource(os.path.join(data_root, "COAVAREP.csd"))
-        test_fold = standard_test_fold(data_root)
-        if name == "mosei_trans":
-            train_pairs, test_pairs, labels = mosei.parse_labels(
-                os.path.join(data_root, "labels.txt"),
-                test_videos=test_fold)
-            asm = mosei.PairSampleAssembler(m, l_src, v_src, a_src, labels)
-            # train: pair-level units (reference folds count pairs);
-            # test: flat with crop-group ids for crop-averaged evaluation
-            return (asm.materialize_units(train_pairs),
-                    asm.materialize(test_pairs), None)
-        label_src = CsdSource(os.path.join(data_root, "All Labels.csd"))
-        videos = sorted({n.split("[")[0] for n in v_src.names()})
-        train_v = [v for v in videos if v not in test_fold]
-        test_v = [v for v in videos if v in test_fold]
-        present = set(v_src.names())
-        asm = mosei.ParagraphSampleAssembler(m, l_src, v_src, a_src, label_src)
-        return (asm.materialize(mosei.paragraph_windows(train_v, present, m.p_len)),
-                asm.materialize(mosei.paragraph_windows(test_v, present, m.p_len)),
-                None)
+        import contextlib
+
+        with contextlib.ExitStack() as stack:  # close HDF5 handles on return
+            l_src = stack.enter_context(
+                CsdSource(os.path.join(data_root, "glove_vectors.csd")))
+            v_src = stack.enter_context(
+                CsdSource(os.path.join(data_root, "FACET 4.2.csd")))
+            a_src = stack.enter_context(
+                CsdSource(os.path.join(data_root, "COAVAREP.csd")))
+            test_fold = standard_test_fold(data_root)
+            if name == "mosei_trans":
+                train_pairs, test_pairs, labels = mosei.parse_labels(
+                    os.path.join(data_root, "labels.txt"),
+                    test_videos=test_fold)
+                asm = mosei.PairSampleAssembler(m, l_src, v_src, a_src, labels)
+                # train: pair-level units (reference folds count pairs);
+                # test: flat with crop-group ids for crop-averaged evaluation
+                return (asm.materialize_units(train_pairs),
+                        asm.materialize(test_pairs), None)
+            label_src = stack.enter_context(
+                CsdSource(os.path.join(data_root, "All Labels.csd")))
+            videos = sorted({n.split("[")[0] for n in v_src.names()})
+            train_v = [v for v in videos if v not in test_fold]
+            test_v = [v for v in videos if v in test_fold]
+            present = set(v_src.names())
+            asm = mosei.ParagraphSampleAssembler(m, l_src, v_src, a_src,
+                                                 label_src)
+            return (asm.materialize(
+                        mosei.paragraph_windows(train_v, present, m.p_len)),
+                    asm.materialize(
+                        mosei.paragraph_windows(test_v, present, m.p_len)),
+                    None)
     if name == "rencecps":
         from .data import rencecps
         from .data.sources import NpyDirSource

@@ -221,3 +221,19 @@ def test_psum_cp_grads_match_single_device():
     for n_, a, b in zip(("dq", "dk", "dv", "dc"), g_ref, g_cp):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=2e-4, err_msg=n_)
+
+
+def test_psum_cp_pads_indivisible_kv():
+    """psum mode keeps its any-sequence-length contract on any device count:
+    Lkv not divisible by the mesh axis is zero-padded (mask-0 keys, exact
+    under the -1e8 penalty) and the emitted scores are sliced back."""
+    q, k, v, m, prev, c, h = _inputs(b=2, lq=8, lkv=10, h=2, d=8, seed=11)
+    mesh = _mesh(4)  # 10 % 4 != 0
+    ctx_ref, s_ref = scored_attention(q, k, v, m, prev, c, n_heads=h)
+    ctx_cp, s_cp = jax.jit(lambda *a: scored_attention_cp(
+        *a, n_heads=h, mesh=mesh))(q, k, v, m, prev, c)
+    assert s_cp.shape == s_ref.shape
+    np.testing.assert_allclose(np.asarray(ctx_cp), np.asarray(ctx_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_cp), np.asarray(s_ref),
+                               rtol=2e-5, atol=2e-5)

@@ -477,3 +477,17 @@ def test_robot_assembler_feature_cache(tmp_path):
             np.testing.assert_array_equal(a[k], b[k])
     with pytest.raises(FileNotFoundError):
         build(False).materialize(names)
+
+
+def test_video_multires_no_matching_resolution(tmp_path):
+    """Frames whose dims match NO resolution slot (foreign extractor /
+    corrupt pickle) take the same zeros+zero-mask fallback as an empty file
+    instead of crashing on np.stack([])."""
+    rng = np.random.default_rng(1)
+    frames = [rng.standard_normal(2048).astype(np.float32) for _ in range(3)]
+    p = tmp_path / "bad.pk"
+    with open(p, "wb") as f:
+        pickle.dump(frames, f)
+    f256, f512, f1024, mask = robot.load_video_multires(str(p), v_len=4)
+    assert (f256 == 0).all() and (f512 == 0).all() and (f1024 == 0).all()
+    assert (mask == 0).all()

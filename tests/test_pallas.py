@@ -210,3 +210,19 @@ def test_pallas_full_model_parity():
     out_p = model.apply(params, batch, impl="pallas")
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_bf16_inputs():
+    """The compute_dtype='bfloat16' path feeds bf16 q/k/v into the kernel —
+    the MXU's f32 accumulation must cast back at the ctx store (regression:
+    crashed with 'Invalid dtype for swap')."""
+    q, k, v, mask, prev, c, h = _inputs()
+    bf = lambda x: x.astype(jnp.bfloat16)
+    ctx_p, s_p = scored_attention(bf(q), bf(k), bf(v), bf(mask), prev, bf(c),
+                                  n_heads=h, impl="pallas")
+    assert ctx_p.dtype == jnp.bfloat16
+    ctx_x, s_x = scored_attention(bf(q), bf(k), bf(v), bf(mask), prev, bf(c),
+                                  n_heads=h, impl="xla")
+    np.testing.assert_allclose(np.asarray(ctx_p, np.float32),
+                               np.asarray(ctx_x, np.float32),
+                               rtol=5e-2, atol=5e-2)
