@@ -264,6 +264,13 @@ def _run_experiment(
             _log(f"[{config_name}] resume uses the sequential k-fold driver; "
                  "disabling vmap_folds", quiet)
             vmap_folds = False
+    if device_resident and (exp.train.epochs if epochs is None
+                            else epochs) == 0:
+        # eval-only: don't pay the one-time HBM staging (~minutes on relay
+        # hosts) for an epoch loop that never runs
+        _log(f"[{config_name}] device_resident is a no-op with epochs=0; "
+             "skipping dataset staging", quiet)
+        device_resident = False
     if device_resident and (not vmap_folds or exp.train.n_folds <= 1
                             or loader_ctx is not None):
         # robot real-data re-materializes samples per epoch (text
@@ -271,6 +278,21 @@ def _run_experiment(
         _log(f"[{config_name}] device_resident requires the vmapped driver "
              "and a static sample set; falling back to host loaders", quiet)
         device_resident = False
+    if device_resident:
+        n = len(train_samples)
+        fs, kf = exp.train.fold_size, exp.train.n_folds
+        fold = fs if fs is not None and fs * kf <= n else n // kf
+        if (n - fold) < exp.train.batch_size:
+            # the host path pads a partial batch; the static epoch program
+            # drops it — with zero full batches there is nothing to train
+            _log(f"[{config_name}] device_resident needs >= batch_size "
+                 f"({exp.train.batch_size}) train samples per fold, have "
+                 f"{n - fold}; falling back to host loaders", quiet)
+            device_resident = False
+        elif scan_steps > 1:
+            _log(f"[{config_name}] device_resident subsumes scan_steps "
+                 "(each epoch is already one dispatch); ignoring "
+                 f"scan_steps={scan_steps}", quiet)
     if vmap_folds and exp.train.n_folds > 1:
         # all folds train in one vmapped step (measured ~4-5x wall-clock on
         # v5e vs sequential; semantics preserved — see train/vmap_kfold.py)

@@ -47,8 +47,13 @@ class CheckpointStore:
                 self.manifest = json.load(f)
 
     def _write_manifest(self):
-        with open(self._manifest_path, "w") as f:
+        # atomic: save_last calls this every epoch; a preemption mid-write
+        # must not leave a truncated manifest that makes every checkpoint
+        # on disk unreachable
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(self.manifest, f, indent=2)
+        os.replace(tmp, self._manifest_path)
 
     def _dir(self, name: str, kind: str) -> str:
         return os.path.abspath(os.path.join(self.root, name, kind))
@@ -99,15 +104,20 @@ class CheckpointStore:
         alternately and the manifest keeps the previous entry as
         `last_prev`, so a preemption in the delete-then-save window (the
         exact scenario resume exists for) always leaves one complete resume
-        point — `restore_last` falls back to it."""
-        prev = self.manifest.get(name, {}).get("last")
-        slot = ("last_a" if prev is None
-                or prev["path"].endswith(("last_b", os.sep + "last"))
-                else "last_b")
+        point — `restore_last` falls back to it.  The slot to overwrite is
+        chosen against the newest entry whose directory actually EXISTS
+        (orbax commits by atomic rename, so existing == complete): after a
+        fallback resume — the manifest's `last` destroyed mid-save — the
+        next save must not overwrite the surviving slot."""
+        member = self.manifest.get(name, {})
+        good = next((e for e in (member.get("last"), member.get("last_prev"))
+                     if e and os.path.isdir(e["path"])), None)
+        slot = ("last_a" if good is None
+                or not good["path"].endswith("last_a") else "last_b")
         self._save_tree(self._dir(name, slot), _state_dict(state))
         entry = self.manifest.setdefault(name, {})
-        if prev is not None:
-            entry["last_prev"] = prev
+        if good is not None:
+            entry["last_prev"] = good
         entry["last"] = {
             "path": self._dir(name, slot),
             "epoch": int(epoch),
@@ -130,11 +140,13 @@ class CheckpointStore:
             entry = member.get(key)
             if not entry:
                 continue
-            try:
-                restored = ckptr.restore(entry["path"],
-                                         _state_dict(state_like))
-            except Exception:
-                continue  # partial/deleted save — try the previous slot
+            if not os.path.isdir(entry["path"]):
+                continue  # destroyed mid-save (orbax commits by atomic
+                # rename, so a missing dir IS the partial-save signature)
+            # an existing directory is a complete checkpoint: a restore
+            # failure here is structural (e.g. resuming under a changed
+            # model config) and must surface, not silently retrain
+            restored = ckptr.restore(entry["path"], _state_dict(state_like))
             return TrainState(**restored), entry
         return None
 

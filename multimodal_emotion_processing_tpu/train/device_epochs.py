@@ -63,6 +63,29 @@ def stage_dataset(samples, *, pad_to_multiple: Optional[int] = None):
     return jax.device_put(soa), n
 
 
+def gather_rows(data, idx):
+    """HBM gather: `idx` (..., rows) row ids into a staged SoA dict →
+    batch dict whose leaves carry idx's leading axes.  Shared by the
+    single-model epoch here and the vmapped k-fold driver."""
+    flat = idx.reshape(-1)
+    return jax.tree.map(
+        lambda x: jnp.take(x, flat, axis=0).reshape(
+            idx.shape + x.shape[1:]), data)
+
+
+def padded_eval_indices(idx: np.ndarray, bs: int):
+    """Pad per-fold eval index rows (k, n) to a batch-size multiple with
+    row-0 ids carrying weight 0 (the weighted loss ignores them exactly like
+    data/loader.Batcher's padded final batch).  Returns (ev_idx, ev_w)."""
+    k, n = idx.shape
+    m = -(-n // bs) * bs
+    ev_idx = np.concatenate([idx, np.zeros((k, m - n), np.int32)],
+                            axis=1).astype(np.int32)
+    ev_w = np.concatenate([np.ones((k, n), np.float32),
+                           np.zeros((k, m - n), np.float32)], axis=1)
+    return ev_idx, ev_w
+
+
 def make_train_epoch(model, tcfg, n_real: int, *, impl: str = "xla",
                      duplicate: bool = False):
     """One jitted program per TRAIN EPOCH: device-side shuffle, scan over
@@ -85,8 +108,7 @@ def make_train_epoch(model, tcfg, n_real: int, *, impl: str = "xla",
 
         def body(st, i):
             idx = jax.lax.dynamic_slice_in_dim(perm, i * rows, rows)
-            batch = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), data)
-            return step(st, batch)
+            return step(st, gather_rows(data, idx))
 
         return jax.lax.scan(body, state, jnp.arange(n_steps))
 
@@ -172,5 +194,5 @@ def fit_device_resident(
     return state, history
 
 
-__all__ = ["stage_dataset", "make_train_epoch", "make_eval_epoch",
-           "fit_device_resident"]
+__all__ = ["stage_dataset", "gather_rows", "padded_eval_indices",
+           "make_train_epoch", "make_eval_epoch", "fit_device_resident"]

@@ -171,7 +171,7 @@ def run_kfold_vmapped(
                 for key in group[0][0]}
 
     if device_resident:
-        from .device_epochs import stage_dataset
+        from .device_epochs import gather_rows, padded_eval_indices, stage_dataset
 
         bs = tcfg.batch_size
         rows = bs * (2 if duplicate else 1)
@@ -181,20 +181,20 @@ def run_kfold_vmapped(
              for _, tr in folds]).astype(np.int32))        # (k, n_tr)
         n_tr = int(train_idx.shape[1])
         n_steps_tr = n_tr // bs
+        if n_steps_tr == 0:  # same guard as device_epochs.make_train_epoch —
+            # zero scan steps would "finish" with untrained params + NaN loss
+            raise ValueError(
+                f"device_resident needs >= {bs} train samples per fold, "
+                f"have {n_tr}")
         valid_np = np.stack([np.arange(va.start, va.stop)
                              for va, _ in folds]).astype(np.int32)
-        n_va = valid_np.shape[1]
-        n_va_pad = -(-n_va // bs) * bs
-        ev_idx = jax.device_put(np.concatenate(
-            [valid_np, np.zeros((k, n_va_pad - n_va), np.int32)], axis=1))
-        ev_w = jax.device_put(np.concatenate(
-            [np.ones((k, n_va), np.float32),
-             np.zeros((k, n_va_pad - n_va), np.float32)], axis=1))
+        n_va_pad_idx, n_va_pad_w = padded_eval_indices(valid_np, bs)
+        ev_idx = jax.device_put(n_va_pad_idx)
+        ev_w = jax.device_put(n_va_pad_w)
+        n_va_pad = int(ev_idx.shape[1])
 
         def _gather(idx):  # (k, rows) row ids -> (k, rows, ...) batch dict
-            return jax.tree.map(
-                lambda x: jnp.take(x, idx.reshape(-1), axis=0)
-                .reshape((k, idx.shape[1]) + x.shape[1:]), data)
+            return gather_rows(data, idx)
 
         def train_epoch(states_, key):
             def perm_one(key_i, idx_i):

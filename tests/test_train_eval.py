@@ -496,3 +496,53 @@ def test_save_last_crash_window_falls_back(tmp_path):
     for x, y in zip(jax.tree_util.tree_leaves(state.params),
                     jax.tree_util.tree_leaves(s0.params)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_save_last_after_fallback_preserves_surviving_slot(tmp_path):
+    """After a fallback resume (newest slot destroyed), the next save_last
+    must overwrite the BROKEN slot, not the surviving one — otherwise a
+    second preemption leaves no resume point at all."""
+    import shutil
+
+    from multimodal_emotion_processing_tpu.train import engine as eng
+
+    exp = tiny_exp("rencecps", n_folds=2, epochs=9)
+    model = build_model(exp)
+    store = CheckpointStore(str(tmp_path / "ck"))
+    tx = eng.make_optimizer(exp.train)
+    states = [eng.init_state(model, tx, seed=i) for i in range(3)]
+    store.save_last("m_1", states[0], 0)
+    store.save_last("m_1", states[1], 1)
+    surviving = store.manifest["m_1"]["last_prev"]["path"]   # epoch 0
+    shutil.rmtree(store.manifest["m_1"]["last"]["path"])     # crash window
+    store.save_last("m_1", states[2], 2)
+    # epoch 2 landed in the broken slot; the surviving epoch-0 slot intact
+    assert store.manifest["m_1"]["last"]["epoch"] == 2
+    assert store.manifest["m_1"]["last_prev"]["path"] == surviving
+    assert store.manifest["m_1"]["last_prev"]["epoch"] == 0
+    import os
+    assert os.path.isdir(surviving)
+    # destroy the new save too: fallback still finds epoch 0
+    shutil.rmtree(store.manifest["m_1"]["last"]["path"])
+    state, entry = store.restore_last("m_1", eng.init_state(model, tx, seed=9))
+    assert entry["epoch"] == 0
+
+
+def test_restore_last_surfaces_structural_mismatch(tmp_path):
+    """A COMPLETE checkpoint that fails to restore (e.g. resuming under a
+    changed model config) must raise, not silently retrain from scratch."""
+    import pytest
+
+    from multimodal_emotion_processing_tpu.train import engine as eng
+
+    exp = tiny_exp("rencecps", n_folds=2, epochs=9)
+    model = build_model(exp)
+    store = CheckpointStore(str(tmp_path / "ck"))
+    tx = eng.make_optimizer(exp.train)
+    store.save_last("m_1", eng.init_state(model, tx, seed=0), 0)
+    # a different model FAMILY has a different param tree structure
+    other_exp = tiny_exp("ren_mme", n_folds=2, epochs=9)
+    other = build_model(other_exp)
+    other_tx = eng.make_optimizer(other_exp.train)
+    with pytest.raises(Exception):
+        store.restore_last("m_1", eng.init_state(other, other_tx, seed=0))

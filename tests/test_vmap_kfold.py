@@ -177,3 +177,18 @@ def test_vmapped_returns_best_params_without_store():
         assert p is not None
         assert all(np.isfinite(np.asarray(x)).all()
                    for x in jax.tree_util.tree_leaves(p))
+
+
+def test_device_resident_rejects_too_small_folds():
+    """n_tr < batch_size would scan zero steps and report NaN losses —
+    guard matches device_epochs.make_train_epoch."""
+    import pytest
+
+    exp = _exp()
+    exp = dataclasses.replace(
+        exp, train=dataclasses.replace(exp.train, batch_size=64))
+    model = build_model(exp)
+    samples = synthetic_dataset("rencecps", exp.model, n=44, seed=4)
+    with pytest.raises(ValueError, match="train samples per fold"):
+        run_kfold_vmapped(samples, None, model, exp.train, epochs=1,
+                          device_resident=True)
