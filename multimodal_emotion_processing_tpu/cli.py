@@ -68,6 +68,25 @@ def build_parser():
     ex.add_argument("--platforms", default="tpu,cpu",
                     help="comma-separated export platforms")
 
+    it = sub.add_parser(
+        "import-torch",
+        help="convert reference .pt checkpoints (torch state dicts, the "
+             "files cmu-mosei/run.py:446-453 reloads by name) into this "
+             "framework's checkpoint store — then `eval`/`serve`/`export` "
+             "use them directly")
+    it.add_argument("config")
+    it.add_argument("pt", nargs="+", help=".pt files, one ensemble member "
+                    "each (fold order = argument order)")
+    it.add_argument("--checkpoint-dir", required=True)
+
+    et = sub.add_parser(
+        "export-torch",
+        help="write each best member back out as a reference-format torch "
+             "state dict (.pt) loadable by the original scripts")
+    et.add_argument("config")
+    et.add_argument("--checkpoint-dir", required=True)
+    et.add_argument("--out", default=".", help="output directory")
+
     sub.add_parser("bench", help="train+infer throughput benchmark")
     sub.add_parser("configs", help="list configs")
     return p
@@ -195,6 +214,62 @@ def cmd_export(args):
           f"platforms={args.platforms}, {len(members)}-member ensemble)")
 
 
+def cmd_import_torch(args):
+    """Reference-user migration path: their loss-tagged .pt files
+    (cmu-mosei/run.py:446-453) become checkpoint-store members usable by
+    eval/serve/export — no retraining."""
+    import re
+
+    from . import configs
+    from .interop.torch_compat import load_reference_checkpoint
+    from .train.checkpoint import CheckpointStore
+
+    exp = configs.get(args.config)
+    store = CheckpointStore(args.checkpoint_dir)
+    for i, path in enumerate(args.pt):
+        params = load_reference_checkpoint(path, exp.model)
+        # the reference embeds the valid loss in the filename
+        # ('{name}_{loss:.4chars}.pt'); carry it into the manifest when present
+        m = re.search(r"_(\d+\.\d+)\.pt$", path)
+        loss = float(m.group(1)) if m else 0.0
+        name = f"{args.config}_{i + 1}"
+        store.save_params(name, params, valid_loss=loss)
+        print(f"imported {path} -> {name} (valid_loss={loss})")
+    print(f"{len(args.pt)} member(s) in {args.checkpoint_dir}; use them via "
+          f"`eval|serve|export {args.config} --checkpoint-dir "
+          f"{args.checkpoint_dir}`")
+
+
+def cmd_export_torch(args):
+    import os
+
+    import jax
+    import torch
+
+    from . import configs
+    from .interop.torch_compat import to_reference_state_dict
+    from .models import build_model
+    from .train.checkpoint import CheckpointStore
+
+    exp = configs.get(args.config)
+    model = build_model(exp)
+    params_like = model.init(jax.random.PRNGKey(0))
+    store = CheckpointStore(args.checkpoint_dir)
+    names = store.best_members(args.config)
+    if not names:
+        raise SystemExit(f"no '{args.config}*' members in {args.checkpoint_dir}")
+    os.makedirs(args.out, exist_ok=True)
+    for name in names:
+        params = store.restore_params(name, params_like)
+        sd = {k: torch.tensor(v)
+              for k, v in to_reference_state_dict(params, exp.model).items()}
+        loss = store.manifest[name].get("valid_loss", 0.0)
+        # reference filename convention: '{name}_{str(valid_loss)[:4]}.pt'
+        out_path = os.path.join(args.out, f"{name}_{str(loss)[:4]}.pt")
+        torch.save(sd, out_path)
+        print(f"wrote {out_path} ({len(sd)} tensors)")
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.cmd == "configs":
@@ -207,6 +282,10 @@ def main(argv=None):
         cmd_serve(args)
     elif args.cmd == "export":
         cmd_export(args)
+    elif args.cmd == "import-torch":
+        cmd_import_torch(args)
+    elif args.cmd == "export-torch":
+        cmd_export_torch(args)
     elif args.cmd == "bench":
         import os
         import runpy

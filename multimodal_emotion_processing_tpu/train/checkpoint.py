@@ -93,6 +93,20 @@ class CheckpointStore:
         })
         self._write_manifest()
 
+    def save_params(self, name: str, params, valid_loss: float = 0.0,
+                    epoch: int = -1) -> None:
+        """Params-only member (e.g. reference .pt weights imported via
+        interop/torch_compat): enough for ensembling/serving — `best_members`
+        lists it and `restore_params` loads it; no full train state."""
+        self._save_tree(self._dir(name, "params"), _tree_to_numpy(params))
+        self.manifest.setdefault(name, {}).update({
+            "params": self._dir(name, "params"),
+            "valid_loss": float(valid_loss),
+            "epoch": int(epoch),
+            "imported": True,
+        })
+        self._write_manifest()
+
     def save_last(self, name: str, state, epoch: int,
                   schedule: Optional[Dict] = None) -> None:
         """Every-epoch resume point: full train state + host-side schedule

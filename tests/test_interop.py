@@ -196,3 +196,46 @@ def test_state_dict_roundtrip(family):
     allowed = {"fully_connected.weight", "fully_connected.bias",
                "normalization.weight", "normalization.bias"}
     assert set(missing) <= allowed, f"missing keys: {missing}"
+
+
+def test_cli_import_export_torch_roundtrip(tmp_path, capsys):
+    """The migration CLI: our members -> reference .pt files (export-torch)
+    -> back into a fresh store (import-torch), with forward parity and the
+    reference's loss-tagged filename convention."""
+    import jax
+    import numpy as np
+
+    from multimodal_emotion_processing_tpu.cli import main
+    from multimodal_emotion_processing_tpu.models import build_model
+    from multimodal_emotion_processing_tpu.train.checkpoint import CheckpointStore
+
+    exp = configs.get("rencecps")
+    model = build_model(exp)
+    src = CheckpointStore(str(tmp_path / "src"))
+    members = [model.init(jax.random.PRNGKey(i)) for i in range(2)]
+    for i, p in enumerate(members):
+        src.save_params(f"rencecps_{i + 1}", p, valid_loss=2.11 + i * 0.01)
+
+    out_dir = tmp_path / "pt"
+    main(["export-torch", "rencecps", "--checkpoint-dir", str(tmp_path / "src"),
+          "--out", str(out_dir)])
+    pts = sorted(str(f) for f in out_dir.iterdir())
+    assert len(pts) == 2 and pts[0].endswith("rencecps_1_2.11.pt")
+
+    main(["import-torch", "rencecps", *pts,
+          "--checkpoint-dir", str(tmp_path / "dst")])
+    dst = CheckpointStore(str(tmp_path / "dst"))
+    assert dst.best_members("rencecps") == ["rencecps_1", "rencecps_2"]
+    assert dst.manifest["rencecps_1"]["valid_loss"] == 2.11
+
+    batch = {"feat": np.random.default_rng(0)
+             .standard_normal((4, 2, exp.model.l_dim)).astype(np.float32)}
+    params_like = model.init(jax.random.PRNGKey(9))
+    for i in range(2):
+        got = model.apply(dst.restore_params(f"rencecps_{i + 1}", params_like),
+                          batch)
+        want = model.apply(members[i], batch)
+        # params roundtrip bit-exact; ~2e-6 output delta comes from the
+        # transposed weights' memory layout changing XLA's dot rounding
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
