@@ -59,6 +59,10 @@ def build_parser():
     sv.add_argument("config", nargs="?", default="robot_demo")
     sv.add_argument("--checkpoint-dir", default=None)
     sv.add_argument("--impl", choices=["xla", "pallas", "cp"], default="xla")
+    sv.add_argument("--stacked-grid", action="store_true",
+                    help="stacked realformer grid for the inference program "
+                         "(~+64% measured on equal-length realformer "
+                         "families; no-op otherwise)")
 
     ex = sub.add_parser("export", help="AOT-export the serving predictor "
                         "(ensemble + calibrated sigmoid) to a StableHLO blob")
@@ -180,7 +184,8 @@ def cmd_serve(args):
     from .ops.context_parallel import ensure_cp
 
     sp = StreamingPredictor(model, members, offsets=exp.thresholds,
-                            impl=args.impl)
+                            impl=args.impl,
+                            stacked_grid=getattr(args, "stacked_grid", False))
     sample = synthetic_dataset(args.config, exp.model, 1, seed=7)[0]
     import time
 

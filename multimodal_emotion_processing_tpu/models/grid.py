@@ -109,6 +109,28 @@ MERGED_FAST_PATH = True
 REALFORMER_STACKED = False
 
 
+def stacked_realformer(enabled: bool = True):
+    """Context manager: enable the stacked realformer fast path for programs
+    TRACED inside it (already-compiled programs are unaffected).  Use around
+    inference-only program construction — serving measured ~+64% there while
+    training is ~11% slower (see REALFORMER_STACKED note); requires equal
+    l/v/a sequence lengths (mosei_realformer yes, robot_demo no — unequal
+    lengths fall back to the unrolled path automatically)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _ctx():
+        global REALFORMER_STACKED
+        old = REALFORMER_STACKED
+        REALFORMER_STACKED = enabled
+        try:
+            yield
+        finally:
+            REALFORMER_STACKED = old
+
+    return _ctx()
+
+
 def _apply_grid_minus_merged(p, cfg, src, masks, *, rng, train):
     """Fast path for block='minus', n_layers=1 (the flagship and Ren-MME
     shapes): the minus variant has NO q/k/v projections, so for each target

@@ -23,11 +23,16 @@ import numpy as np
 
 class StreamingPredictor:
     def __init__(self, model, params_list: Sequence, offsets: Sequence[float],
-                 *, impl: str = "xla"):
+                 *, impl: str = "xla", stacked_grid: bool = False):
+        """`stacked_grid`: trace the ensemble forward with the stacked
+        realformer grid path (models/grid.stacked_realformer) — inference-only
+        programs measured ~+64% on the realformer family (equal-length grids;
+        a no-op for other block types / unequal lengths)."""
         self.model = model
         self.k = len(params_list)
         self.stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
         self.offsets = jnp.asarray(offsets, jnp.float32)
+        self._stacked_grid = stacked_grid
 
         def run(stacked, batch):
             logits = jax.vmap(
@@ -37,7 +42,15 @@ class StreamingPredictor:
             probs = jax.nn.sigmoid(pred[: self.offsets.shape[0]] - self.offsets)
             return pred, probs
 
-        self._run = jax.jit(run)
+        self._jitted = jax.jit(run)
+
+    def _run(self, stacked, batch):
+        if self._stacked_grid:
+            from ..models.grid import stacked_realformer
+
+            with stacked_realformer():  # trace-time toggle; no-op once cached
+                return self._jitted(stacked, batch)
+        return self._jitted(stacked, batch)
 
     def warmup(self, sample: Dict[str, np.ndarray]) -> None:
         jax.block_until_ready(self._run(self.stacked, self._batch1(sample)))
