@@ -197,7 +197,48 @@ def combined(train_sps, infer_sps, bsz):
     return bsz / (bsz / train_sps + bsz / infer_sps)
 
 
+def _pallas_phase():
+    """Pallas measurement body, exposed for the subprocess runner: prints one
+    JSON dict {train_sps, infer_sps, parity, parity_rel} on stdout."""
+    from multimodal_emotion_processing_tpu import configs
+
+    exp = configs.get("mosei_trans")
+    batch = make_batch(exp.model, exp.train.batch_size)
+    tr, inf = measure_jax(exp, batch, impl="pallas", reps=4)
+    parity, parity_rel = pallas_parity(exp, batch)
+    print(json.dumps({"train_sps": tr, "infer_sps": inf,
+                      "parity": parity, "parity_rel": parity_rel}))
+
+
+def _run_pallas_subprocess(timeout_s: float):
+    """Run the pallas phase in a CHILD process with a hard timeout: pallas
+    compiles on the relay-tunneled chip have been observed to hang for many
+    minutes (a pre-phase budget check cannot stop an in-phase hang), and a
+    killed child also cannot poison this process with the pallas→fresh-H2D
+    degradation quirk (module docstring)."""
+    import os
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import bench; bench._pallas_phase()"],
+            cwd=here, capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None, f"timed out after {timeout_s:.0f}s"
+    if proc.returncode != 0:
+        return None, f"rc={proc.returncode}: {proc.stderr[-300:]}"
+    try:
+        return json.loads(proc.stdout.strip().splitlines()[-1]), None
+    except Exception as e:
+        return None, f"unparseable output ({e!r})"
+
+
 def main():
+    import os
+
     from multimodal_emotion_processing_tpu import configs
     from multimodal_emotion_processing_tpu.bench.torch_baseline import measure_torch_cpu
 
@@ -209,75 +250,125 @@ def main():
     import jax
     log(f"devices: {jax.devices()}")
 
+    # The shared relay-tunneled chip occasionally stalls for minutes at a
+    # time (observed: a 256x256 matmul taking 73 s).  The driver records this
+    # script's ONE stdout JSON line — so optional phases are skipped once the
+    # soft budget is spent, and every phase failure degrades to a logged
+    # fallback instead of losing the artifact.
+    budget_s = float(os.environ.get("MEP_BENCH_BUDGET_S", "420"))
+    elapsed = lambda: time.perf_counter() - _T0
+
     jax_train, jax_infer = measure_jax(exp, batch)
     log(f"jax[xla]: train {jax_train:.1f} samples/s, infer {jax_infer:.1f} samples/s")
 
     # K-sweep on this chip keeps improving through k=512 (train 26.8M -> 59.2M
     # samples/s measured 128 -> 512; the ~1 us/step device work makes even
     # one dispatch per 512 steps overhead-visible).  Measure a mid and a high
-    # k; staging (~6.4 GB at k=512) happens once, outside the timed windows,
+    # k; staging happens on device via jax.random, outside the timed windows,
     # and fits HBM with room to spare.
     scan_k = 128
     scan_train, scan_infer = measure_jax_scan(exp, k=scan_k)
     log(f"jax[xla,scan k={scan_k}]: train {scan_train:.1f} samples/s, "
         f"infer {scan_infer:.1f} samples/s")
     scan_k_hi = 512
-    scan_train_hi, scan_infer_hi = measure_jax_scan(exp, k=scan_k_hi,
-                                                    steps=2, reps=5)
-    log(f"jax[xla,scan k={scan_k_hi}]: train {scan_train_hi:.1f} samples/s, "
-        f"infer {scan_infer_hi:.1f} samples/s")
+    scan_train_hi = scan_infer_hi = None
+    if elapsed() < budget_s * 0.5:
+        try:
+            scan_train_hi, scan_infer_hi = measure_jax_scan(
+                exp, k=scan_k_hi, steps=2, reps=5)
+            log(f"jax[xla,scan k={scan_k_hi}]: train {scan_train_hi:.1f} "
+                f"samples/s, infer {scan_infer_hi:.1f} samples/s")
+        except Exception as e:  # e.g. HBM pressure on a busy shared chip
+            log(f"jax[xla,scan k={scan_k_hi}] failed: {e!r}")
+    else:
+        log(f"jax[xla,scan k={scan_k_hi}] skipped: over half the "
+            f"{budget_s:.0f}s budget spent")
 
-    datafed = measure_jax_datafed(exp)
-    log(f"jax[xla] data-fed (host assembly + prefetch + step): "
-        f"{datafed:.1f} samples/s")
+    datafed = None
+    if elapsed() < budget_s * 0.7:
+        try:
+            datafed = measure_jax_datafed(exp)
+            log(f"jax[xla] data-fed (host assembly + prefetch + step): "
+                f"{datafed:.1f} samples/s")
+        except Exception as e:
+            log(f"data-fed phase failed: {e!r}")
+    else:
+        log("data-fed phase skipped: budget")
 
     # pallas runs LAST: on this image's relay-tunneled chip, executing a
     # pallas program degrades subsequent fresh-H2D step throughput ~10x
     # (measured 4324 -> 352 samples/s data-fed; device-resident loops are
-    # unaffected) — an axon/PJRT quirk, so order the benchmark around it
-    pal_train, pal_infer = measure_jax(exp, batch, impl="pallas")
-    parity, parity_rel = pallas_parity(exp, batch)
-    log(f"jax[pallas]: train {pal_train:.1f} samples/s, infer {pal_infer:.1f} "
-        f"samples/s, forward parity max|xla-pallas| = {parity:.2e} "
-        f"(relative {parity_rel:.2e})")
+    # unaffected) — an axon/PJRT quirk, so order the benchmark around it.
+    # It never wins the headline (scan chains do), so it is the phase to
+    # drop when the chip is having a slow day.
+    pal_train = pal_infer = None
+    parity = parity_rel = None
+    if elapsed() < budget_s:
+        res, err = _run_pallas_subprocess(
+            min(240.0, budget_s - elapsed() + 60.0))
+        if res is not None:
+            pal_train, pal_infer = res["train_sps"], res["infer_sps"]
+            parity, parity_rel = res["parity"], res["parity_rel"]
+            log(f"jax[pallas]: train {pal_train:.1f} samples/s, infer "
+                f"{pal_infer:.1f} samples/s, forward parity max|xla-pallas| "
+                f"= {parity:.2e} (relative {parity_rel:.2e})")
+        else:
+            log(f"pallas phase failed: {err}")
+    else:
+        log(f"pallas phase skipped: {elapsed():.0f}s elapsed > {budget_s:.0f}s budget")
 
-    torch_train, torch_infer = measure_torch_cpu(m, batch)
-    log(f"torch-cpu: train {torch_train:.1f} samples/s, infer {torch_infer:.1f} samples/s")
+    torch_fallback = False
+    try:
+        torch_train, torch_infer = measure_torch_cpu(m, batch)
+        log(f"torch-cpu: train {torch_train:.1f} samples/s, "
+            f"infer {torch_infer:.1f} samples/s")
+    except Exception as e:  # host-only; failure here would be a torch bug
+        # conservative end of the measured windows (BASELINE.md: train
+        # 3.4-44, infer 88-138) -> vs_baseline UNDERestimates; flagged below
+        torch_fallback = True
+        torch_train, torch_infer = 44.0, 138.0
+        log(f"torch baseline failed ({e!r}); using the FASTEST recorded "
+            "window 44/138 samples/s (vs_baseline is a lower bound); "
+            "torch_fallback flagged in the JSON")
 
+    r1 = lambda x: None if x is None else round(x, 1)
     ours_xla = combined(jax_train, jax_infer, b)
     ours_scan = combined(scan_train, scan_infer, b)
-    ours_scan_hi = combined(scan_train_hi, scan_infer_hi, b)
-    ours_pal = combined(pal_train, pal_infer, b)
     # parity gate is relative to logit scale (both paths round differently
     # through the MXU's bf16 passes; ~1e-3 absolute on O(10) logits is noise)
-    candidates = {"xla": ours_xla, f"xla,scan k={scan_k}": ours_scan,
-                  f"xla,scan k={scan_k_hi}": ours_scan_hi}
-    if parity_rel < 1e-2:
-        candidates["pallas"] = ours_pal
+    candidates = {"xla": ours_xla, f"xla,scan k={scan_k}": ours_scan}
+    if scan_train_hi is not None:
+        candidates[f"xla,scan k={scan_k_hi}"] = combined(
+            scan_train_hi, scan_infer_hi, b)
+    if pal_train is not None and parity_rel is not None and parity_rel < 1e-2:
+        candidates["pallas"] = combined(pal_train, pal_infer, b)
     impl = max(candidates, key=candidates.get)
     ours = candidates[impl]
     base = combined(torch_train, torch_infer, b)
-    print(json.dumps({
+    out = {
         "metric": "cmu-mosei flagship train+infer samples/sec/chip",
         "value": round(ours, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": round(ours / base, 2),
-        "diagnostics": {
+        "diagnostics": {  # null = phase skipped/failed (stderr says which)
             "impl": impl,
-            "xla": {"train_sps": round(jax_train, 1), "infer_sps": round(jax_infer, 1)},
-            "scan": {"k": scan_k, "train_sps": round(scan_train, 1),
-                     "infer_sps": round(scan_infer, 1)},
-            "scan_hi": {"k": scan_k_hi, "train_sps": round(scan_train_hi, 1),
-                        "infer_sps": round(scan_infer_hi, 1)},
-            "pallas": {"train_sps": round(pal_train, 1),
-                       "infer_sps": round(pal_infer, 1),
+            "xla": {"train_sps": r1(jax_train), "infer_sps": r1(jax_infer)},
+            "scan": {"k": scan_k, "train_sps": r1(scan_train),
+                     "infer_sps": r1(scan_infer)},
+            "scan_hi": {"k": scan_k_hi, "train_sps": r1(scan_train_hi),
+                        "infer_sps": r1(scan_infer_hi)},
+            "pallas": {"train_sps": r1(pal_train),
+                       "infer_sps": r1(pal_infer),
                        "forward_parity_maxdiff": parity,
                        "forward_parity_relative": parity_rel},
-            "datafed_train_sps": round(datafed, 1),
+            "datafed_train_sps": r1(datafed),
             "torch_cpu": {"train_sps": round(torch_train, 1),
                           "infer_sps": round(torch_infer, 1)},
         },
-    }))
+    }
+    if torch_fallback:
+        out["diagnostics"]["torch_fallback"] = True
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -60,8 +60,8 @@ def measure(name, *, impl="xla", steps=20, reps=4, scan_k=32):
     stacked = jax.device_put({
         k: np.ascontiguousarray(np.broadcast_to(a[None], (scan_k,) + a.shape))
         for k, a in host.items()})
-    _, scan_step = eng.make_scan_train_step(model, exp.train, impl=impl)
-    sstate = eng.init_state(model, eng.make_optimizer(exp.train), seed=0)
+    scan_tx, scan_step = eng.make_scan_train_step(model, exp.train, impl=impl)
+    sstate = eng.init_state(model, scan_tx, seed=0)
     sstate, losses = scan_step(sstate, stacked)
     jax.block_until_ready(losses)
     scan_train = 0.0
