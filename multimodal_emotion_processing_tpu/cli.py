@@ -2,11 +2,14 @@
 become `python -m multimodal_emotion_processing_tpu <cmd> <config>`.
 
 Commands:
-  train   — k-fold bagged training + ensemble evaluation (one reference script)
-  eval    — ensemble evaluation from saved checkpoints
-  serve   — streaming single-sample demo (robot_demo.py path)
-  bench   — train+infer throughput on this chip
-  configs — list available configs with their hyperparameters
+  train        — k-fold bagged training + ensemble evaluation (one reference script)
+  eval         — ensemble evaluation from saved checkpoints
+  serve        — streaming single-sample demo (robot_demo.py path)
+  export       — AOT-export the serving predictor to a StableHLO blob
+  import-torch — reference .pt checkpoints -> checkpoint-store members
+  export-torch — members -> reference-loadable .pt state dicts
+  bench        — train+infer throughput on this chip
+  configs      — list available configs with their hyperparameters
 """
 
 from __future__ import annotations
