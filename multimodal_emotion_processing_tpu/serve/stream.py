@@ -7,9 +7,9 @@ batch-1 shapes are compiled once and reused; the calibrated per-emotion sigmoid
 (offsets at robot_demo.py:609) is fused into the same program.
 
 Measured: the vmapped 4-member batch-1 compute is ~0.16 ms on v5e.  End-to-end
-predict() latency is dominated by the host→device copy of the ~0.8 MB sample
-(p50 ~120 ms over this image's network-relayed chip; ~sub-ms on a directly
-attached TPU host).
+predict() latency is dominated by the relay round-trip on this image
+(bench/latency.py: compute-only p50 30.7 ms — almost all dispatch+fetch RTT —
+end-to-end 63.6 ms incl. the sample H2D; sub-ms on a directly attached host).
 """
 
 from __future__ import annotations
