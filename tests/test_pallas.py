@@ -226,3 +226,37 @@ def test_pallas_bf16_inputs():
     np.testing.assert_allclose(np.asarray(ctx_p, np.float32),
                                np.asarray(ctx_x, np.float32),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_bf16_pallas_train_step():
+    """compute_dtype='bfloat16' + impl='pallas' end to end: the combination
+    the kernel's store-cast fix enables (a bf16 batch reaches the kernel
+    through the whole jitted train step)."""
+    import dataclasses
+
+    from multimodal_emotion_processing_tpu import configs
+    from multimodal_emotion_processing_tpu.data.loader import Batcher
+    from multimodal_emotion_processing_tpu.data.synthetic import synthetic_dataset
+    from multimodal_emotion_processing_tpu.models import build_model
+    from multimodal_emotion_processing_tpu.train import engine as eng
+
+    exp = configs.get("mosei_trans")
+    exp = dataclasses.replace(
+        exp,
+        model=dataclasses.replace(exp.model, l_len=4, v_len=6, a_len=8,
+                                  dim=16, n_heads=2, l_dim=5, v_dim=4,
+                                  a_dim=3),
+        train=dataclasses.replace(exp.train, batch_size=4,
+                                  compute_dtype="bfloat16"))
+    model = build_model(exp)
+    tx, step = eng.make_train_step(model, exp.train, impl="pallas",
+                                   donate=False)
+    state = eng.init_state(model, tx, seed=0)
+    batch = next(iter(Batcher(synthetic_dataset("mosei_trans", exp.model, 4),
+                              4)()))
+    losses = []
+    for _ in range(6):
+        state, loss = step(state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
