@@ -197,12 +197,12 @@ def combined(train_sps, infer_sps, bsz):
     return bsz / (bsz / train_sps + bsz / infer_sps)
 
 
-def _pallas_phase():
+def _pallas_phase(config_name: str):
     """Pallas measurement body, exposed for the subprocess runner: prints one
     JSON dict {train_sps, infer_sps, parity, parity_rel} on stdout."""
     from multimodal_emotion_processing_tpu import configs
 
-    exp = configs.get("mosei_trans")
+    exp = configs.get(config_name)
     batch = make_batch(exp.model, exp.train.batch_size)
     tr, inf = measure_jax(exp, batch, impl="pallas", reps=4)
     parity, parity_rel = pallas_parity(exp, batch)
@@ -210,7 +210,7 @@ def _pallas_phase():
                       "parity": parity, "parity_rel": parity_rel}))
 
 
-def _run_pallas_subprocess(timeout_s: float):
+def _run_pallas_subprocess(config_name: str, timeout_s: float):
     """Run the pallas phase in a CHILD process with a hard timeout: pallas
     compiles on the relay-tunneled chip have been observed to hang for many
     minutes (a pre-phase budget check cannot stop an in-phase hang), and a
@@ -224,7 +224,7 @@ def _run_pallas_subprocess(timeout_s: float):
     try:
         proc = subprocess.run(
             [sys.executable, "-c",
-             "import bench; bench._pallas_phase()"],
+             f"import bench; bench._pallas_phase({config_name!r})"],
             cwd=here, capture_output=True, text=True, timeout=timeout_s)
     except subprocess.TimeoutExpired:
         return None, f"timed out after {timeout_s:.0f}s"
@@ -304,8 +304,11 @@ def main():
     pal_train = pal_infer = None
     parity = parity_rel = None
     if elapsed() < budget_s:
+        # raising MEP_BENCH_BUDGET_S extends this too (slow-compile days);
+        # the default budget still caps the child at ~4 min
         res, err = _run_pallas_subprocess(
-            min(240.0, budget_s - elapsed() + 60.0))
+            exp.name, min(max(240.0, budget_s * 0.6),
+                          budget_s - elapsed() + 60.0))
         if res is not None:
             pal_train, pal_infer = res["train_sps"], res["infer_sps"]
             parity, parity_rel = res["parity"], res["parity_rel"]

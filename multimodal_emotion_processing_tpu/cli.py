@@ -64,7 +64,7 @@ def build_parser():
     sv.add_argument("--impl", choices=["xla", "pallas", "cp"], default="xla")
     sv.add_argument("--stacked-grid", action="store_true",
                     help="stacked realformer grid for the inference program "
-                         "(~+64% measured on equal-length realformer "
+                         "(~+64%% measured on equal-length realformer "
                          "families; no-op otherwise)")
 
     ex = sub.add_parser("export", help="AOT-export the serving predictor "
@@ -85,6 +85,8 @@ def build_parser():
     it.add_argument("pt", nargs="+", help=".pt files, one ensemble member "
                     "each (fold order = argument order)")
     it.add_argument("--checkpoint-dir", required=True)
+    it.add_argument("--force", action="store_true",
+                    help="overwrite members that already exist in the store")
 
     et = sub.add_parser(
         "export-torch",
@@ -234,13 +236,19 @@ def cmd_import_torch(args):
 
     exp = configs.get(args.config)
     store = CheckpointStore(args.checkpoint_dir)
+    names = [f"{args.config}_{i + 1}" for i in range(len(args.pt))]
+    clobbered = [n for n in names if n in store.manifest]
+    if clobbered and not args.force:
+        raise SystemExit(
+            f"members already exist in {args.checkpoint_dir}: "
+            f"{', '.join(clobbered)} — pass --force to overwrite them")
     for i, path in enumerate(args.pt):
         params = load_reference_checkpoint(path, exp.model)
         # the reference embeds the valid loss in the filename
         # ('{name}_{loss:.4chars}.pt'); carry it into the manifest when present
         m = re.search(r"_(\d+\.\d+)\.pt$", path)
         loss = float(m.group(1)) if m else 0.0
-        name = f"{args.config}_{i + 1}"
+        name = names[i]
         store.save_params(name, params, valid_loss=loss)
         print(f"imported {path} -> {name} (valid_loss={loss})")
     print(f"{len(args.pt)} member(s) in {args.checkpoint_dir}; use them via "

@@ -25,6 +25,8 @@ Output heads differ per reference model:
 
 from __future__ import annotations
 
+import contextlib as _contextlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -109,26 +111,26 @@ MERGED_FAST_PATH = True
 REALFORMER_STACKED = False
 
 
+@_contextlib.contextmanager
 def stacked_realformer(enabled: bool = True):
     """Context manager: enable the stacked realformer fast path for programs
     TRACED inside it (already-compiled programs are unaffected).  Use around
     inference-only program construction — serving measured ~+64% there while
     training is ~11% slower (see REALFORMER_STACKED note); requires equal
     l/v/a sequence lengths (mosei_realformer yes, robot_demo no — unequal
-    lengths fall back to the unrolled path automatically)."""
-    import contextlib
+    lengths fall back to the unrolled path automatically).
 
-    @contextlib.contextmanager
-    def _ctx():
-        global REALFORMER_STACKED
-        old = REALFORMER_STACKED
-        REALFORMER_STACKED = enabled
-        try:
-            yield
-        finally:
-            REALFORMER_STACKED = old
-
-    return _ctx()
+    NOT thread-safe: it flips the module global, so another thread tracing a
+    grid program concurrently would pick up this setting.  Trace serving
+    programs from one thread (StreamingPredictor enters this only for its
+    first trace)."""
+    global REALFORMER_STACKED
+    old = REALFORMER_STACKED
+    REALFORMER_STACKED = enabled
+    try:
+        yield
+    finally:
+        REALFORMER_STACKED = old
 
 
 def _apply_grid_minus_merged(p, cfg, src, masks, *, rng, train):

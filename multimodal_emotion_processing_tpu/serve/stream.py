@@ -45,10 +45,14 @@ class StreamingPredictor:
         self._jitted = jax.jit(run)
 
     def _run(self, stacked, batch):
+        # the toggle is a module global read at trace time: enter it only for
+        # the FIRST call (which traces; batch-1 shapes are fixed, so later
+        # calls hit the cache) to keep the contamination window to one trace
         if self._stacked_grid:
             from ..models.grid import stacked_realformer
 
-            with stacked_realformer():  # trace-time toggle; no-op once cached
+            self._stacked_grid = False
+            with stacked_realformer():
                 return self._jitted(stacked, batch)
         return self._jitted(stacked, batch)
 

@@ -97,9 +97,15 @@ class CheckpointStore:
                     epoch: int = -1) -> None:
         """Params-only member (e.g. reference .pt weights imported via
         interop/torch_compat): enough for ensembling/serving — `best_members`
-        lists it and `restore_params` loads it; no full train state."""
+        lists it and `restore_params` loads it; no full train state.  Any
+        stale train-state keys from a previous trained member under the same
+        name are dropped so the entry can't point restore_state at weights
+        that no longer match the params."""
         self._save_tree(self._dir(name, "params"), _tree_to_numpy(params))
-        self.manifest.setdefault(name, {}).update({
+        entry = self.manifest.setdefault(name, {})
+        for stale in ("full", "last", "last_prev", "done"):
+            entry.pop(stale, None)
+        entry.update({
             "params": self._dir(name, "params"),
             "valid_loss": float(valid_loss),
             "epoch": int(epoch),

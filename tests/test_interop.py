@@ -239,3 +239,37 @@ def test_cli_import_export_torch_roundtrip(tmp_path, capsys):
         # transposed weights' memory layout changing XLA's dot rounding
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_cli_import_torch_refuses_overwrite(tmp_path):
+    """Importing over existing members requires --force, and a forced import
+    drops the stale train-state keys so restore_state can't resurrect the
+    pre-import weights."""
+    import jax
+    import pytest
+
+    from multimodal_emotion_processing_tpu.cli import main
+    from multimodal_emotion_processing_tpu.models import build_model
+    from multimodal_emotion_processing_tpu.train import engine as eng
+    from multimodal_emotion_processing_tpu.train.checkpoint import CheckpointStore
+
+    exp = configs.get("rencecps")
+    model = build_model(exp)
+    store = CheckpointStore(str(tmp_path / "ck"))
+    tx = eng.make_optimizer(exp.train)
+    state = eng.init_state(model, tx, seed=0)
+    store.save_best("rencecps_1", state, 0, 2.0)   # trained member w/ 'full'
+    assert "full" in store.manifest["rencecps_1"]
+
+    out_dir = tmp_path / "pt"
+    main(["export-torch", "rencecps", "--checkpoint-dir", str(tmp_path / "ck"),
+          "--out", str(out_dir)])
+    pt = str(next(out_dir.iterdir()))
+    with pytest.raises(SystemExit, match="--force"):
+        main(["import-torch", "rencecps", pt,
+              "--checkpoint-dir", str(tmp_path / "ck")])
+    main(["import-torch", "rencecps", pt, "--force",
+          "--checkpoint-dir", str(tmp_path / "ck")])
+    fresh = CheckpointStore(str(tmp_path / "ck"))
+    assert fresh.manifest["rencecps_1"]["imported"] is True
+    assert "full" not in fresh.manifest["rencecps_1"]
