@@ -194,5 +194,139 @@ def fit_device_resident(
     return state, history
 
 
+def fit_fully_compiled(
+    model, tcfg, train_samples, valid_samples, *,
+    epochs: Optional[int] = None, impl: str = "xla",
+    seed: Optional[int] = None, duplicate: bool = False,
+):
+    """The ENTIRE training run as ONE dispatch: `lax.scan` over epochs, each
+    epoch a scan over HBM-gathered steps, with the host-side controllers
+    moved in-graph —
+
+      * ReduceLROnPlateau (torch semantics incl. the 1e-4 relative
+        threshold, schedule.PlateauState) updates the LR through the
+        optimizer's injected hyperparams;
+      * the early stopper (incl. the reference's save-guard-advances-counter
+        quirk, cmu-mosei/run.py:413) flips a `stopped` flag; stopped epochs
+        take a `lax.cond` branch that does NO compute, so early stopping
+        still saves the FLOPs;
+      * best-checkpoint tracking keeps the best params in HBM
+        (`jnp.where`-selected tree) — returned for the caller to persist.
+
+    Exactly fit_device_resident's math and RNG chain (same shuffle keys,
+    same step fn — trajectory equality is tested); the difference is ZERO
+    host round-trips between epochs.  On relay-attached hosts each epoch
+    boundary costs ~2 blocking round-trips (~60 ms) — for the reference's
+    up-to-999-epoch runs (cmu-mosei/run.py:402) that alone is a minute of
+    wall-clock; on any host it removes the per-epoch dispatch+sync bubble.
+
+    Returns (final TrainState, [EpochStats] trimmed at the stop epoch,
+    best_params, best_epoch, best_valid_loss)."""
+    import dataclasses as _dc
+
+    train_data, n_train = stage_dataset(train_samples)
+    valid_data, _ = stage_dataset(valid_samples,
+                                  pad_to_multiple=tcfg.batch_size)
+    n_padded = int(valid_data["sample_weight"].shape[0])
+    tx = make_optimizer(tcfg)
+    step = _make_step_fn(model, tcfg, tx, impl=impl, fused=True)
+    bs = tcfg.batch_size
+    rows = bs * (2 if duplicate else 1)
+    n_steps = n_train // bs
+    if n_steps == 0:
+        raise ValueError(f"need >= {bs} samples, have {n_train}")
+    n_ev = n_padded // bs
+    n_epochs = tcfg.epochs if epochs is None else epochs
+    sd = tcfg.seed if seed is None else seed
+    shuffle_key = jax.random.PRNGKey(sd + 777)
+    guard = tcfg.save_guard
+
+    def _set_lr(st, lr):
+        hp = dict(st.opt_state.hyperparams)
+        hp["learning_rate"] = lr
+        return _dc.replace(st, opt_state=st.opt_state._replace(hyperparams=hp))
+
+    def eval_mean(params):
+        def body(c, j):
+            batch = jax.tree.map(
+                lambda x: jax.lax.dynamic_slice_in_dim(x, j * bs, bs),
+                valid_data)
+            return c, batch_loss(model, tcfg, params, batch, None, False, impl)
+
+        return jnp.mean(jax.lax.scan(body, None, jnp.arange(n_ev))[1])
+
+    def whole_run(state0):
+        f32 = jnp.float32
+        init = (state0, jnp.asarray(tcfg.lr, f32),
+                jnp.asarray(jnp.inf, f32), jnp.asarray(0, jnp.int32),
+                jnp.asarray(jnp.inf, f32), jnp.asarray(0, jnp.int32),
+                jnp.asarray(False),
+                state0.params, jnp.asarray(-1, jnp.int32))
+
+        def epoch_step(carry, e):
+            def run_epoch(carry):
+                st, lr, pb, pbad, eb, ebad, stopped, bp, bep = carry
+                st = _set_lr(st, lr)
+                perm = jax.random.permutation(
+                    jax.random.fold_in(shuffle_key, e), n_train)
+                if duplicate:
+                    perm = jnp.repeat(perm, 2)
+
+                def body(s, i):
+                    idx = jax.lax.dynamic_slice_in_dim(perm, i * rows, rows)
+                    return step(s, gather_rows(train_data, idx))
+
+                st, tr_losses = jax.lax.scan(body, st, jnp.arange(n_steps))
+                tr = jnp.mean(tr_losses)
+                va = eval_mean(st.params)
+                # ReduceLROnPlateau (schedule.PlateauState.step)
+                improved = va < pb * (1.0 - 1e-4)
+                pb = jnp.where(improved, va, pb)
+                pbad = jnp.where(improved, 0, pbad + 1)
+                reduce_ = jnp.logical_and(~improved,
+                                          pbad > tcfg.plateau_patience)
+                new_lr = jnp.where(reduce_, lr * tcfg.plateau_factor, lr)
+                pbad = jnp.where(reduce_, 0, pbad)
+                # EarlyStop.step incl. the save-guard quirk
+                is_min = va <= eb
+                eb = jnp.where(is_min, va, eb)
+                passes = (jnp.asarray(True) if guard is None
+                          else va > jnp.asarray(guard, f32))
+                save = jnp.logical_and(is_min, passes)
+                ebad = jnp.where(save, 0, ebad + 1)
+                stop = jnp.logical_and(~save, ebad >= tcfg.early_stop)
+                bp = jax.tree.map(lambda new, old: jnp.where(save, new, old),
+                                  st.params, bp)
+                bep = jnp.where(save, e, bep)
+                out = (tr, va, lr, jnp.asarray(True))
+                return (st, new_lr, pb, pbad, eb, ebad, stop, bp, bep), out
+
+            def skip_epoch(carry):
+                nan = jnp.asarray(jnp.nan, jnp.float32)
+                return carry, (nan, nan, carry[1], jnp.asarray(False))
+
+            return jax.lax.cond(carry[6], skip_epoch, run_epoch, carry)
+
+        return jax.lax.scan(epoch_step, init, jnp.arange(n_epochs))
+
+    run = jax.jit(whole_run, donate_argnums=(0,))
+    t0 = time.perf_counter()
+    final, (tr, va, lrs, active) = run(init_state(model, tx, sd))
+    state, best_params, best_epoch = final[0], final[7], final[8]
+    jax.block_until_ready(va)
+    dt = time.perf_counter() - t0
+    tr, va, active = (np.asarray(jax.device_get(x)) for x in (tr, va, active))
+    n_live = int(active.sum())
+    history = [EpochStats(float(tr[e]), float(va[e]), n_steps,
+                          n_steps * rows, dt / max(n_live, 1))
+               for e in range(n_live)]
+    best_epoch = int(best_epoch)
+    # loss of the last SAVED epoch (guard-failing minima update the stopper's
+    # best but are never saved — reference quirk)
+    best_loss = float(va[best_epoch]) if best_epoch >= 0 else float("inf")
+    return (state, history, jax.device_get(best_params), best_epoch, best_loss)
+
+
 __all__ = ["stage_dataset", "gather_rows", "padded_eval_indices",
-           "make_train_epoch", "make_eval_epoch", "fit_device_resident"]
+           "make_train_epoch", "make_eval_epoch", "fit_device_resident",
+           "fit_fully_compiled"]

@@ -119,3 +119,53 @@ def test_fit_device_resident_driver():
     # each checkpointed loss strictly improves on the previous one
     vls = [vl for _, vl in saved]
     assert all(b < a for a, b in zip(vls, vls[1:]))
+
+
+def test_fit_fully_compiled_matches_device_resident():
+    """The one-dispatch whole-run driver must reproduce fit_device_resident's
+    trajectory exactly: same per-epoch losses, same stop epoch, same best
+    (saved) epoch and params — the plateau/early-stop controllers moved
+    in-graph are semantics-preserving."""
+    exp = tiny_exp(epochs=10, early_stop=3, plateau_patience=1,
+                   save_guard=0.009)
+    model = build_model(exp)
+    train = synthetic_dataset("rencecps", exp.model, 40, seed=1)
+    valid = synthetic_dataset("rencecps", exp.model, 13, seed=2)
+
+    saves = []
+    ref_state, ref_hist = dev.fit_device_resident(
+        model, exp.train, train, valid,
+        checkpoint_cb=lambda st, e, vl: saves.append(
+            (e, vl, jax.tree.map(np.asarray, st.params))))
+    state, hist, best_params, best_epoch, best_loss = dev.fit_fully_compiled(
+        model, exp.train, train, valid)
+
+    assert len(hist) == len(ref_hist)
+    for a, b in zip(hist, ref_hist):
+        np.testing.assert_allclose(a.train_loss, b.train_loss,
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(a.valid_loss, b.valid_loss,
+                                   rtol=1e-6, atol=1e-7)
+    assert saves, "reference run never saved a best checkpoint"
+    ref_e, ref_vl, ref_params = saves[-1]
+    assert best_epoch == ref_e
+    np.testing.assert_allclose(best_loss, ref_vl, rtol=1e-6)
+    for x, y in zip(jax.tree_util.tree_leaves(best_params),
+                    jax.tree_util.tree_leaves(ref_params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-7)
+    for x, y in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_fit_fully_compiled_stops_early_and_skips_compute():
+    """Epochs after the stop take the no-compute cond branch: the history is
+    trimmed and shorter than the requested epoch count."""
+    exp = tiny_exp(epochs=30, early_stop=2, plateau_patience=0)
+    model = build_model(exp)
+    train = synthetic_dataset("rencecps", exp.model, 24, seed=3)
+    valid = synthetic_dataset("rencecps", exp.model, 8, seed=4)
+    _, hist, _, _, _ = dev.fit_fully_compiled(model, exp.train, train, valid)
+    assert 0 < len(hist) < 30
