@@ -49,6 +49,11 @@ def build_parser():
                         help="stage the dataset in HBM once and run each "
                              "k-fold epoch as one dispatch (31x steady-state "
                              "epochs measured; needs the corpus to fit HBM)")
+        sp.add_argument("--one-dispatch", action="store_true",
+                        help="the ENTIRE k-fold experiment (all folds x all "
+                             "epochs, plateau LR + early stop in-graph) as a "
+                             "single dispatch (6x measured over per-epoch "
+                             "dispatches; same HBM requirements)")
         sp.add_argument("--resume", action="store_true",
                         help="resume an interrupted k-fold run from its "
                              "per-epoch checkpoints (requires --checkpoint-dir)")
@@ -149,7 +154,8 @@ def cmd_train(args, eval_only=False):
         quiet=args.quiet, overrides=parse_overrides(args.set),
         resume=getattr(args, "resume", False),
         scan_steps=getattr(args, "scan_steps", 1),
-        device_resident=getattr(args, "device_resident", False))
+        device_resident=getattr(args, "device_resident", False),
+        one_dispatch=getattr(args, "one_dispatch", False))
     if result.report is not None:
         print(json.dumps(result.report, indent=2))
     if result.sweep is not None:

@@ -172,6 +172,7 @@ def _run_experiment(
     resume: bool = False,
     scan_steps: int = 1,
     device_resident: bool = False,
+    one_dispatch: bool = False,
 ) -> PipelineResult:
     """`scan_steps`: chain this many train/eval steps into one dispatch
     (lax.scan over host-stacked batch groups) — identical math, measured
@@ -181,7 +182,15 @@ def _run_experiment(
     k-fold epoch as ONE dispatch (train/vmap_kfold.py; 31x steady-state
     epochs measured).  Requires the vmapped driver and a static sample set —
     falls back with a log line when pair-level folds or the robot per-epoch
-    substitution make that impossible."""
+    substitution make that impossible.
+
+    `one_dispatch`: go further — the ENTIRE k-fold experiment (all folds x
+    all epochs, per-fold plateau LR + early stop + best tracking in-graph)
+    as a single dispatch (run_kfold_fully_compiled; measured 6x over the
+    per-epoch device-resident driver on v5e, identical trajectory).  Same
+    applicability conditions as device_resident; resume is not supported
+    (there are no epoch boundaries to resume at); store members persist
+    params-only at the end."""
     exp = configs.get(config_name)
     if overrides:
         exp = dataclasses.replace(
@@ -264,6 +273,13 @@ def _run_experiment(
             _log(f"[{config_name}] resume uses the sequential k-fold driver; "
                  "disabling vmap_folds", quiet)
             vmap_folds = False
+    if one_dispatch:
+        if resume:
+            _log(f"[{config_name}] one_dispatch has no epoch boundaries to "
+                 "resume at; disabling one_dispatch", quiet)
+            one_dispatch = False
+        else:
+            device_resident = True  # inherit the staging applicability gates
     if device_resident and (exp.train.epochs if epochs is None
                             else epochs) == 0:
         # eval-only: don't pay the one-time HBM staging (~minutes on relay
@@ -293,16 +309,31 @@ def _run_experiment(
             _log(f"[{config_name}] device_resident subsumes scan_steps "
                  "(each epoch is already one dispatch); ignoring "
                  f"scan_steps={scan_steps}", quiet)
+    one_dispatch = one_dispatch and device_resident  # gates may have fallen back
     if vmap_folds and exp.train.n_folds > 1:
         # all folds train in one vmapped step (measured ~4-5x wall-clock on
         # v5e vs sequential; semantics preserved — see train/vmap_kfold.py)
         from .train.vmap_kfold import run_kfold_vmapped
 
-        states, hists, best_member_params, best_member_losses = run_kfold_vmapped(
-            train_samples, make_loaders, model, exp.train, store=store,
-            name_prefix=config_name, epochs=epochs, impl=impl, log_cb=log_cb,
-            fold_size=exp.train.fold_size, scan_steps=scan_steps,
-            device_resident=device_resident, duplicate=duplicate)
+        if one_dispatch:
+            # the whole k-fold experiment as ONE dispatch (measured 6x over
+            # per-epoch dispatches on v5e; identical trajectory — tested)
+            from .train.vmap_kfold import run_kfold_fully_compiled
+
+            states, hists, best_member_params, best_member_losses = \
+                run_kfold_fully_compiled(
+                    train_samples, model, exp.train, store=store,
+                    name_prefix=config_name, epochs=epochs, impl=impl,
+                    log_cb=log_cb, fold_size=exp.train.fold_size,
+                    duplicate=duplicate)
+        else:
+            states, hists, best_member_params, best_member_losses = \
+                run_kfold_vmapped(
+                    train_samples, make_loaders, model, exp.train, store=store,
+                    name_prefix=config_name, epochs=epochs, impl=impl,
+                    log_cb=log_cb, fold_size=exp.train.fold_size,
+                    scan_steps=scan_steps, device_resident=device_resident,
+                    duplicate=duplicate)
         results = [(None, hists[i]) for i in range(exp.train.n_folds)]
     else:
         results = run_kfold(train_samples, make_loaders, model, exp.train,

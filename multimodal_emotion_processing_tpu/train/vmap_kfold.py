@@ -42,6 +42,48 @@ def _slice_fold(tree, i: int):
     return jax.tree.map(lambda x: np.asarray(x[i]), tree)
 
 
+def _fold_fns(model, tcfg, impl: str):
+    """Per-fold init/step/eval bodies shared by the host-driven vmapped
+    driver and the fully-compiled one; fused flat-vector optimizer like
+    engine.make_train_step."""
+    from jax.flatten_util import ravel_pytree
+
+    tx = make_optimizer(tcfg)
+
+    def single_init(seed):
+        key_p, key_r = jax.random.split(jax.random.PRNGKey(seed))
+        params = model.init(key_p)
+        return TrainState(params, tx.init(ravel_pytree(params)[0]), key_r,
+                          jnp.zeros((), jnp.int32))
+
+    def single_step(state, batch):
+        import optax
+
+        rng_, sub = jax.random.split(state.rng)
+
+        def loss_fn(p):
+            return batch_loss(model, tcfg, p, batch, sub, True, impl)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        gflat = ravel_pytree(grads)[0]
+        pflat, unravel = ravel_pytree(state.params)
+        updates, opt_state = tx.update(gflat, state.opt_state, pflat)
+        params = unravel(optax.apply_updates(pflat, updates))
+        return TrainState(params, opt_state, rng_, state.step + 1), loss
+
+    def single_eval(state, batch):
+        return batch_loss(model, tcfg, state.params, batch, None, False, impl)
+
+    return tx, single_init, single_step, single_eval
+
+
+def _set_fold_lrs(states, lrs):
+    hp = dict(states.opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lrs, jnp.float32)
+    return dataclasses.replace(
+        states, opt_state=states.opt_state._replace(hyperparams=hp))
+
+
 def run_kfold_vmapped(
     samples: Sequence,
     make_loaders: Callable,
@@ -90,34 +132,9 @@ def run_kfold_vmapped(
     sizes = {(len(t), len(v)) for t, v in splits}
     assert len(sizes) == 1, f"fold sizes misaligned: {sizes}"
 
-    tx = make_optimizer(tcfg)
-
-    from jax.flatten_util import ravel_pytree
-
-    def single_init(seed):
-        key_p, key_r = jax.random.split(jax.random.PRNGKey(seed))
-        params = model.init(key_p)
-        # fused optimizer state (flat vector) — see engine.make_train_step
-        return TrainState(params, tx.init(ravel_pytree(params)[0]), key_r,
-                          jnp.zeros((), jnp.int32))
-
+    tx, single_init, single_step, single_eval = _fold_fns(model, tcfg, impl)
     states = jax.jit(jax.vmap(single_init))(
         jnp.arange(tcfg.seed, tcfg.seed + k))
-
-    def single_step(state, batch):
-        import optax
-
-        rng_, sub = jax.random.split(state.rng)
-
-        def loss_fn(p):
-            return batch_loss(model, tcfg, p, batch, sub, True, impl)
-
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        gflat = ravel_pytree(grads)[0]
-        pflat, unravel = ravel_pytree(state.params)
-        updates, opt_state = tx.update(gflat, state.opt_state, pflat)
-        params = unravel(optax.apply_updates(pflat, updates))
-        return TrainState(params, opt_state, rng_, state.step + 1), loss
 
     vstep = jax.jit(jax.vmap(single_step), donate_argnums=(0,))
     # scan over (s, k, B, ...) chunks: s vmapped steps per dispatch
@@ -126,19 +143,12 @@ def run_kfold_vmapped(
                                             chunk),
         donate_argnums=(0,))
 
-    def single_eval(state, batch):
-        return batch_loss(model, tcfg, state.params, batch, None, False, impl)
-
     veval = jax.jit(jax.vmap(single_eval))
     veval_scan = jax.jit(
         lambda states_, chunk: jax.lax.scan(
             lambda c, b: (c, jax.vmap(single_eval)(c, b)), states_, chunk)[1])
 
-    def set_lrs(states, lrs):
-        hp = dict(states.opt_state.hyperparams)
-        hp["learning_rate"] = jnp.asarray(lrs, jnp.float32)
-        return dataclasses.replace(states,
-                                   opt_state=states.opt_state._replace(hyperparams=hp))
+    set_lrs = _set_fold_lrs
 
     plateaus = [schedule.PlateauState(lr=tcfg.lr, factor=tcfg.plateau_factor,
                                       patience=tcfg.plateau_patience)
@@ -311,4 +321,200 @@ def run_kfold_vmapped(
         if best_params[i] is None:
             best_params[i] = _slice_fold(jax.device_get(states.params), i)
             best_losses[i] = histories[i][-1].valid_loss if histories[i] else float("inf")
+    return states, histories, best_params, best_losses
+
+
+def run_kfold_fully_compiled(
+    samples: Sequence,
+    model,
+    tcfg,
+    *,
+    fold_size: Optional[int] = None,
+    epochs: Optional[int] = None,
+    impl: str = "xla",
+    shuffle_seed: int = 0,
+    duplicate: bool = False,
+    store: Optional[CheckpointStore] = None,
+    name_prefix: str = "model",
+    log_cb=None,
+):
+    """The ENTIRE k-fold bagging experiment — every fold x every epoch — as
+    ONE jitted dispatch: the fold axis rides vmap (run_kfold_vmapped), the
+    epoch axis rides `lax.scan`, and the per-fold host controllers move
+    in-graph as (k,)-vector updates:
+
+      * per-fold ReduceLROnPlateau on the injected (k,) LR vector;
+      * per-fold early stop incl. the save-guard quirk; a stopped fold's
+        stopper state freezes (its params keep riding the vmap exactly like
+        the host driver — only its tracked best matters), and once EVERY
+        fold has stopped the remaining epochs take a no-compute `lax.cond`
+        branch;
+      * per-fold best-params tracking in HBM (save-time capture, stop-time
+        fallback for folds whose guard never passed, final-params fallback
+        for folds that exhausted the epoch budget — the host driver's three
+        cases exactly).
+
+    Identical math, RNG chain, and controller trajectory to
+    run_kfold_vmapped(device_resident=True) (tested); the win is ZERO host
+    round-trips between epochs (~2 blocking round-trips/epoch on
+    relay-attached hosts).  `store` members are persisted params-only at the
+    end (restore_params/ensembling path; the host drivers save full state).
+    Returns (stacked final TrainState, histories[k], best_params[k],
+    best_losses[k]) like run_kfold_vmapped."""
+    from .device_epochs import gather_rows, padded_eval_indices, stage_dataset
+
+    k = tcfg.n_folds
+    samples = list(samples)
+    random.Random(shuffle_seed).shuffle(samples)
+    folds = contiguous_folds(len(samples), k, fold_size)
+    tx, single_init, single_step, single_eval = _fold_fns(model, tcfg, impl)
+
+    bs = tcfg.batch_size
+    rows = bs * (2 if duplicate else 1)
+    data, _ = stage_dataset(samples)
+    train_idx = jax.device_put(np.stack(
+        [np.concatenate([np.arange(r.start, r.stop) for r in tr])
+         for _, tr in folds]).astype(np.int32))            # (k, n_tr)
+    n_tr = int(train_idx.shape[1])
+    n_steps_tr = n_tr // bs
+    if n_steps_tr == 0:
+        raise ValueError(f"fully-compiled k-fold needs >= {bs} train "
+                         f"samples per fold, have {n_tr}")
+    valid_np = np.stack([np.arange(va.start, va.stop)
+                         for va, _ in folds]).astype(np.int32)
+    ev_idx_np, ev_w_np = padded_eval_indices(valid_np, bs)
+    ev_idx = jax.device_put(ev_idx_np)
+    ev_w = jax.device_put(ev_w_np)
+    n_ev = int(ev_idx.shape[1]) // bs
+
+    n_epochs = tcfg.epochs if epochs is None else epochs
+    shuffle_key = jax.random.PRNGKey(shuffle_seed + 20903)  # = device_resident
+    guard = tcfg.save_guard
+    f32 = jnp.float32
+
+    def train_epoch(states_, e):
+        def perm_one(key_i, idx_i):
+            ids = idx_i[jax.random.permutation(key_i, n_tr)]
+            return jnp.repeat(ids, 2) if duplicate else ids
+
+        rowids = jax.vmap(perm_one)(
+            jax.random.split(jax.random.fold_in(shuffle_key, e), k), train_idx)
+
+        def body(st, i):
+            idx = jax.lax.dynamic_slice_in_dim(rowids, i * rows, rows, axis=1)
+            return jax.vmap(single_step)(st, gather_rows(data, idx))
+
+        states_, losses = jax.lax.scan(body, states_, jnp.arange(n_steps_tr))
+        return states_, jnp.mean(losses, axis=0)            # (k,)
+
+    def eval_mean(states_):
+        def body(c, j):
+            idx = jax.lax.dynamic_slice_in_dim(ev_idx, j * bs, bs, axis=1)
+            w = jax.lax.dynamic_slice_in_dim(ev_w, j * bs, bs, axis=1)
+            if duplicate:
+                idx = jnp.repeat(idx, 2, axis=1)
+                w = jnp.repeat(w, 2, axis=1)
+            batch = gather_rows(data, idx)
+            batch["sample_weight"] = w
+            return c, jax.vmap(single_eval)(c, batch)
+
+        return jnp.mean(jax.lax.scan(body, states_, jnp.arange(n_ev))[1],
+                        axis=0)                              # (k,)
+
+    def _bcast(mask, leaf):
+        return mask.reshape((k,) + (1,) * (leaf.ndim - 1))
+
+    def whole_run(states0):
+        init = (states0,
+                jnp.full((k,), tcfg.lr, f32),                # lr
+                jnp.full((k,), jnp.inf, f32),                # plateau best
+                jnp.zeros((k,), jnp.int32),                  # plateau bad
+                jnp.full((k,), jnp.inf, f32),                # stopper best
+                jnp.zeros((k,), jnp.int32),                  # stopper bad
+                jnp.zeros((k,), bool),                       # stopped
+                states0.params,                              # best params
+                jnp.full((k,), jnp.inf, f32),                # best losses
+                jnp.zeros((k,), bool),                       # has best
+                jnp.full((k,), jnp.nan, f32))                # last valid
+
+        def epoch_step(carry, e):
+            def live(carry):
+                (st, lr, pb, pbad, eb, ebad, stopped, bp, bl, hasb, _) = carry
+                st = _set_fold_lrs(st, lr)
+                st, tr = train_epoch(st, e)
+                va = eval_mean(st)
+                # per-fold plateau — the host driver steps it for EVERY fold
+                # every epoch, stopped or not
+                improved = va < pb * (1.0 - 1e-4)
+                pb = jnp.where(improved, va, pb)
+                pbad = jnp.where(improved, 0, pbad + 1)
+                reduce_ = jnp.logical_and(~improved,
+                                          pbad > tcfg.plateau_patience)
+                lr = jnp.where(reduce_, lr * tcfg.plateau_factor, lr)
+                pbad = jnp.where(reduce_, 0, pbad)
+                # per-fold early stop — frozen once stopped
+                active = ~stopped
+                is_min = va <= eb
+                eb = jnp.where(jnp.logical_and(active, is_min), va, eb)
+                passes = (jnp.ones((k,), bool) if guard is None
+                          else va > jnp.asarray(guard, f32))
+                save = active & is_min & passes
+                ebad = jnp.where(save, 0, jnp.where(active, ebad + 1, ebad))
+                stop_now = active & ~save & (ebad >= tcfg.early_stop)
+                bp = jax.tree.map(
+                    lambda new, old: jnp.where(_bcast(save, new), new, old),
+                    st.params, bp)
+                bl = jnp.where(save, va, bl)
+                hasb = hasb | save
+                fb = stop_now & ~hasb  # guard never passed: stop-time params
+                bp = jax.tree.map(
+                    lambda new, old: jnp.where(_bcast(fb, new), new, old),
+                    st.params, bp)
+                bl = jnp.where(fb, va, bl)
+                hasb = hasb | fb
+                stopped = stopped | stop_now
+                return ((st, lr, pb, pbad, eb, ebad, stopped, bp, bl, hasb,
+                         va), (tr, va, jnp.asarray(True)))
+
+            def skip(carry):
+                nans = jnp.full((k,), jnp.nan, f32)
+                return carry, (nans, nans, jnp.asarray(False))
+
+            return jax.lax.cond(jnp.all(carry[6]), skip, live, carry)
+
+        return jax.lax.scan(epoch_step, init, jnp.arange(n_epochs))
+
+    run = jax.jit(whole_run, donate_argnums=(0,))
+    t0 = time.perf_counter()
+    states0 = jax.jit(jax.vmap(single_init))(
+        jnp.arange(tcfg.seed, tcfg.seed + k))
+    final, (tr, va, active) = run(states0)
+    states, bp, bl, hasb, last_va = (final[0], final[7], final[8], final[9],
+                                     final[10])
+    jax.block_until_ready(va)
+    dt = time.perf_counter() - t0
+    tr, va, active, bl, hasb, last_va = (
+        np.asarray(jax.device_get(x)) for x in (tr, va, active, bl, hasb,
+                                                last_va))
+    n_live = int(active.sum())
+    bp_host = jax.device_get(bp)
+    histories: List[List[EpochStats]] = [[] for _ in range(k)]
+    for e in range(n_live):
+        for i in range(k):
+            stats = EpochStats(float(tr[e, i]), float(va[e, i]), n_steps_tr,
+                               n_steps_tr * rows, dt / max(n_live, 1))
+            histories[i].append(stats)
+            if log_cb:
+                log_cb(f"{name_prefix}_{i + 1}", e, stats)
+    best_params, best_losses = [], []
+    for i in range(k):
+        if hasb[i]:
+            best_params.append(_slice_fold(bp_host, i))
+            best_losses.append(float(bl[i]))
+        else:  # epoch budget exhausted without a save: final params
+            best_params.append(_slice_fold(jax.device_get(states.params), i))
+            best_losses.append(float(last_va[i]) if n_live else float("inf"))
+        if store is not None:
+            store.save_params(f"{name_prefix}_{i + 1}", best_params[i],
+                              valid_loss=best_losses[i])
     return states, histories, best_params, best_losses

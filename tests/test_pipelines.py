@@ -166,3 +166,15 @@ def test_cli_parse_overrides():
     import pytest as _pytest
     with _pytest.raises(SystemExit):
         parse_overrides(["batch_size=32"])  # missing section
+
+
+def test_run_experiment_one_dispatch():
+    """--one-dispatch: the whole k-fold experiment as a single dispatch,
+    through the full pipeline (train -> ensemble -> report)."""
+    res = run_experiment(
+        "rencecps", synthetic_data=True, n_train=44, n_test=16, epochs=2,
+        quiet=True, one_dispatch=True,
+        overrides={"model": {"dim": 16}, "train": {"batch_size": 8,
+                                                   "n_folds": 2}})
+    assert res.report is not None
+    assert all(len(h) == 2 for h in res.fold_histories)

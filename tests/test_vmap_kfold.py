@@ -192,3 +192,70 @@ def test_device_resident_rejects_too_small_folds():
     with pytest.raises(ValueError, match="train samples per fold"):
         run_kfold_vmapped(samples, None, model, exp.train, epochs=1,
                           device_resident=True)
+
+
+def test_fully_compiled_kfold_matches_device_resident():
+    """The one-dispatch k-fold experiment reproduces the host-controlled
+    device-resident driver exactly: per-fold epoch losses, history lengths
+    (all-stop epoch), best losses and best params."""
+    from multimodal_emotion_processing_tpu.train.vmap_kfold import (
+        run_kfold_fully_compiled)
+
+    exp = _exp()
+    exp = dataclasses.replace(
+        exp, train=dataclasses.replace(exp.train, epochs=12, early_stop=3,
+                                       plateau_patience=1, save_guard=0.009))
+    model = build_model(exp)
+    samples = synthetic_dataset("rencecps", exp.model, n=44, seed=4)
+
+    ref_states, ref_hists, ref_best, ref_losses = run_kfold_vmapped(
+        samples, None, model, exp.train, shuffle_seed=0, device_resident=True)
+    states, hists, best, losses = run_kfold_fully_compiled(
+        samples, model, exp.train, shuffle_seed=0)
+
+    assert [len(h) for h in hists] == [len(h) for h in ref_hists]
+    for h, rh in zip(hists, ref_hists):
+        for a, b in zip(h, rh):
+            np.testing.assert_allclose(a.train_loss, b.train_loss,
+                                       rtol=1e-6, atol=1e-7)
+            np.testing.assert_allclose(a.valid_loss, b.valid_loss,
+                                       rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-6)
+    for bp, rbp in zip(best, ref_best):
+        for x, y in zip(jax.tree_util.tree_leaves(bp),
+                        jax.tree_util.tree_leaves(rbp)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-6, atol=1e-7)
+    for x, y in zip(jax.tree_util.tree_leaves(states.params),
+                    jax.tree_util.tree_leaves(ref_states.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_fully_compiled_kfold_rdrop_and_store(tmp_path):
+    """R-Drop duplication + params-only store persistence at run end."""
+    from multimodal_emotion_processing_tpu.train.checkpoint import CheckpointStore
+    from multimodal_emotion_processing_tpu.train.vmap_kfold import (
+        run_kfold_fully_compiled)
+
+    exp = configs.get("ren_mme")
+    exp = dataclasses.replace(
+        exp,
+        model=dataclasses.replace(exp.model, l_len=4, v_len=6, a_len=8,
+                                  dim=12, n_heads=2, l_dim=5, v_dim=4,
+                                  a_dim=3),
+        train=dataclasses.replace(exp.train, n_folds=2, batch_size=4))
+    model = build_model(exp)
+    samples = synthetic_dataset("ren_mme", exp.model, n=24, seed=5)
+    store = CheckpointStore(str(tmp_path / "ck"))
+    _, hists, best, losses = run_kfold_fully_compiled(
+        samples, model, exp.train, epochs=2, duplicate=True, store=store,
+        name_prefix="ren_mme")
+    assert all(len(h) == 2 for h in hists)
+    assert all(np.isfinite(l) for l in losses)
+    assert store.best_members("ren_mme") == ["ren_mme_1", "ren_mme_2"]
+    params_like = model.init(jax.random.PRNGKey(0))
+    restored = store.restore_params("ren_mme_1", params_like)
+    for x, y in zip(jax.tree_util.tree_leaves(restored),
+                    jax.tree_util.tree_leaves(best[0])):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
