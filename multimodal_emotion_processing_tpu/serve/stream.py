@@ -45,13 +45,13 @@ class StreamingPredictor:
         self._jitted = jax.jit(run)
 
     def _run(self, stacked, batch):
-        # the toggle is a module global read at trace time: enter it only for
-        # the FIRST call (which traces; batch-1 shapes are fixed, so later
-        # calls hit the cache) to keep the contamination window to one trace
+        # the toggle is a module global read at trace time; wrap EVERY call
+        # so any retrace (e.g. a sample arriving with a different dtype)
+        # keeps the requested path — cached calls make it a no-op.  Trace
+        # serving programs from one thread (see grid.stacked_realformer).
         if self._stacked_grid:
             from ..models.grid import stacked_realformer
 
-            self._stacked_grid = False
             with stacked_realformer():
                 return self._jitted(stacked, batch)
         return self._jitted(stacked, batch)

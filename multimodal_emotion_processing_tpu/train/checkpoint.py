@@ -94,23 +94,27 @@ class CheckpointStore:
         self._write_manifest()
 
     def save_params(self, name: str, params, valid_loss: float = 0.0,
-                    epoch: int = -1) -> None:
-        """Params-only member (e.g. reference .pt weights imported via
-        interop/torch_compat): enough for ensembling/serving — `best_members`
-        lists it and `restore_params` loads it; no full train state.  Any
-        stale train-state keys from a previous trained member under the same
-        name are dropped so the entry can't point restore_state at weights
-        that no longer match the params."""
+                    epoch: int = -1, *, imported: bool = True) -> None:
+        """Params-only member: enough for ensembling/serving — `best_members`
+        lists it and `restore_params` loads it; no full train state.  Used
+        for reference .pt weights imported via interop/torch_compat
+        (`imported=True`, the default) and for the one-dispatch drivers'
+        trained bests (`imported=False` — the whole run is one program, so
+        there is no per-epoch full-state to save).  Any stale train-state
+        keys from a previous trained member under the same name are dropped
+        so the entry can't point restore_state at weights that no longer
+        match the params."""
         self._save_tree(self._dir(name, "params"), _tree_to_numpy(params))
         entry = self.manifest.setdefault(name, {})
-        for stale in ("full", "last", "last_prev", "done"):
+        for stale in ("full", "last", "last_prev", "done", "imported"):
             entry.pop(stale, None)
         entry.update({
             "params": self._dir(name, "params"),
             "valid_loss": float(valid_loss),
             "epoch": int(epoch),
-            "imported": True,
         })
+        if imported:
+            entry["imported"] = True
         self._write_manifest()
 
     def save_last(self, name: str, state, epoch: int,

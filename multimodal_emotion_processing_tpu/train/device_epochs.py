@@ -180,7 +180,10 @@ def fit_device_resident(
         va = np.asarray(jax.device_get(va_losses))
         stats = EpochStats(
             train_loss=float(tr.mean()), valid_loss=float(va.mean()),
-            steps=int(tr.shape[0]), samples=int(tr.shape[0]) * bs,
+            steps=int(tr.shape[0]),
+            # rows counts R-Drop duplicates like the host Batcher's
+            # label.shape[0] — samples/s comparable across every driver
+            samples=int(tr.shape[0]) * bs * (2 if duplicate else 1),
             seconds=time.perf_counter() - t0)
         history.append(stats)
         if log_cb:
@@ -192,6 +195,49 @@ def fit_device_resident(
         if stop:
             break
     return state, history
+
+
+def apply_lr(state, lr):
+    """Set the optimizer's injected learning rate (traced or concrete)."""
+    import dataclasses as _dc
+
+    hp = dict(state.opt_state.hyperparams)
+    hp["learning_rate"] = lr
+    return _dc.replace(state,
+                       opt_state=state.opt_state._replace(hyperparams=hp))
+
+
+def controller_step(va, ctrl, tcfg, *, active=None):
+    """One in-graph ReduceLROnPlateau + EarlyStop update, shared by the
+    fully-compiled drivers (scalar `va` for the single-model run, (k,) for
+    the vmapped folds).  Replicates schedule.{PlateauState,EarlyStop}.step
+    incl. the save-guard-advances-counter quirk — change semantics THERE
+    first, then here.  Caveat vs the host controllers: comparisons run in
+    f32 (the host steps compare f64 Python floats), so a valid loss within
+    float32 rounding of the guard/threshold could decide differently —
+    O(1e-10) on these O(1) losses.
+
+    `ctrl` = (lr, plateau_best, plateau_bad, stop_best, stop_bad);
+    `active` masks folds whose stopper is frozen (None = all active; the
+    plateau steps for every fold every epoch like the host driver).
+    Returns (new ctrl, save, stop_now)."""
+    lr, pb, pbad, eb, ebad = ctrl
+    if active is None:
+        active = jnp.ones(jnp.shape(va), bool)
+    improved = va < pb * (1.0 - 1e-4)
+    pb = jnp.where(improved, va, pb)
+    pbad = jnp.where(improved, 0, pbad + 1)
+    reduce_ = jnp.logical_and(~improved, pbad > tcfg.plateau_patience)
+    lr = jnp.where(reduce_, lr * tcfg.plateau_factor, lr)
+    pbad = jnp.where(reduce_, 0, pbad)
+    is_min = va <= eb
+    eb = jnp.where(jnp.logical_and(active, is_min), va, eb)
+    passes = (jnp.ones(jnp.shape(va), bool) if tcfg.save_guard is None
+              else va > jnp.asarray(tcfg.save_guard, jnp.float32))
+    save = active & is_min & passes
+    ebad = jnp.where(save, 0, jnp.where(active, ebad + 1, ebad))
+    stop_now = active & ~save & (ebad >= tcfg.early_stop)
+    return (lr, pb, pbad, eb, ebad), save, stop_now
 
 
 def fit_fully_compiled(
@@ -222,8 +268,6 @@ def fit_fully_compiled(
 
     Returns (final TrainState, [EpochStats] trimmed at the stop epoch,
     best_params, best_epoch, best_valid_loss)."""
-    import dataclasses as _dc
-
     train_data, n_train = stage_dataset(train_samples)
     valid_data, _ = stage_dataset(valid_samples,
                                   pad_to_multiple=tcfg.batch_size)
@@ -239,12 +283,6 @@ def fit_fully_compiled(
     n_epochs = tcfg.epochs if epochs is None else epochs
     sd = tcfg.seed if seed is None else seed
     shuffle_key = jax.random.PRNGKey(sd + 777)
-    guard = tcfg.save_guard
-
-    def _set_lr(st, lr):
-        hp = dict(st.opt_state.hyperparams)
-        hp["learning_rate"] = lr
-        return _dc.replace(st, opt_state=st.opt_state._replace(hyperparams=hp))
 
     def eval_mean(params):
         def body(c, j):
@@ -266,7 +304,7 @@ def fit_fully_compiled(
         def epoch_step(carry, e):
             def run_epoch(carry):
                 st, lr, pb, pbad, eb, ebad, stopped, bp, bep = carry
-                st = _set_lr(st, lr)
+                st = apply_lr(st, lr)
                 perm = jax.random.permutation(
                     jax.random.fold_in(shuffle_key, e), n_train)
                 if duplicate:
@@ -279,22 +317,8 @@ def fit_fully_compiled(
                 st, tr_losses = jax.lax.scan(body, st, jnp.arange(n_steps))
                 tr = jnp.mean(tr_losses)
                 va = eval_mean(st.params)
-                # ReduceLROnPlateau (schedule.PlateauState.step)
-                improved = va < pb * (1.0 - 1e-4)
-                pb = jnp.where(improved, va, pb)
-                pbad = jnp.where(improved, 0, pbad + 1)
-                reduce_ = jnp.logical_and(~improved,
-                                          pbad > tcfg.plateau_patience)
-                new_lr = jnp.where(reduce_, lr * tcfg.plateau_factor, lr)
-                pbad = jnp.where(reduce_, 0, pbad)
-                # EarlyStop.step incl. the save-guard quirk
-                is_min = va <= eb
-                eb = jnp.where(is_min, va, eb)
-                passes = (jnp.asarray(True) if guard is None
-                          else va > jnp.asarray(guard, f32))
-                save = jnp.logical_and(is_min, passes)
-                ebad = jnp.where(save, 0, ebad + 1)
-                stop = jnp.logical_and(~save, ebad >= tcfg.early_stop)
+                (new_lr, pb, pbad, eb, ebad), save, stop = controller_step(
+                    va, (lr, pb, pbad, eb, ebad), tcfg)
                 bp = jax.tree.map(lambda new, old: jnp.where(save, new, old),
                                   st.params, bp)
                 bep = jnp.where(save, e, bep)
@@ -312,7 +336,11 @@ def fit_fully_compiled(
     run = jax.jit(whole_run, donate_argnums=(0,))
     t0 = time.perf_counter()
     final, (tr, va, lrs, active) = run(init_state(model, tx, sd))
-    state, best_params, best_epoch = final[0], final[7], final[8]
+    # the carried LR includes the last epoch's plateau update; apply it so
+    # the returned state matches fit_device_resident's (which sets the LR
+    # after every epoch)
+    state = apply_lr(final[0], final[1])
+    best_params, best_epoch = final[7], final[8]
     jax.block_until_ready(va)
     dt = time.perf_counter() - t0
     tr, va, active = (np.asarray(jax.device_get(x)) for x in (tr, va, active))

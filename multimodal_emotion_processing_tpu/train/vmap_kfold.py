@@ -361,7 +361,8 @@ def run_kfold_fully_compiled(
     end (restore_params/ensembling path; the host drivers save full state).
     Returns (stacked final TrainState, histories[k], best_params[k],
     best_losses[k]) like run_kfold_vmapped."""
-    from .device_epochs import gather_rows, padded_eval_indices, stage_dataset
+    from .device_epochs import (controller_step, gather_rows,
+                                padded_eval_indices, stage_dataset)
 
     k = tcfg.n_folds
     samples = list(samples)
@@ -389,7 +390,6 @@ def run_kfold_fully_compiled(
 
     n_epochs = tcfg.epochs if epochs is None else epochs
     shuffle_key = jax.random.PRNGKey(shuffle_seed + 20903)  # = device_resident
-    guard = tcfg.save_guard
     f32 = jnp.float32
 
     def train_epoch(states_, e):
@@ -426,46 +426,38 @@ def run_kfold_fully_compiled(
 
     def whole_run(states0):
         init = (states0,
-                jnp.full((k,), tcfg.lr, f32),                # lr
-                jnp.full((k,), jnp.inf, f32),                # plateau best
-                jnp.zeros((k,), jnp.int32),                  # plateau bad
-                jnp.full((k,), jnp.inf, f32),                # stopper best
-                jnp.zeros((k,), jnp.int32),                  # stopper bad
+                (jnp.full((k,), tcfg.lr, f32),               # controller:
+                 jnp.full((k,), jnp.inf, f32),               #   plateau best
+                 jnp.zeros((k,), jnp.int32),                 #   plateau bad
+                 jnp.full((k,), jnp.inf, f32),               #   stopper best
+                 jnp.zeros((k,), jnp.int32)),                #   stopper bad
                 jnp.zeros((k,), bool),                       # stopped
                 states0.params,                              # best params
                 jnp.full((k,), jnp.inf, f32),                # best losses
-                jnp.zeros((k,), bool),                       # has best
+                jnp.full((k,), -1, jnp.int32),               # best epochs
+                jnp.zeros((k,), bool),                       # has best (any)
+                jnp.zeros((k,), bool),                       # guard-passed save
                 jnp.full((k,), jnp.nan, f32))                # last valid
 
         def epoch_step(carry, e):
             def live(carry):
-                (st, lr, pb, pbad, eb, ebad, stopped, bp, bl, hasb, _) = carry
-                st = _set_fold_lrs(st, lr)
+                (st, ctrl, stopped, bp, bl, bep, hasb, savedany, _) = carry
+                active = ~stopped
+                st = _set_fold_lrs(st, ctrl[0])
                 st, tr = train_epoch(st, e)
                 va = eval_mean(st)
-                # per-fold plateau — the host driver steps it for EVERY fold
-                # every epoch, stopped or not
-                improved = va < pb * (1.0 - 1e-4)
-                pb = jnp.where(improved, va, pb)
-                pbad = jnp.where(improved, 0, pbad + 1)
-                reduce_ = jnp.logical_and(~improved,
-                                          pbad > tcfg.plateau_patience)
-                lr = jnp.where(reduce_, lr * tcfg.plateau_factor, lr)
-                pbad = jnp.where(reduce_, 0, pbad)
-                # per-fold early stop — frozen once stopped
-                active = ~stopped
-                is_min = va <= eb
-                eb = jnp.where(jnp.logical_and(active, is_min), va, eb)
-                passes = (jnp.ones((k,), bool) if guard is None
-                          else va > jnp.asarray(guard, f32))
-                save = active & is_min & passes
-                ebad = jnp.where(save, 0, jnp.where(active, ebad + 1, ebad))
-                stop_now = active & ~save & (ebad >= tcfg.early_stop)
+                # one shared in-graph controller (device_epochs): the plateau
+                # steps for EVERY fold every epoch like the host driver, the
+                # stopper freezes per stopped fold
+                ctrl, save, stop_now = controller_step(va, ctrl, tcfg,
+                                                       active=active)
                 bp = jax.tree.map(
                     lambda new, old: jnp.where(_bcast(save, new), new, old),
                     st.params, bp)
                 bl = jnp.where(save, va, bl)
+                bep = jnp.where(save, e, bep)
                 hasb = hasb | save
+                savedany = savedany | save
                 fb = stop_now & ~hasb  # guard never passed: stop-time params
                 bp = jax.tree.map(
                     lambda new, old: jnp.where(_bcast(fb, new), new, old),
@@ -473,14 +465,14 @@ def run_kfold_fully_compiled(
                 bl = jnp.where(fb, va, bl)
                 hasb = hasb | fb
                 stopped = stopped | stop_now
-                return ((st, lr, pb, pbad, eb, ebad, stopped, bp, bl, hasb,
-                         va), (tr, va, jnp.asarray(True)))
+                return ((st, ctrl, stopped, bp, bl, bep, hasb, savedany, va),
+                        (tr, va, active))
 
             def skip(carry):
                 nans = jnp.full((k,), jnp.nan, f32)
-                return carry, (nans, nans, jnp.asarray(False))
+                return carry, (nans, nans, jnp.zeros((k,), bool))
 
-            return jax.lax.cond(jnp.all(carry[6]), skip, live, carry)
+            return jax.lax.cond(jnp.all(carry[2]), skip, live, carry)
 
         return jax.lax.scan(epoch_step, init, jnp.arange(n_epochs))
 
@@ -488,15 +480,16 @@ def run_kfold_fully_compiled(
     t0 = time.perf_counter()
     states0 = jax.jit(jax.vmap(single_init))(
         jnp.arange(tcfg.seed, tcfg.seed + k))
-    final, (tr, va, active) = run(states0)
-    states, bp, bl, hasb, last_va = (final[0], final[7], final[8], final[9],
-                                     final[10])
+    final, (tr, va, fold_active) = run(states0)
+    # apply the carried (post-last-epoch) LR vector like the host driver does
+    states = _set_fold_lrs(final[0], final[1][0])
+    bp, bl, bep, hasb, savedany, last_va = final[3:9]
     jax.block_until_ready(va)
     dt = time.perf_counter() - t0
-    tr, va, active, bl, hasb, last_va = (
-        np.asarray(jax.device_get(x)) for x in (tr, va, active, bl, hasb,
-                                                last_va))
-    n_live = int(active.sum())
+    tr, va, fold_active, bl, bep, hasb, savedany, last_va = (
+        np.asarray(jax.device_get(x))
+        for x in (tr, va, fold_active, bl, bep, hasb, savedany, last_va))
+    n_live = int(fold_active.any(axis=1).sum())
     bp_host = jax.device_get(bp)
     histories: List[List[EpochStats]] = [[] for _ in range(k)]
     for e in range(n_live):
@@ -504,7 +497,9 @@ def run_kfold_fully_compiled(
             stats = EpochStats(float(tr[e, i]), float(va[e, i]), n_steps_tr,
                                n_steps_tr * rows, dt / max(n_live, 1))
             histories[i].append(stats)
-            if log_cb:
+            # the host driver logs only still-active folds (a stopped fold's
+            # continuation losses are meaningless)
+            if log_cb and fold_active[e, i]:
                 log_cb(f"{name_prefix}_{i + 1}", e, stats)
     best_params, best_losses = [], []
     for i in range(k):
@@ -514,7 +509,10 @@ def run_kfold_fully_compiled(
         else:  # epoch budget exhausted without a save: final params
             best_params.append(_slice_fold(jax.device_get(states.params), i))
             best_losses.append(float(last_va[i]) if n_live else float("inf"))
-        if store is not None:
+        # persist like the host drivers: only guard-passed saves become store
+        # members (stop-time/final fallbacks ride the RETURN value only)
+        if store is not None and savedany[i]:
             store.save_params(f"{name_prefix}_{i + 1}", best_params[i],
-                              valid_loss=best_losses[i])
+                              valid_loss=best_losses[i], epoch=int(bep[i]),
+                              imported=False)
     return states, histories, best_params, best_losses

@@ -254,6 +254,10 @@ def test_fully_compiled_kfold_rdrop_and_store(tmp_path):
     assert all(len(h) == 2 for h in hists)
     assert all(np.isfinite(l) for l in losses)
     assert store.best_members("ren_mme") == ["ren_mme_1", "ren_mme_2"]
+    # trained one-dispatch members are NOT marked as torch imports and
+    # carry their best epoch
+    assert "imported" not in store.manifest["ren_mme_1"]
+    assert store.manifest["ren_mme_1"]["epoch"] >= 0
     params_like = model.init(jax.random.PRNGKey(0))
     restored = store.restore_params("ren_mme_1", params_like)
     for x, y in zip(jax.tree_util.tree_leaves(restored),
