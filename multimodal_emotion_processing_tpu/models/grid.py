@@ -121,9 +121,10 @@ def stacked_realformer(enabled: bool = True):
     lengths fall back to the unrolled path automatically).
 
     NOT thread-safe: it flips the module global, so another thread tracing a
-    grid program concurrently would pick up this setting.  Trace serving
-    programs from one thread (StreamingPredictor enters this only for its
-    first trace)."""
+    grid program concurrently would pick up this setting.  Trace grid
+    programs from one thread; StreamingPredictor(stacked_grid=True) enters
+    this around EVERY call so retraces keep the requested path — cached
+    calls make it a no-op, but the flip happens each call."""
     global REALFORMER_STACKED
     old = REALFORMER_STACKED
     REALFORMER_STACKED = enabled

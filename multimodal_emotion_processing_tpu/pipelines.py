@@ -309,7 +309,14 @@ def _run_experiment(
             _log(f"[{config_name}] device_resident subsumes scan_steps "
                  "(each epoch is already one dispatch); ignoring "
                  f"scan_steps={scan_steps}", quiet)
-    one_dispatch = one_dispatch and device_resident  # gates may have fallen back
+    if one_dispatch and not device_resident:
+        # a gate above fell back (its log line names the reason) — say so in
+        # terms of the flag the user actually passed
+        _log(f"[{config_name}] one_dispatch disabled by the fallback above; "
+             "training runs with host-controlled epochs "
+             "(single-model whole-run API: train/device_epochs."
+             "fit_fully_compiled)", quiet)
+        one_dispatch = False
     if vmap_folds and exp.train.n_folds > 1:
         # all folds train in one vmapped step (measured ~4-5x wall-clock on
         # v5e vs sequential; semantics preserved — see train/vmap_kfold.py)

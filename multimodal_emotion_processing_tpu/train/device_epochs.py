@@ -197,16 +197,6 @@ def fit_device_resident(
     return state, history
 
 
-def apply_lr(state, lr):
-    """Set the optimizer's injected learning rate (traced or concrete)."""
-    import dataclasses as _dc
-
-    hp = dict(state.opt_state.hyperparams)
-    hp["learning_rate"] = lr
-    return _dc.replace(state,
-                       opt_state=state.opt_state._replace(hyperparams=hp))
-
-
 def controller_step(va, ctrl, tcfg, *, active=None):
     """One in-graph ReduceLROnPlateau + EarlyStop update, shared by the
     fully-compiled drivers (scalar `va` for the single-model run, (k,) for
@@ -304,7 +294,7 @@ def fit_fully_compiled(
         def epoch_step(carry, e):
             def run_epoch(carry):
                 st, lr, pb, pbad, eb, ebad, stopped, bp, bep = carry
-                st = apply_lr(st, lr)
+                st = set_learning_rate(st, lr)
                 perm = jax.random.permutation(
                     jax.random.fold_in(shuffle_key, e), n_train)
                 if duplicate:
@@ -339,7 +329,7 @@ def fit_fully_compiled(
     # the carried LR includes the last epoch's plateau update; apply it so
     # the returned state matches fit_device_resident's (which sets the LR
     # after every epoch)
-    state = apply_lr(final[0], final[1])
+    state = set_learning_rate(final[0], final[1])
     best_params, best_epoch = final[7], final[8]
     jax.block_until_ready(va)
     dt = time.perf_counter() - t0

@@ -74,7 +74,7 @@ def _fold_fns(model, tcfg, impl: str):
     def single_eval(state, batch):
         return batch_loss(model, tcfg, state.params, batch, None, False, impl)
 
-    return tx, single_init, single_step, single_eval
+    return single_init, single_step, single_eval
 
 
 def _set_fold_lrs(states, lrs):
@@ -132,7 +132,7 @@ def run_kfold_vmapped(
     sizes = {(len(t), len(v)) for t, v in splits}
     assert len(sizes) == 1, f"fold sizes misaligned: {sizes}"
 
-    tx, single_init, single_step, single_eval = _fold_fns(model, tcfg, impl)
+    single_init, single_step, single_eval = _fold_fns(model, tcfg, impl)
     states = jax.jit(jax.vmap(single_init))(
         jnp.arange(tcfg.seed, tcfg.seed + k))
 
@@ -368,7 +368,7 @@ def run_kfold_fully_compiled(
     samples = list(samples)
     random.Random(shuffle_seed).shuffle(samples)
     folds = contiguous_folds(len(samples), k, fold_size)
-    tx, single_init, single_step, single_eval = _fold_fns(model, tcfg, impl)
+    single_init, single_step, single_eval = _fold_fns(model, tcfg, impl)
 
     bs = tcfg.batch_size
     rows = bs * (2 if duplicate else 1)
@@ -435,13 +435,12 @@ def run_kfold_fully_compiled(
                 states0.params,                              # best params
                 jnp.full((k,), jnp.inf, f32),                # best losses
                 jnp.full((k,), -1, jnp.int32),               # best epochs
-                jnp.zeros((k,), bool),                       # has best (any)
                 jnp.zeros((k,), bool),                       # guard-passed save
                 jnp.full((k,), jnp.nan, f32))                # last valid
 
         def epoch_step(carry, e):
             def live(carry):
-                (st, ctrl, stopped, bp, bl, bep, hasb, savedany, _) = carry
+                (st, ctrl, stopped, bp, bl, bep, savedany, _) = carry
                 active = ~stopped
                 st = _set_fold_lrs(st, ctrl[0])
                 st, tr = train_epoch(st, e)
@@ -456,16 +455,16 @@ def run_kfold_fully_compiled(
                     st.params, bp)
                 bl = jnp.where(save, va, bl)
                 bep = jnp.where(save, e, bep)
-                hasb = hasb | save
                 savedany = savedany | save
-                fb = stop_now & ~hasb  # guard never passed: stop-time params
+                # guard never passed: stop-time params (has-best is exactly
+                # savedany | stopped, so no separate flag rides the carry)
+                fb = stop_now & ~savedany
                 bp = jax.tree.map(
                     lambda new, old: jnp.where(_bcast(fb, new), new, old),
                     st.params, bp)
                 bl = jnp.where(fb, va, bl)
-                hasb = hasb | fb
                 stopped = stopped | stop_now
-                return ((st, ctrl, stopped, bp, bl, bep, hasb, savedany, va),
+                return ((st, ctrl, stopped, bp, bl, bep, savedany, va),
                         (tr, va, active))
 
             def skip(carry):
@@ -483,12 +482,14 @@ def run_kfold_fully_compiled(
     final, (tr, va, fold_active) = run(states0)
     # apply the carried (post-last-epoch) LR vector like the host driver does
     states = _set_fold_lrs(final[0], final[1][0])
-    bp, bl, bep, hasb, savedany, last_va = final[3:9]
+    bp, bl, bep, savedany, last_va = final[3:8]
+    stopped_v = final[2]
     jax.block_until_ready(va)
     dt = time.perf_counter() - t0
-    tr, va, fold_active, bl, bep, hasb, savedany, last_va = (
+    tr, va, fold_active, bl, bep, savedany, stopped_v, last_va = (
         np.asarray(jax.device_get(x))
-        for x in (tr, va, fold_active, bl, bep, hasb, savedany, last_va))
+        for x in (tr, va, fold_active, bl, bep, savedany, stopped_v, last_va))
+    hasb = savedany | stopped_v
     n_live = int(fold_active.any(axis=1).sum())
     bp_host = jax.device_get(bp)
     histories: List[List[EpochStats]] = [[] for _ in range(k)]
