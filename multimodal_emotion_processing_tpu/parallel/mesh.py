@@ -38,8 +38,14 @@ def initialize_multihost(**kwargs) -> None:
 
 def process_batch_slice(global_batch_size: int) -> slice:
     """The per-process slice of a globally-sharded batch (host data loading
-    is per-process on pods; each host feeds its local shard)."""
-    per = global_batch_size // jax.process_count()
+    is per-process on pods; each host feeds its local shard).  The global
+    batch must divide evenly — silently dropping remainder rows would lose
+    data AND break the sharded global shape."""
+    n = jax.process_count()
+    if global_batch_size % n:
+        raise ValueError(f"global_batch_size ({global_batch_size}) must be "
+                         f"divisible by process_count ({n})")
+    per = global_batch_size // n
     lo = jax.process_index() * per
     return slice(lo, lo + per)
 
@@ -79,16 +85,28 @@ def tp_param_spec(params, enable: bool = True):
     propagates through the head-split reshapes and inserts the collectives.
     Demonstrative at these sizes — replicate (enable=False) is the default."""
 
+    # realformer blocks project Q/K/V (wq/wk/wv present), so their attention
+    # context arrives head-sharded and proj should be ROW-parallel (local
+    # contraction + one psum; column-sharding forced an all-gather of the
+    # context).  Minus blocks have no QKV projections — their context is
+    # replicated, so COLUMN-parallel proj feeds the row-parallel minus with
+    # a single psum there instead.
+    has_qkv = any(
+        any(getattr(p, "key", getattr(p, "name", "")) == "wq" for p in path)
+        for path, _ in jax.tree_util.tree_flatten_with_path(params)[0])
+
     def spec_for(path, leaf):
         if not enable or not _is_matrix(leaf):
             return P()
         names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
         parent = names[-2] if len(names) >= 2 else ""
         if "blocks" in names and names[-1] == "w":
-            if parent in ("proj", "wq", "wk", "wv", "ffn1"):
-                return P(None, "model")
+            if parent in ("wq", "wk", "wv", "ffn1"):
+                return P(None, "model")  # column-parallel first matmuls
+            if parent == "proj":
+                return P("model", None) if has_qkv else P(None, "model")
             if parent in ("minus", "ffn2"):
-                return P("model", None)
+                return P("model", None)  # row-parallel second matmuls
         # classifiers shard on their input (pooled-feature) axis; the output
         # axis is the handful of emotion logits and must stay whole
         if parent == "classifier" and names[-1] == "w":
@@ -110,25 +128,13 @@ def make_sharded_train_step(model, tcfg, mesh: Mesh, *, impl: str = "xla",
     replicated (or TP-sharded); XLA emits the gradient all-reduce."""
     from ..train import engine as eng
 
-    tx, _ = eng.make_train_step(model, tcfg, impl=impl, donate=False,
-                                fused=False)
-
-    def step(state, batch):
-        rng, sub = jax.random.split(state.rng)
-
-        def loss_fn(params):
-            return eng.batch_loss(model, tcfg, params, batch, sub, True, impl)
-
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        import optax
-        params = optax.apply_updates(state.params, updates)
-        return eng.TrainState(params, opt_state, rng, state.step + 1), loss
+    tx = eng.make_optimizer(tcfg)
+    # ONE step-body implementation for single-chip and mesh paths (per-leaf
+    # optimizer here: fused flat-vector state cannot carry per-leaf shardings)
+    step = eng._make_step_fn(model, tcfg, tx, impl=impl, fused=False)
 
     def place_state(state):
-        pspecs = tp_param_spec(state.params, enable=tp)
-        put = lambda x, s: jax.device_put(x, NamedSharding(mesh, s))
-        params = jax.tree.map(put, state.params, pspecs)
+        params = shard_params(mesh, state.params, tp=tp)
 
         def opt_put(x):
             return jax.device_put(x, NamedSharding(mesh, P()))

@@ -90,12 +90,19 @@ def gather_rows(arrays, out: Optional[np.ndarray] = None) -> np.ndarray:
     assemblers produce); anything else falls back to numpy row-assign.
     """
     n = len(arrays)
+    if n == 0:
+        raise ValueError("gather_rows needs at least one array")
     first = arrays[0]
     shape = first.shape
     if out is None:
         out = np.empty((n,) + shape, np.float32)
     lib = _get()
-    if lib is None or not all(
+    # the native memcpy writes through out's raw pointer — a wrong-dtype/
+    # short/non-contiguous out would silently corrupt memory, so gate it to
+    # the numpy path (which raises or broadcasts safely) like the inputs
+    out_ok = (out.dtype == np.float32 and out.flags["C_CONTIGUOUS"]
+              and out.shape == (n,) + shape)
+    if lib is None or not out_ok or not all(
             isinstance(a, np.ndarray) and a.dtype == np.float32
             and a.flags["C_CONTIGUOUS"] and a.shape == shape for a in arrays):
         for i, a in enumerate(arrays):

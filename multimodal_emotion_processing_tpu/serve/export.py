@@ -40,14 +40,13 @@ def export_predictor(model, params_list: Sequence, offsets: Sequence[float],
                      platforms: Sequence[str] = ("tpu", "cpu")) -> bytes:
     """Serialize the ensemble serving function (weights embedded) for the
     given platforms.  `example_sample` fixes the batch-1 input shapes."""
+    from .stream import ensemble_serve_fn  # ONE serving computation
+
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
-    off = jnp.asarray(offsets, jnp.float32)
+    run = ensemble_serve_fn(model, offsets)
 
     def serve_fn(batch):
-        logits = jax.vmap(lambda p: model.apply(p, batch, train=False))(stacked)
-        pred = jnp.mean(logits, axis=0)[0]
-        probs = jax.nn.sigmoid(pred[: off.shape[0]] - off)
-        return pred, probs
+        return run(stacked, batch)
 
     exported = jexport.export(jax.jit(serve_fn), platforms=tuple(platforms))(
         _batch1_spec(example_sample))

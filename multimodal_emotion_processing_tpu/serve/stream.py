@@ -21,6 +21,36 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def ensemble_serve_fn(model, offsets: Sequence[float], *, impl: str = "xla"):
+    """THE serving computation, shared by the live predictor and the AOT
+    export (serve/export.py): k-member vmapped batch-1 forward → logit mean
+    → calibrated sigmoid(pred − offsets).  Validates at trace time that the
+    model's head actually produces per-sample logit vectors (the paragraph
+    `state_transfer` head returns per-clip (B, P, E) logits and is an eval
+    protocol, not a serving one)."""
+    off = jnp.asarray(offsets, jnp.float32)
+    if off.shape[0] == 0:
+        raise ValueError(
+            "serving needs calibrated per-emotion offsets; this config has "
+            "none (its thresholds are swept at eval time) — serve a config "
+            "with fixed thresholds or pass offsets explicitly")
+
+    def run(stacked, batch):
+        logits = jax.vmap(
+            lambda p: model.apply(p, batch, train=False, impl=impl)
+        )(stacked)                                  # (k, 1, E)
+        if logits.ndim != 3:
+            raise ValueError(
+                f"serving expects per-sample logits (k, 1, E); this model "
+                f"returns shape {logits.shape[1:]} per member — the "
+                "paragraph model is not a serving head")
+        pred = jnp.mean(logits, axis=0)[0]          # (E,)
+        probs = jax.nn.sigmoid(pred[: off.shape[0]] - off)
+        return pred, probs
+
+    return run
+
+
 class StreamingPredictor:
     def __init__(self, model, params_list: Sequence, offsets: Sequence[float],
                  *, impl: str = "xla", stacked_grid: bool = False):
@@ -33,16 +63,7 @@ class StreamingPredictor:
         self.stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
         self.offsets = jnp.asarray(offsets, jnp.float32)
         self._stacked_grid = stacked_grid
-
-        def run(stacked, batch):
-            logits = jax.vmap(
-                lambda p: model.apply(p, batch, train=False, impl=impl)
-            )(stacked)                                  # (k, 1, E)
-            pred = jnp.mean(logits, axis=0)[0]          # (E,)
-            probs = jax.nn.sigmoid(pred[: self.offsets.shape[0]] - self.offsets)
-            return pred, probs
-
-        self._jitted = jax.jit(run)
+        self._jitted = jax.jit(ensemble_serve_fn(model, offsets, impl=impl))
 
     def _run(self, stacked, batch):
         # the toggle is a module global read at trace time; wrap EVERY call

@@ -132,7 +132,20 @@ def test_tp_spec_shards_classifier_input_axis():
     specs = tp_param_spec(params, enable=True)
     cls = specs["stimulation"]["classifier"]["w"]
     assert cls == P("model", None)
+    # minus blocks (no QKV projections, replicated context): COLUMN-parallel
+    # proj feeds the row-parallel minus with one psum
     assert specs["stimulation"]["blocks"]["ll"][0]["proj"]["w"] == P(None, "model")
+
+    # realformer blocks project Q/K/V, so their context is head-sharded and
+    # proj is ROW-parallel (local contraction + one psum, no context gather)
+    rexp = configs.get("mosei_realformer")
+    rm = dataclasses.replace(rexp.model, l_len=4, v_len=4, a_len=4, dim=24,
+                             n_heads=2, l_dim=10, v_dim=7, a_dim=5, p_len=2)
+    rmodel = build_model(dataclasses.replace(rexp, model=rm))
+    rspecs = tp_param_spec(rmodel.init(jax.random.PRNGKey(1)), enable=True)
+    rblocks = rspecs["feature"]["blocks"]["ll"][0]
+    assert rblocks["wq"]["w"] == P(None, "model")
+    assert rblocks["proj"]["w"] == P("model", None)
     # and the classifier's input axis divides the model-axis size
     assert params["stimulation"]["classifier"]["w"].shape[0] % 2 == 0
 

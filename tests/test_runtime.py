@@ -71,3 +71,21 @@ def test_batcher_uses_native_and_matches():
     np.testing.assert_array_equal(batches[2]["x"][1], samples[9]["x"])
     np.testing.assert_array_equal(batches[2]["sample_weight"], [1, 1, 0, 0])
     np.testing.assert_array_equal(batches[2]["x"][2], 0)
+
+
+def test_gather_rows_out_validation():
+    """A hostile `out` buffer must never reach the native memcpy: wrong
+    dtype/shape takes the (safe) numpy path; empty input raises."""
+    import pytest
+
+    from multimodal_emotion_processing_tpu import runtime
+
+    rows = [np.arange(4, dtype=np.float32) for _ in range(3)]
+    out64 = np.zeros((3, 4), np.float64)
+    got = runtime.gather_rows(rows, out=out64)   # numpy path, value-correct
+    np.testing.assert_array_equal(got, np.stack(rows))
+    short = np.zeros((2, 4), np.float32)
+    with pytest.raises(Exception):  # numpy assignment raises, no corruption
+        runtime.gather_rows(rows, out=short)
+    with pytest.raises(ValueError, match="at least one"):
+        runtime.gather_rows([])

@@ -565,3 +565,26 @@ def test_streaming_predictor_stacked_grid_parity():
     p1, pr1 = fast.predict(sample)
     np.testing.assert_allclose(p1, p0, rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(pr1, pr0, rtol=2e-5, atol=2e-5)
+
+
+def test_streaming_predictor_rejects_unservable_configs():
+    """Empty offsets (swept-threshold configs) and per-clip paragraph heads
+    must error clearly instead of silently serving empty/zero outputs."""
+    from multimodal_emotion_processing_tpu.serve.stream import ensemble_serve_fn
+
+    exp = tiny_exp("rencecps")
+    model = build_model(exp)
+    with pytest.raises(ValueError, match="offsets"):
+        StreamingPredictor(model, [model.init(jax.random.PRNGKey(0))],
+                           offsets=())
+
+    pexp = tiny_exp("mosei_realformer")
+    pmodel = build_model(pexp)
+    run = ensemble_serve_fn(pmodel, offsets=(0.1,) * 6)
+    stacked = jax.tree.map(lambda *x: jnp.stack(x),
+                           *[pmodel.init(jax.random.PRNGKey(0))])
+    sample = synthetic_dataset("mosei_realformer", pexp.model, 1, seed=0)[0]
+    batch = {k: np.expand_dims(np.asarray(v), 0) for k, v in sample.items()
+             if k != "label"}
+    with pytest.raises(ValueError, match="paragraph"):
+        run(stacked, batch)
