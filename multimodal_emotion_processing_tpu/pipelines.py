@@ -266,6 +266,18 @@ def _run_experiment(
         _log(f"[{config_name}] pair-level folds require the sequential "
              "k-fold driver; disabling vmap_folds", quiet)
         vmap_folds = False
+    if vmap_folds and exp.train.n_folds > 1:
+        from .train.kfold import contiguous_folds
+
+        widths = {sl.stop - sl.start for sl, _ in contiguous_folds(
+            len(train_samples), exp.train.n_folds, exp.train.fold_size)}
+        if len(widths) > 1:
+            # the reference's fractional carving (tail validated by the last
+            # fold) yields unequal folds when k doesn't divide n; the vmapped
+            # drivers need aligned per-fold step counts
+            _log(f"[{config_name}] unequal contiguous folds ({sorted(widths)});"
+                 " using the sequential k-fold driver", quiet)
+            vmap_folds = False
     if resume:
         if store is None:
             raise ValueError("resume=True requires checkpoint_dir")

@@ -72,9 +72,13 @@ def batch_loss(model, tcfg, params, batch, rng, train: bool, impl: str):
     """
     if getattr(tcfg, "compute_dtype", "float32") == "bfloat16":
         # mixed precision: bf16 activations/weights on the MXU, fp32 master
-        # params (caller's `params`) and fp32 loss/score math
+        # params (caller's `params`) and fp32 loss/score math — including the
+        # loss-side weight/mask vectors: a bf16 jnp.sum(sample_weight) rounds
+        # above 256 and would silently mis-scale the weighted mean
         params = _cast_tree(params, jnp.bfloat16)
-        batch = _cast_tree(batch, jnp.bfloat16)
+        keep = {"sample_weight", "clip_mask"}
+        batch = {k: (v if k in keep else _cast_tree(v, jnp.bfloat16))
+                 for k, v in batch.items()}
     logits = model.apply(params, batch, rng=rng, train=train, impl=impl)
     if logits.dtype == jnp.bfloat16:
         logits = logits.astype(jnp.float32)  # loss math never in bf16
@@ -221,7 +225,9 @@ class EpochStats:
     train_loss: float
     valid_loss: float
     steps: int
-    samples: int
+    samples: int  # dispatched rows (incl. the zero-weight padding of the
+    # final partial batch — counting exactly would force a per-step device
+    # fetch of sample_weight and serialize the prefetch pipeline)
     seconds: float
 
     @property
@@ -297,9 +303,16 @@ class Trainer:
         from ..utils.logging import profile_trace
 
         n_epochs = tcfg.epochs if epochs is None else epochs
-        # profile the first post-compile epoch; single-epoch runs profile
-        # epoch 0 (compile included) rather than silently producing nothing
-        profile_epoch = 1 if n_epochs > 1 else 0
+        # a restored stopper that already fired must not train further —
+        # the uninterrupted run stopped at that epoch, so resume is a no-op
+        # (kfold then marks the fold done)
+        if stopper.bad >= stopper.patience:
+            return state, history
+        # profile the first post-compile epoch RELATIVE to where this run
+        # starts (resume included); runs with a single remaining epoch
+        # profile it (compile included) rather than silently producing nothing
+        profile_epoch = (start_epoch + 1 if n_epochs - start_epoch > 1
+                         else start_epoch)
         for epoch in range(start_epoch, n_epochs):
             with profile_trace(self.profile_dir
                                if epoch == profile_epoch else None):

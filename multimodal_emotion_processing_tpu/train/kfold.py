@@ -14,12 +14,24 @@ from .checkpoint import CheckpointStore
 
 def contiguous_folds(n: int, k: int, fold_size: Optional[int] = None
                      ) -> List[Tuple[slice, List[range]]]:
-    """Fold i validates on [i*size, (i+1)*size) and trains on the rest.
-    fold_size falls back to n // k when absent or too large for n."""
-    size = fold_size if fold_size is not None and fold_size * k <= n else n // k
+    """Fold i validates on a contiguous slice and trains on the rest.
+
+    With `fold_size` (the reference's explicit 4096/6720/744 carvings),
+    fold i validates [i*size, (i+1)*size).  Without it, boundaries follow
+    the realformer script's fractional carving `int(n * i/k)`
+    (others/realformer.py:368-386) — the LAST fold's validation runs to n,
+    so the tail samples ARE validated (and folds can differ by one sample
+    when k does not divide n; the vmapped drivers need equal folds and fall
+    back in that case — pipelines logs it)."""
+    if fold_size is not None and fold_size * k <= n:
+        bounds = [i * fold_size for i in range(k + 1)]
+    else:
+        # int(n * (i/k)) reproduces the reference's int(n*0.2*i) float
+        # semantics (i/k rounds to the same double as the 0.2/0.4/... literals)
+        bounds = [int(n * (i / k)) for i in range(k)] + [n]
     out = []
     for i in range(k):
-        lo, hi = i * size, (i + 1) * size
+        lo, hi = bounds[i], bounds[i + 1]
         out.append((slice(lo, hi), [range(0, lo), range(hi, n)]))
     return out
 

@@ -45,9 +45,7 @@ def weighted_f1(y_true, y_pred) -> float:
         support = int((y_true == cls).sum())
         if support == 0:
             continue
-        tp = int(((y_true == cls) & (y_pred == cls)).sum())
-        fp = int(((y_true != cls) & (y_pred == cls)).sum())
-        fn = int(((y_true == cls) & (y_pred != cls)).sum())
+        tp, fp, fn, _ = binary_counts(y_true == cls, y_pred == cls)
         _, _, f1 = _prf(tp, fp, fn)
         out += f1 * support / total
     return float(out)

@@ -588,3 +588,56 @@ def test_streaming_predictor_rejects_unservable_configs():
              if k != "label"}
     with pytest.raises(ValueError, match="paragraph"):
         run(stacked, batch)
+
+
+def test_contiguous_folds_reference_fractional_carving():
+    """Without fold_size, boundaries follow the realformer script's
+    int(n * i/k) carving (others/realformer.py:368-386): the LAST fold's
+    validation includes the tail."""
+    folds = contiguous_folds(103, 5)
+    bounds = [(sl.start, sl.stop) for sl, _ in folds]
+    assert bounds == [(0, 20), (20, 41), (41, 61), (61, 82), (82, 103)]
+    # every sample is validated by exactly one fold
+    covered = sorted(x for sl, _ in folds for x in range(sl.start, sl.stop))
+    assert covered == list(range(103))
+    # explicit fold_size keeps the reference's fixed carving (tail train-only)
+    fixed = contiguous_folds(100, 2, fold_size=40)
+    assert [(sl.start, sl.stop) for sl, _ in fixed] == [(0, 40), (40, 80)]
+
+
+def test_resume_does_not_train_past_fired_stop():
+    """A restored stopper whose patience already fired must make fit a
+    no-op — the uninterrupted run stopped there (resume between the stop
+    epoch's save_last and mark_done must not train extra epochs)."""
+    exp = tiny_exp("rencecps")
+    model = build_model(exp)
+    trainer = eng.Trainer(model, exp.train)
+    samples = synthetic_dataset("rencecps", exp.model, 16, seed=0)
+    loader = lambda: iter(Batcher(samples, 8, shuffle=False)())
+    fired = schedule.EarlyStop(patience=2, bad=2, best=0.5)
+    state, hist = trainer.fit(loader, loader, epochs=5, start_epoch=3,
+                              stopper=fired)
+    assert hist == []
+
+
+def test_bf16_weighted_loss_keeps_f32_denominator():
+    """sample_weight must not be cast to bf16: jnp.sum of 257 ones rounds
+    to 256 in bf16, mis-scaling the weighted mean."""
+    exp = tiny_exp("rencecps")
+    exp = dataclasses.replace(
+        exp, train=dataclasses.replace(exp.train, compute_dtype="bfloat16"))
+    model = build_model(exp)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    n = 257
+    feat = rng.standard_normal((n + 7, 2, exp.model.dim)).astype(np.float32)
+    label = rng.integers(0, 2, (n + 7, 9)).astype(np.int32)
+    w = np.zeros(n + 7, np.float32)
+    w[:n] = 1.0
+    padded = {"feat": feat, "label": label, "sample_weight": w}
+    unpadded = {"feat": feat[:n], "label": label[:n]}
+    lp = float(eng.batch_loss(model, exp.train, params, padded, None, False,
+                              "xla"))
+    lu = float(eng.batch_loss(model, exp.train, params, unpadded, None, False,
+                              "xla"))
+    np.testing.assert_allclose(lp, lu, rtol=1e-3)
