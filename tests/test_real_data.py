@@ -146,3 +146,79 @@ def test_standard_test_fold_resolution(tmp_path):
     assert mosei_folds.standard_test_fold(explicit=["x"]) == {"x"}
     with pytest.raises(FileNotFoundError, match="standard_test_fold.txt"):
         mosei_folds.standard_test_fold(str(tmp_path / "nope"))
+
+
+# ---------------------------------------------------------------------------
+# The ONE real corpus artifact shipped with the reference:
+# /root/reference/cmu-mosei/labels.txt (23,249 lines incl. header).  The
+# reference records the expected outcome of parsing it under the standard
+# fold: 18,586 train / 4,662 test sentence pairs (comment cmu-mosei/run.py:56).
+# The standard test-fold video list itself is mmsdk-distributed and absent
+# from this image, so the exact split assertion activates only when a fold
+# source is available; everything fold-independent is asserted always.
+# ---------------------------------------------------------------------------
+
+REAL_LABELS = "/root/reference/cmu-mosei/labels.txt"
+
+needs_real_labels = pytest.mark.skipif(
+    not os.path.exists(REAL_LABELS), reason="reference labels.txt not present")
+
+
+@needs_real_labels
+def test_real_labels_full_parse():
+    from multimodal_emotion_processing_tpu.data import mosei
+
+    train, test, labels = mosei.parse_labels(REAL_LABELS, test_videos=set())
+    # one (prev, cur) pair per sentence line: the 'no_name' head of each
+    # paragraph group adds exactly one slot per group and drops one pair
+    # (cmu-mosei/run.py:74-90); 23,248 sentence lines -> 23,248 pairs total,
+    # = 18,586 + 4,662 (the reference's recorded split, cmu-mosei/run.py:56)
+    assert len(train) == 18586 + 4662 == 23248
+    assert len(test) == 0
+    assert len(labels) == 23248  # every sentence labeled exactly once
+    assert all(len(v) == 7 for v in labels.values())
+    # paragraph grouping is by consecutive lines; in the real file every
+    # video's lines are contiguous, so groups == videos == 3,292
+    starts = [p for p in train if p[0] == mosei.NO_NAME]
+    assert len(starts) == 3292
+    # within-video chain: each pair's previous is the preceding pair's current
+    chains = {}
+    for prev, cur in train:
+        vid = cur.split("[")[0]
+        if prev == mosei.NO_NAME:
+            chains[vid] = [prev, cur]
+        else:
+            assert chains[vid][-1] == prev, (vid, prev)
+            chains[vid].append(cur)
+    assert len(chains) == 3292
+
+
+@needs_real_labels
+def test_real_labels_time_sorted_spot_check():
+    """Ordering spot-check on a real video whose file order != time order:
+    -3g5yACwYnA's six clips appear as [0]@82.753, [1]@119.919, [2]@4.840,
+    [3]@13.211, [4]@26.541, [5]@74.083 (labels.txt:3-5 and two later lines) —
+    time-sorting must chain [2]->[3]->[4]->[5]->[0]->[1]."""
+    from multimodal_emotion_processing_tpu.data import mosei
+
+    train, _, _ = mosei.parse_labels(REAL_LABELS, test_videos=set())
+    vid_pairs = [p for p in train if p[1].startswith("-3g5yACwYnA[")]
+    got = [vid_pairs[0][0]] + [p[1] for p in vid_pairs]
+    want = [mosei.NO_NAME] + [f"-3g5yACwYnA[{i}]" for i in (2, 3, 4, 5, 0, 1)]
+    assert got == want
+
+
+@needs_real_labels
+def test_real_labels_standard_split_counts(tmp_path):
+    """The reference-recorded 18,586/4,662 split (cmu-mosei/run.py:56) —
+    exact when a standard-fold source exists (fold file or mmsdk)."""
+    from multimodal_emotion_processing_tpu.data import mosei
+
+    try:
+        fold = mosei_folds.standard_test_fold()
+    except FileNotFoundError:
+        pytest.skip("standard test-fold list unavailable in this image "
+                    "(needs mmsdk or a standard_test_fold.txt)")
+    train, test, _ = mosei.parse_labels(REAL_LABELS, test_videos=fold)
+    assert len(train) == 18586
+    assert len(test) == 4662
