@@ -352,7 +352,10 @@ def main():
         "metric": "cmu-mosei flagship train+infer samples/sec/chip",
         "value": round(ours, 2),
         "unit": "samples/sec/chip",
-        "vs_baseline": round(ours / base, 2),
+        # null when the torch baseline was NOT measured this run (fallback
+        # constants would make the ratio synthetic — a consumer reading only
+        # value/vs_baseline must be able to tell)
+        "vs_baseline": None if torch_fallback else round(ours / base, 2),
         "diagnostics": {  # null = phase skipped/failed (stderr says which)
             "impl": impl,
             "xla": {"train_sps": r1(jax_train), "infer_sps": r1(jax_infer)},

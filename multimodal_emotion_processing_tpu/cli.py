@@ -69,8 +69,8 @@ def build_parser():
     sv.add_argument("--impl", choices=["xla", "pallas", "cp"], default="xla")
     sv.add_argument("--stacked-grid", action="store_true",
                     help="stacked realformer grid for the inference program "
-                         "(~+64%% measured on equal-length realformer "
-                         "families; no-op otherwise)")
+                         "(~+64%% measured on the realformer families; "
+                         "unequal lengths pad to max; no-op for minus blocks)")
 
     ex = sub.add_parser("export", help="AOT-export the serving predictor "
                         "(ensemble + calibrated sigmoid) to a StableHLO blob")

@@ -24,7 +24,7 @@ class Ensemble:
     """k same-architecture members, evaluated in one vmapped forward."""
 
     def __init__(self, model, params_list: Sequence, weights: Optional[Sequence[float]] = None,
-                 *, combine: str = "mean", impl: str = "xla"):
+                 *, combine: str = "mean", impl: str = "xla", stacked=None):
         self.model = model
         self.k = len(params_list)
         self.stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
@@ -35,8 +35,11 @@ class Ensemble:
         else:  # 'sum' (Ren-MME)
             self.weights = jnp.ones((self.k,), jnp.float32)
 
+        # `stacked`: inference-only programs measured ~+64% with the stacked
+        # realformer grid (models/grid.apply_grid) — per-trace static arg
         def member_logits(params, batch):
-            return model.apply(params, batch, train=False, impl=impl)
+            return model.apply(params, batch, train=False, impl=impl,
+                               stacked=stacked)
 
         self._vmapped = jax.jit(jax.vmap(member_logits, in_axes=(0, None)))
 

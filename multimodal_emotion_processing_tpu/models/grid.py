@@ -102,29 +102,22 @@ def init_grid_head(key, cfg, collect: str, out: str):
 # callers (jax caches compiled programs); toggle before the first call, or
 # call model.apply unjitted, when cross-checking paths.
 MERGED_FAST_PATH = True
-# realformer stream stacking: ~11% SLOWER on the TRAIN step (per-step weight
-# restacking + 5-D einsum backward overhead) but ~60% FASTER at inference
-# (8 interleaved windows, round 2: infer median 300k vs 183k samples/s;
-# train 48k vs 54k; combined train+infer a wash).  Off by default
-# (train-optimal); flip to True before building inference-only
-# ensembles/predictors when serving throughput matters.
+# realformer stream stacking DEFAULT (used when apply_grid's `stacked` arg is
+# None): ~11% SLOWER on the TRAIN step (per-step weight restacking + 5-D
+# einsum backward overhead) but ~60% FASTER at inference (8 interleaved
+# windows, round 2: infer median 300k vs 183k samples/s; train 48k vs 54k;
+# combined train+infer a wash).  Off by default (train-optimal); serving
+# passes stacked=True per call (thread-safe) — see StreamingPredictor.
 REALFORMER_STACKED = False
 
 
 @_contextlib.contextmanager
 def stacked_realformer(enabled: bool = True):
-    """Context manager: enable the stacked realformer fast path for programs
-    TRACED inside it (already-compiled programs are unaffected).  Use around
-    inference-only program construction — serving measured ~+64% there while
-    training is ~11% slower (see REALFORMER_STACKED note); requires equal
-    l/v/a sequence lengths (mosei_realformer yes, robot_demo no — unequal
-    lengths fall back to the unrolled path automatically).
-
-    NOT thread-safe: it flips the module global, so another thread tracing a
-    grid program concurrently would pick up this setting.  Trace grid
-    programs from one thread; StreamingPredictor(stacked_grid=True) enters
-    this around EVERY call so retraces keep the requested path — cached
-    calls make it a no-op, but the flip happens each call."""
+    """Back-compat context manager flipping the module-global DEFAULT for
+    programs traced inside it.  Prefer the per-call `stacked=` argument of
+    apply_grid / model.apply — it is threaded through the trace (a static
+    Python bool) and has no cross-thread exposure; this manager remains for
+    scripts that cannot reach the call site."""
     global REALFORMER_STACKED
     old = REALFORMER_STACKED
     REALFORMER_STACKED = enabled
@@ -310,13 +303,32 @@ def _apply_grid_realformer_stacked(p, cfg, src, masks, *, rng, train, collect):
     return collected
 
 
+def _pad_seq(x, mask, target_len: int):
+    """Right-pad (B, L, D) + its (B, L) mask to target_len with zeros.  The
+    attention mask penalty (-1e8) makes padded KEYS underflow to exactly 0
+    softmax weight in f32, and padded QUERY rows are sliced away before
+    pooling — the padded stacked path is the unrolled math exactly."""
+    pad = target_len - x.shape[1]
+    if pad == 0:
+        return x, mask
+    x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    return x, mask
+
+
 def apply_grid(
     p, cfg, l, v, a, l_mask, v_mask, a_mask, *,
     rng=None, train: bool = False, impl: str = "xla",
-    collect: str = "per_layer",
+    collect: str = "per_layer", stacked=None,
 ):
     """Run projection (+pos) and the nine streams; returns pooled (B, dim*6*k)
-    where k = n_layers for collect='per_layer', 1 for 'final'."""
+    where k = n_layers for collect='per_layer', 1 for 'final'.
+
+    `stacked`: None = module default (REALFORMER_STACKED); True/False force
+    the stacked realformer fast path on/off for THIS trace (thread-safe —
+    it's a static Python argument, no global state).  Unequal sequence
+    lengths (robot_demo 25/100/100) are padded to the max length and query
+    rows sliced back, preserving exact unrolled semantics."""
     rate = cfg.dropout
     n_rngs = 2 + 9 * cfg.n_layers
     rngs = list(jax.random.split(rng, n_rngs)) if rng is not None else [None] * n_rngs
@@ -337,16 +349,25 @@ def apply_grid(
 
     src = {"l": l, "v": v, "a": a}
     masks = {"l": l_mask, "v": v_mask, "a": a_mask}
+    use_stacked = REALFORMER_STACKED if stacked is None else stacked
     fast = None
     if MERGED_FAST_PATH and impl == "xla":
         if cfg.block == "minus" and cfg.n_layers == 1:
             # per-layer vs final collect coincide at one layer
             fast = _apply_grid_minus_merged(p, cfg, src, masks,
                                             rng=rngs[1], train=train)
-        elif (REALFORMER_STACKED and cfg.block == "realformer"
-              and l.shape[1] == v.shape[1] == a.shape[1]):
+        elif use_stacked and cfg.block == "realformer":
+            true_lens = {m: src[m].shape[1] for m in ("l", "v", "a")}
+            max_len = max(true_lens.values())
+            padded = {m: _pad_seq(src[m], masks[m], max_len)
+                      for m in ("l", "v", "a")}
             fast = _apply_grid_realformer_stacked(
-                p, cfg, src, masks, rng=rngs[1], train=train, collect=collect)
+                p, cfg, {m: padded[m][0] for m in padded},
+                {m: padded[m][1] for m in padded},
+                rng=rngs[1], train=train, collect=collect)
+            # drop the padded QUERY rows before pooling (padded keys already
+            # contribute exactly-zero attention weight)
+            fast = {m: [y[:, :true_lens[m]] for y in fast[m]] for m in fast}
     if fast is not None:
         lc = jnp.concatenate(fast["l"], axis=2)
         vc = jnp.concatenate(fast["v"], axis=2)

@@ -49,7 +49,8 @@ def bilinear_transition(trans, last_feat, this_feat):
                       preferred_element_type=acc).astype(this_feat.dtype)
 
 
-def apply_concat_trans(p, cfg, batch, *, rng=None, train=False, impl="xla"):
+def apply_concat_trans(p, cfg, batch, *, rng=None, train=False, impl="xla",
+                       stacked=None):
     """batch: l/v/a (B,2,len,dm), *_mask (B,2,len); slot 0 = previous utterance,
     slot 1 = current (cmu-mosei/run.py:329-331)."""
     r1, r2 = jax.random.split(rng) if rng is not None else (None, None)
@@ -58,7 +59,7 @@ def apply_concat_trans(p, cfg, batch, *, rng=None, train=False, impl="xla"):
         pooled = grid_mod.apply_grid(
             gp, cfg, batch["l"][:, slot], batch["v"][:, slot], batch["a"][:, slot],
             batch["l_mask"][:, slot], batch["v_mask"][:, slot], batch["a_mask"][:, slot],
-            rng=r, train=train, impl=impl, collect="per_layer")
+            rng=r, train=train, impl=impl, collect="per_layer", stacked=stacked)
         return grid_mod.apply_grid_head(gp, cfg, pooled, out="classifier")
 
     last_feat = run(p["intensity"], 0, r1)
@@ -84,7 +85,8 @@ def init_concat_linear(key, cfg):
     }
 
 
-def apply_concat_linear(p, cfg, batch, *, rng=None, train=False, impl="xla"):
+def apply_concat_linear(p, cfg, batch, *, rng=None, train=False, impl="xla",
+                        stacked=None):  # no grid; `stacked` accepted for a uniform head signature
     """batch: feat (B, 2, dim) — (previous, current) flattened BERT features."""
     feat = batch["feat"]
     last_feat = init.apply_linear(p["intensity"], feat[:, 0, :])
@@ -108,7 +110,8 @@ def init_state_transfer(key, cfg):
     }
 
 
-def apply_state_transfer(p, cfg, batch, *, rng=None, train=False, impl="xla"):
+def apply_state_transfer(p, cfg, batch, *, rng=None, train=False, impl="xla",
+                         stacked=None):
     """batch: l/v/a (B,P,len,dm), *_mask (B,P,len). Returns (B, P, E)."""
     l, v, a = batch["l"], batch["v"], batch["a"]
     b, plen = l.shape[0], l.shape[1]
@@ -121,7 +124,7 @@ def apply_state_transfer(p, cfg, batch, *, rng=None, train=False, impl="xla"):
     pooled = grid_mod.apply_grid(
         p["feature"], cfg, flat(l), flat(v), flat(a),
         flat(batch["l_mask"]), flat(batch["v_mask"]), flat(batch["a_mask"]),
-        rng=r1, train=train, impl=impl, collect="final")
+        rng=r1, train=train, impl=impl, collect="final", stacked=stacked)
     feat = grid_mod.apply_grid_head(p["feature"], cfg, pooled, out="feature",
                                     rng=r2, train=train)
     cls = init.apply_linear(p["classifier"], feat).reshape(b, plen, 2 * e)
@@ -152,11 +155,12 @@ def init_grid_only(key, cfg):
             **grid_mod.init_grid_head(k2, cfg, "per_layer", "classifier_bias")}
 
 
-def apply_grid_only(p, cfg, batch, *, rng=None, train=False, impl="xla"):
+def apply_grid_only(p, cfg, batch, *, rng=None, train=False, impl="xla",
+                    stacked=None):
     """batch: l (B,Ll,768), v256/v512/v1024, a, masks. Returns (B, 7)."""
     v = (batch["v256"], batch["v512"], batch["v1024"])
     pooled = grid_mod.apply_grid(
         p, cfg, batch["l"], v, batch["a"],
         batch["l_mask"], batch["v_mask"], batch["a_mask"],
-        rng=rng, train=train, impl=impl, collect="per_layer")
+        rng=rng, train=train, impl=impl, collect="per_layer", stacked=stacked)
     return grid_mod.apply_grid_head(p, cfg, pooled, out="classifier_bias")

@@ -35,7 +35,11 @@ def build_model(cfg) -> ModelDef:
     def init(key):
         return init_fn(key, mcfg)
 
-    def apply(params, batch, *, rng=None, train=False, impl="xla"):
-        return apply_fn(params, mcfg, batch, rng=rng, train=train, impl=impl)
+    def apply(params, batch, *, rng=None, train=False, impl="xla",
+              stacked=None):
+        # `stacked`: per-trace realformer stream-stacking override (see
+        # models/grid.apply_grid) — a static Python arg, thread-safe
+        return apply_fn(params, mcfg, batch, rng=rng, train=train, impl=impl,
+                        stacked=stacked)
 
     return ModelDef(cfg=mcfg, init=init, apply=apply)

@@ -90,10 +90,15 @@ def tp_param_spec(params, enable: bool = True):
     # contraction + one psum; column-sharding forced an all-gather of the
     # context).  Minus blocks have no QKV projections — their context is
     # replicated, so COLUMN-parallel proj feeds the row-parallel minus with
-    # a single psum there instead.
-    has_qkv = any(
-        any(getattr(p, "key", getattr(p, "name", "")) == "wq" for p in path)
-        for path, _ in jax.tree_util.tree_flatten_with_path(params)[0])
+    # a single psum there instead.  Decided PER BLOCK (a tree mixing block
+    # types would otherwise force extra resharding collectives on the
+    # minority blocks): a block subtree = the path prefix above the leaf's
+    # ('proj'|'wq'|...) parent.
+    qkv_blocks = {
+        tuple(getattr(p, "key", getattr(p, "name", "")) for p in path[:-2])
+        for path, _ in jax.tree_util.tree_flatten_with_path(params)[0]
+        if len(path) >= 2
+        and getattr(path[-2], "key", getattr(path[-2], "name", "")) == "wq"}
 
     def spec_for(path, leaf):
         if not enable or not _is_matrix(leaf):
@@ -104,7 +109,8 @@ def tp_param_spec(params, enable: bool = True):
             if parent in ("wq", "wk", "wv", "ffn1"):
                 return P(None, "model")  # column-parallel first matmuls
             if parent == "proj":
-                return P("model", None) if has_qkv else P(None, "model")
+                block_has_qkv = tuple(names[:-2]) in qkv_blocks
+                return P("model", None) if block_has_qkv else P(None, "model")
             if parent in ("minus", "ffn2"):
                 return P("model", None)  # row-parallel second matmuls
         # classifiers shard on their input (pooled-feature) axis; the output

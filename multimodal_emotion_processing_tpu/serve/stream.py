@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def ensemble_serve_fn(model, offsets: Sequence[float], *, impl: str = "xla"):
+def ensemble_serve_fn(model, offsets: Sequence[float], *, impl: str = "xla",
+                      stacked=None):
     """THE serving computation, shared by the live predictor and the AOT
     export (serve/export.py): k-member vmapped batch-1 forward → logit mean
     → calibrated sigmoid(pred − offsets).  Validates at trace time that the
@@ -35,10 +36,11 @@ def ensemble_serve_fn(model, offsets: Sequence[float], *, impl: str = "xla"):
             "none (its thresholds are swept at eval time) — serve a config "
             "with fixed thresholds or pass offsets explicitly")
 
-    def run(stacked, batch):
+    def run(member_params, batch):
         logits = jax.vmap(
-            lambda p: model.apply(p, batch, train=False, impl=impl)
-        )(stacked)                                  # (k, 1, E)
+            lambda p: model.apply(p, batch, train=False, impl=impl,
+                                  stacked=stacked)
+        )(member_params)                            # (k, 1, E)
         if logits.ndim != 3:
             raise ValueError(
                 f"serving expects per-sample logits (k, 1, E); this model "
@@ -55,26 +57,22 @@ class StreamingPredictor:
     def __init__(self, model, params_list: Sequence, offsets: Sequence[float],
                  *, impl: str = "xla", stacked_grid: bool = False):
         """`stacked_grid`: trace the ensemble forward with the stacked
-        realformer grid path (models/grid.stacked_realformer) — inference-only
-        programs measured ~+64% on the realformer family (equal-length grids;
-        a no-op for other block types / unequal lengths)."""
+        realformer grid path (models/grid.apply_grid stacked=True) —
+        inference-only programs measured ~+64% on the realformer family
+        (unequal lengths are padded to the max and sliced back, so robot_demo
+        qualifies too; a no-op for non-realformer block types)."""
         self.model = model
         self.k = len(params_list)
         self.stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
         self.offsets = jnp.asarray(offsets, jnp.float32)
-        self._stacked_grid = stacked_grid
-        self._jitted = jax.jit(ensemble_serve_fn(model, offsets, impl=impl))
+        # the flag is baked into the traced program as a static argument —
+        # retraces (e.g. a new input dtype) keep it; no global state, no
+        # cross-thread exposure
+        self._jitted = jax.jit(ensemble_serve_fn(
+            model, offsets, impl=impl,
+            stacked=True if stacked_grid else None))
 
     def _run(self, stacked, batch):
-        # the toggle is a module global read at trace time; wrap EVERY call
-        # so any retrace (e.g. a sample arriving with a different dtype)
-        # keeps the requested path — cached calls make it a no-op.  Trace
-        # serving programs from one thread (see grid.stacked_realformer).
-        if self._stacked_grid:
-            from ..models.grid import stacked_realformer
-
-            with stacked_realformer():
-                return self._jitted(stacked, batch)
         return self._jitted(stacked, batch)
 
     def warmup(self, sample: Dict[str, np.ndarray]) -> None:

@@ -305,8 +305,11 @@ class Trainer:
         n_epochs = tcfg.epochs if epochs is None else epochs
         # a restored stopper that already fired must not train further —
         # the uninterrupted run stopped at that epoch, so resume is a no-op
-        # (kfold then marks the fold done)
-        if stopper.bad >= stopper.patience:
+        # (kfold then marks the fold done).  Guarded on start_epoch > 0:
+        # a FRESH stopper with patience=0 (early_stop overridden to 0) starts
+        # with bad == patience and must still train — only an actual resume
+        # carries a fired stopper
+        if start_epoch > 0 and stopper.bad >= stopper.patience:
             return state, history
         # profile the first post-compile epoch RELATIVE to where this run
         # starts (resume included); runs with a single remaining epoch

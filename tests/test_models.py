@@ -220,3 +220,48 @@ def test_realformer_stacked_fast_path_matches_unrolled():
     finally:
         gridmod.REALFORMER_STACKED = False
     np.testing.assert_allclose(fast, slow, rtol=3e-5, atol=3e-5)
+
+
+def test_realformer_stacked_padded_unequal_lengths():
+    """UNEQUAL l/v/a lengths (the robot_demo 25/100/100 shape) engage the
+    stacked realformer path via pad-to-max + query-row slicing
+    (models/grid.apply_grid stacked=True); masked pad keys underflow to
+    exactly-zero attention weight, so the result equals the unrolled math."""
+    import dataclasses
+
+    exp = tiny("mosei_realformer")
+    m = dataclasses.replace(exp.model, l_len=3, v_len=6, a_len=5, n_layers=2,
+                            ffn=2)
+    model = build_model(dataclasses.replace(exp, model=m))
+    params = model.init(jax.random.PRNGKey(5))
+    import multimodal_emotion_processing_tpu.models.grid as gridmod
+
+    for name in gridmod.TARGET:
+        for blk in params["feature"]["blocks"][name]:
+            blk["a"] = jnp.asarray([0.3])
+            blk["b"] = jnp.asarray([0.2])
+            blk["c"] = jnp.asarray([0.4])
+    batch = make_pair_batch(m, b=2, p=m.p_len, rng=np.random.default_rng(17))
+    fast = np.asarray(model.apply(params, batch, stacked=True))
+    slow = np.asarray(model.apply(params, batch, stacked=False))
+    assert np.isfinite(fast).all()
+    np.testing.assert_allclose(fast, slow, rtol=3e-5, atol=3e-5)
+
+
+def test_stacked_flag_is_per_call_not_global():
+    """stacked= is a per-call static argument: interleaved calls with
+    different settings (the two-predictor scenario from ADVICE r2) all match
+    and the module default is untouched."""
+    import multimodal_emotion_processing_tpu.models.grid as gridmod
+
+    exp = tiny("mosei_realformer")
+    model = build_model(exp)
+    params = model.init(jax.random.PRNGKey(1))
+    batch = make_pair_batch(exp.model, b=2, p=exp.model.p_len)
+    assert gridmod.REALFORMER_STACKED is False
+    a = np.asarray(model.apply(params, batch, stacked=True))
+    b = np.asarray(model.apply(params, batch, stacked=False))
+    c = np.asarray(model.apply(params, batch, stacked=True))
+    assert gridmod.REALFORMER_STACKED is False
+    np.testing.assert_allclose(a, b, rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(a, c, rtol=0, atol=0)

@@ -550,11 +550,9 @@ def test_restore_last_surfaces_structural_mismatch(tmp_path):
 
 def test_streaming_predictor_stacked_grid_parity():
     """stacked_grid=True traces the stacked realformer fast path (serving
-    ~+64% measured); probabilities must equal the unrolled trace."""
-    exp = tiny_exp("robot_demo")  # the serving config; equal lengths so the
-    # stacked realformer path actually engages
-    exp = dataclasses.replace(
-        exp, model=dataclasses.replace(exp.model, l_len=4, v_len=4, a_len=4))
+    ~+64% measured); probabilities must equal the unrolled trace.  The robot
+    config's UNEQUAL lengths (tiny: 4/6/8) now qualify via pad-to-max."""
+    exp = tiny_exp("robot_demo")
     model = build_model(exp)
     ps = [model.init(jax.random.PRNGKey(i)) for i in range(2)]
     sample = synthetic_dataset("robot_demo", exp.model, 1, seed=3)[0]
@@ -618,6 +616,19 @@ def test_resume_does_not_train_past_fired_stop():
     state, hist = trainer.fit(loader, loader, epochs=5, start_epoch=3,
                               stopper=fired)
     assert hist == []
+
+
+def test_fresh_patience_zero_still_trains():
+    """A FRESH stopper with early_stop=0 starts with bad == patience == 0;
+    the resume no-op guard must not fire (ADVICE r2): the run trains at
+    least one epoch and stops on the first non-improving one."""
+    exp = tiny_exp("rencecps", early_stop=0)
+    model = build_model(exp)
+    trainer = eng.Trainer(model, exp.train)
+    samples = synthetic_dataset("rencecps", exp.model, 16, seed=0)
+    loader = lambda: iter(Batcher(samples, 8, shuffle=False)())
+    state, hist = trainer.fit(loader, loader, epochs=5)
+    assert len(hist) >= 1
 
 
 def test_bf16_weighted_loss_keeps_f32_denominator():
