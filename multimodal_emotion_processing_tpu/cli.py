@@ -57,6 +57,15 @@ def build_parser():
         sp.add_argument("--resume", action="store_true",
                         help="resume an interrupted k-fold run from its "
                              "per-epoch checkpoints (requires --checkpoint-dir)")
+        sp.add_argument("--dp", type=int, default=None,
+                        help="data-parallel over N mesh devices: batches "
+                             "sharded on the 'data' axis, gradients "
+                             "all-reduced by XLA over ICI (identical math "
+                             "to single-device)")
+        sp.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel width on the 'model' mesh axis "
+                             "(head-sharded attention; demonstrative at "
+                             "these model sizes)")
 
     common(sub.add_parser("train", help="k-fold training + ensemble eval"))
 
@@ -155,7 +164,8 @@ def cmd_train(args, eval_only=False):
         resume=getattr(args, "resume", False),
         scan_steps=getattr(args, "scan_steps", 1),
         device_resident=getattr(args, "device_resident", False),
-        one_dispatch=getattr(args, "one_dispatch", False))
+        one_dispatch=getattr(args, "one_dispatch", False),
+        dp=getattr(args, "dp", None), tp=getattr(args, "tp", 1))
     if result.report is not None:
         print(json.dumps(result.report, indent=2))
     if result.sweep is not None:

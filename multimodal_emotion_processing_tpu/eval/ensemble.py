@@ -128,3 +128,73 @@ def realformer_threshold_grid(n: int = 400):
 def robot_threshold_grid(n: int = 13):
     """robot_demo.py:532-533: i/10 - 1 for i in range(13)."""
     return [i / 10 - 1.0 for i in range(n)]
+
+
+def joint_threshold_grid(
+    logits: np.ndarray,
+    labels: np.ndarray,
+    grids: Sequence[Sequence[float]],
+    emotion_index: Sequence[int],
+    emotion_names: Sequence[str],
+) -> Dict[str, object]:
+    """Ren-MME's JOINT threshold grid search (Ren-MME/run.py:582-613): score
+    every combination of per-emotion thresholds by micro-F1 + macro-F1 of the
+    full multi-label matrix, keep the first maximizer in nested-loop order.
+
+    The reference re-binarizes the whole prediction matrix per combination
+    (its executed grid is degenerate — one value per emotion); here the
+    per-emotion (TP, FP, FN) count curves are computed ONCE per threshold and
+    every combination is scored by broadcast-summing count tables — micro-F1
+    couples emotions only through ΣTP/ΣFP/ΣFN, macro-F1 is separable — so a
+    g^8 grid costs O(N·Σg) counting + O(Πg) adds instead of O(N·Πg).
+    Non-degenerate grids are fully supported (guarded at ~2e7 combinations).
+
+    Returns {"thresholds": {name: t}, "objective", "micro_f1", "macro_f1"}.
+    """
+    logits = np.asarray(logits)
+    labels = np.asarray(labels)
+    e = len(emotion_names)
+    sizes = [len(g) for g in grids]
+    total = int(np.prod(sizes))
+    if total > 20_000_000:
+        raise ValueError(f"grid product {total} too large; coarsen the grids")
+    tp, fp, fn, f1e = [], [], [], []
+    for j in range(e):
+        col = logits[:, emotion_index[j]][:, None]      # (N, 1)
+        lab = labels[:, emotion_index[j]][:, None] > 0  # (N, 1)
+        pred = col > np.asarray(grids[j], col.dtype)[None, :]  # (N, g_j)
+        tp_j = np.sum(pred & lab, axis=0).astype(np.float64)
+        fp_j = np.sum(pred & ~lab, axis=0).astype(np.float64)
+        fn_j = np.sum(~pred & lab, axis=0).astype(np.float64)
+        shape = [1] * e
+        shape[j] = sizes[j]
+        tp.append(tp_j.reshape(shape))
+        fp.append(fp_j.reshape(shape))
+        fn.append(fn_j.reshape(shape))
+        denom = 2 * tp_j + fp_j + fn_j
+        f1e.append(np.divide(2 * tp_j, denom, out=np.zeros_like(denom),
+                             where=denom > 0).reshape(shape))
+    tp_sum = sum(tp)    # broadcast to the full (g_1, ..., g_e) table
+    denom = 2 * tp_sum + sum(fp) + sum(fn)
+    micro = np.divide(2 * tp_sum, denom, out=np.zeros_like(denom),
+                      where=denom > 0)
+    macro = sum(np.broadcast_to(x, micro.shape) / e for x in f1e)
+    obj = micro + macro
+    # np.argmax C-order = the reference's nested-loop order (love outermost),
+    # strict-> keeps the FIRST maximizer exactly like its `f1 > temp_max`
+    best = np.unravel_index(int(np.argmax(obj)), obj.shape)
+    return {
+        "thresholds": {emotion_names[j]: float(grids[j][best[j]])
+                       for j in range(e)},
+        "objective": float(obj[best]),
+        "micro_f1": float(micro[best]),
+        "macro_f1": float(np.broadcast_to(macro, obj.shape)[best]),
+    }
+
+
+def ren_mme_joint_grids(per: int = 5, lo: float = -4.2, hi: float = -1.0):
+    """A non-degenerate default grid for the joint search, spanning the
+    reference's tuned threshold range (love -3.6 ... anxi -1.2,
+    Ren-MME/run.py:582-589): `per` evenly spaced values per emotion."""
+    pts = [lo + (hi - lo) * i / (per - 1) for i in range(per)]
+    return [list(pts) for _ in range(8)]

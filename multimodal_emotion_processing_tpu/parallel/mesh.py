@@ -50,6 +50,28 @@ def process_batch_slice(global_batch_size: int) -> slice:
     return slice(lo, lo + per)
 
 
+def put_global_batch(batch, sharding, *, data_axis: int = 0):
+    """Place a host-assembled GLOBAL batch onto a (possibly multi-process)
+    mesh.  Single-process: plain sharded device_put.  Multi-process (TPU
+    pods; every process assembles the same deterministic global batch —
+    seeded Batcher order is process-independent): each process transfers only
+    ITS slice of the data axis (`process_batch_slice`) and the global array
+    is assembled from the per-process local shards — host→device traffic is
+    1/process_count per host and no cross-host data exchange happens at all.
+    `data_axis`: which axis the 'data' mesh axis shards (0 for plain batches,
+    1 for scan-stacked (k, B, ...) groups)."""
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+
+    def put(x):
+        sl = process_batch_slice(x.shape[data_axis])
+        idx = (slice(None),) * data_axis + (sl,)
+        return jax.make_array_from_process_local_data(sharding, x[idx],
+                                                      x.shape)
+
+    return jax.tree.map(put, batch)
+
+
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
               devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())

@@ -173,6 +173,8 @@ def _run_experiment(
     scan_steps: int = 1,
     device_resident: bool = False,
     one_dispatch: bool = False,
+    dp: Optional[int] = None,
+    tp: int = 1,
 ) -> PipelineResult:
     """`scan_steps`: chain this many train/eval steps into one dispatch
     (lax.scan over host-stacked batch groups) — identical math, measured
@@ -190,7 +192,14 @@ def _run_experiment(
     per-epoch device-resident driver on v5e, identical trajectory).  Same
     applicability conditions as device_resident; resume is not supported
     (there are no epoch boundaries to resume at); store members persist
-    params-only at the end."""
+    params-only at the end.
+
+    `dp`/`tp`: train over a jax.sharding.Mesh — batches sharded over `dp`
+    devices on the 'data' axis (XLA all-reduces gradients over ICI), params
+    optionally tensor-parallel over `tp` devices on 'model'.  Identical math
+    to single-device (tested to f32 tolerance); requires batch_size (x2 for
+    R-Drop) divisible by dp.  dp=None, tp=1 = single-device (the reference's
+    mode, cmu-mosei/run.py:18)."""
     exp = configs.get(config_name)
     if overrides:
         exp = dataclasses.replace(
@@ -227,6 +236,20 @@ def _run_experiment(
 
     duplicate = exp.train.rdrop_kl  # Ren-MME R-Drop sample duplication
 
+    mesh = None
+    if dp is not None or tp > 1:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(n_data=dp, n_model=tp)
+        n_data = mesh.shape["data"]
+        rows = exp.train.batch_size * (2 if duplicate else 1)
+        if rows % n_data:
+            raise ValueError(
+                f"batch rows per step ({rows}) must divide the data axis "
+                f"({n_data}) — adjust --dp or train.batch_size")
+        _log(f"[{config_name}] mesh: dp={n_data} tp={mesh.shape['model']} "
+             f"over {mesh.devices.size} devices", quiet)
+
     def robot_resample(subset, fold_idx):
         idxs = [int(s["name_idx"]) for s in subset]
         fold_names = [loader_ctx["names"][i] for i in idxs]
@@ -262,6 +285,13 @@ def _run_experiment(
     # per-fold sample counts then differ, which the vmapped driver's aligned
     # step counts cannot represent -> sequential driver for that case
     nested_units = bool(train_samples) and isinstance(train_samples[0], list)
+    if mesh is not None and tp > 1 and vmap_folds:
+        # TP shards per-leaf params/optimizer state; the vmapped drivers run
+        # a fused flat-vector optimizer that cannot carry those shardings —
+        # data-parallel-only meshes DO compose with the fold vmap below
+        _log(f"[{config_name}] tp>1 uses the sequential k-fold driver; "
+             "disabling vmap_folds", quiet)
+        vmap_folds = False
     if nested_units and vmap_folds:
         _log(f"[{config_name}] pair-level folds require the sequential "
              "k-fold driver; disabling vmap_folds", quiet)
@@ -344,7 +374,7 @@ def _run_experiment(
                     train_samples, model, exp.train, store=store,
                     name_prefix=config_name, epochs=epochs, impl=impl,
                     log_cb=log_cb, fold_size=exp.train.fold_size,
-                    duplicate=duplicate)
+                    duplicate=duplicate, mesh=mesh)
         else:
             states, hists, best_member_params, best_member_losses = \
                 run_kfold_vmapped(
@@ -352,14 +382,14 @@ def _run_experiment(
                     name_prefix=config_name, epochs=epochs, impl=impl,
                     log_cb=log_cb, fold_size=exp.train.fold_size,
                     scan_steps=scan_steps, device_resident=device_resident,
-                    duplicate=duplicate)
+                    duplicate=duplicate, mesh=mesh)
         results = [(None, hists[i]) for i in range(exp.train.n_folds)]
     else:
         results = run_kfold(train_samples, make_loaders, model, exp.train,
                             store=store, name_prefix=config_name, epochs=epochs,
                             impl=impl, log_cb=log_cb,
                             fold_size=exp.train.fold_size, resume=resume,
-                            scan_steps=scan_steps)
+                            scan_steps=scan_steps, mesh=mesh, tp=(tp > 1))
 
     report = sweep = None
     if test_samples:
@@ -409,14 +439,28 @@ def _run_experiment(
             labels = labels.reshape(-1, labels.shape[-1])[keep]
         if sweep_thresholds or not exp.thresholds:
             # reference sweep grids: 400-point t/200-1 (others/realformer.py:412)
-            # or the robot demo's 13-point i/10-1 (robot_demo.py:533)
-            from .eval.ensemble import robot_threshold_grid
+            # or the robot demo's 13-point i/10-1 (robot_demo.py:533);
+            # Ren-MME's grid is JOINT — every threshold combination scored by
+            # micro+macro F1 of the full label matrix (Ren-MME/run.py:582-613)
+            if config_name == "ren_mme":
+                from .eval.ensemble import (joint_threshold_grid,
+                                            ren_mme_joint_grids)
 
-            grid = (robot_threshold_grid() if config_name == "robot_demo"
-                    else realformer_threshold_grid())
-            sweep = threshold_sweep(logits, labels, grid,
-                                    exp.emotion_index, exp.emotion_names)
-            thresholds = [sweep[e]["t"] for e in exp.emotion_names]
+                joint = joint_threshold_grid(logits, labels,
+                                             ren_mme_joint_grids(),
+                                             exp.emotion_index,
+                                             exp.emotion_names)
+                sweep = {"joint": joint}
+                thresholds = [joint["thresholds"][e]
+                              for e in exp.emotion_names]
+            else:
+                from .eval.ensemble import robot_threshold_grid
+
+                grid = (robot_threshold_grid() if config_name == "robot_demo"
+                        else realformer_threshold_grid())
+                sweep = threshold_sweep(logits, labels, grid,
+                                        exp.emotion_index, exp.emotion_names)
+                thresholds = [sweep[e]["t"] for e in exp.emotion_names]
         else:
             thresholds = list(exp.thresholds)
         report = evaluate(logits, labels, thresholds, exp.emotion_index,

@@ -248,7 +248,8 @@ class Trainer:
                  log_cb: Optional[Callable] = None,
                  prefetch: int = 2,
                  profile_dir: Optional[str] = None,
-                 scan_steps: int = 1):
+                 scan_steps: int = 1,
+                 mesh=None, tp: bool = False):
         """`profile_dir`: capture a jax.profiler trace of epoch 1 (steady
         state, post-compile) into this directory — view with Perfetto or the
         TensorBoard profile plugin.
@@ -256,33 +257,69 @@ class Trainer:
         `scan_steps`: chain this many train/eval steps into one dispatch via
         lax.scan over host-stacked batch groups (data/loader.stack_batches).
         Identical math and RNG chain to scan_steps=1 (tested); at these model
-        sizes steps are dispatch-bound, so chaining measured 12-49x step
+        sizes steps are dispatch-bound, so chaining measured 12-49x train
         throughput on v5e.  The epoch tail (< scan_steps batches) runs as a
-        smaller stack — one extra compile, constant across epochs."""
+        smaller stack — one extra compile, constant across epochs.
+
+        `mesh`: a jax.sharding.Mesh ('data'[, 'model'] axes) — batches are
+        placed sharded on 'data' by the prefetch worker, params/optimizer
+        state replicated (or TP-sharded with tp=True), and XLA inserts the
+        gradient all-reduce over ICI (parallel/mesh.py).  Identical math to
+        single-device (the psum-mean over shards IS the full-batch mean);
+        requires the per-step batch rows to divide the 'data' axis size.
+        The optimizer runs per-leaf (fused flat-vector state cannot carry
+        per-leaf shardings)."""
         self.model = model
         self.tcfg = tcfg
-        self.tx, self.train_step = make_train_step(model, tcfg, impl=impl)
+        self.mesh = mesh
+        self.fused = mesh is None  # mesh path: per-leaf optimizer state
+        if mesh is not None:
+            from ..parallel.mesh import make_sharded_train_step
+
+            self.tx, self.train_step, self._place = make_sharded_train_step(
+                model, tcfg, mesh, impl=impl, tp=tp)
+        else:
+            self._place = None
+            self.tx, self.train_step = make_train_step(model, tcfg, impl=impl)
         self.eval_step = make_eval_step(model, tcfg, impl=impl)
         self.scan_steps = scan_steps
         if scan_steps > 1:
-            _, self.train_step_scan = make_scan_train_step(model, tcfg,
-                                                           impl=impl)
+            _, self.train_step_scan = make_scan_train_step(
+                model, tcfg, impl=impl, fused=self.fused)
             self.eval_step_scan = make_scan_eval_step(model, tcfg, impl=impl)
         self.checkpoint_cb = checkpoint_cb
         self.log_cb = log_cb
         self.prefetch = prefetch
         self.profile_dir = profile_dir
 
+    def _batch_sharding(self, scan: bool):
+        """NamedSharding for incoming batches: rows sharded over 'data'
+        (scan stacks carry a leading (k,) step axis that stays unsharded)."""
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(self.mesh, P(None, "data") if scan else P("data"))
+
     def _iter(self, loader):
         it = iter(loader())
-        if self.scan_steps > 1:
+        scan = self.scan_steps > 1
+        if scan:
             from ..data.loader import stack_batches
 
             it = stack_batches(it, self.scan_steps)
         if self.prefetch:
             from ..data.loader import prefetch_to_device
 
-            return prefetch_to_device(it, size=self.prefetch)
+            return prefetch_to_device(it, size=self.prefetch,
+                                      sharding=self._batch_sharding(scan),
+                                      data_axis=1 if scan else 0)
+        if self.mesh is not None:
+            from ..parallel.mesh import put_global_batch
+
+            sh = self._batch_sharding(scan)
+            return (put_global_batch(b, sh, data_axis=1 if scan else 0)
+                    for b in it)
         return it
 
     def fit(self, train_loader, valid_loader, *, state: Optional[TrainState] = None,
@@ -293,7 +330,12 @@ class Trainer:
         stopper)` fires after every epoch so the driver can persist it."""
         tcfg = self.tcfg
         state = state if state is not None else init_state(
-            self.model, self.tx, tcfg.seed if seed is None else seed)
+            self.model, self.tx, tcfg.seed if seed is None else seed,
+            fused=self.fused)
+        if self._place is not None:
+            # mesh path: replicate (or TP-shard) params/optimizer onto the
+            # mesh — also re-places a host-restored resume state
+            state = self._place(state)
         plateau = plateau or schedule.PlateauState(
             lr=tcfg.lr, factor=tcfg.plateau_factor,
             patience=tcfg.plateau_patience)

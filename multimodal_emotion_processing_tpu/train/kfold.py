@@ -51,6 +51,8 @@ def run_kfold(
     log_cb=None,
     resume: bool = False,
     scan_steps: int = 1,
+    mesh=None,
+    tp: bool = False,
 ):
     """Train tcfg.n_folds models.  `make_loaders(train_samples, valid_samples)`
     -> (train_loader, valid_loader) zero-arg callables.
@@ -86,7 +88,7 @@ def run_kfold(
         })
 
     trainer = Trainer(
-        model, tcfg, impl=impl, scan_steps=scan_steps,
+        model, tcfg, impl=impl, scan_steps=scan_steps, mesh=mesh, tp=tp,
         checkpoint_cb=(lambda state, epoch, vl:
                        store.save_best(current["name"], state, epoch, vl))
         if store is not None else None,
@@ -106,7 +108,8 @@ def run_kfold(
         plateau = stopper = None
         if resume and store is not None:
             restored = store.restore_last(
-                name, init_state(model, trainer.tx, seed=tcfg.seed + i))
+                name, init_state(model, trainer.tx, seed=tcfg.seed + i,
+                                 fused=trainer.fused))
             if restored is not None:
                 state, entry = restored
                 start_epoch = entry["epoch"] + 1

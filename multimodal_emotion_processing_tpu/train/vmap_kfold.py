@@ -100,11 +100,20 @@ def run_kfold_vmapped(
     scan_steps: int = 1,
     device_resident: bool = False,
     duplicate: bool = False,
+    mesh=None,
 ):
     """Drop-in alternative to kfold.run_kfold with the same fold carving and
     checkpoint contract; returns (stacked final TrainState, histories[k],
     best_params[k], best_losses[k]) — best_* captured at each fold's own
     save/stop time.
+
+    `mesh`: compose the fold-vmap with DATA parallelism — the TPU-native
+    k-fold story: fold axis on vmap (fills the chip with the tiny models),
+    batch axis sharded over the mesh's 'data' devices (XLA all-reduces
+    gradients over ICI).  States/params stay replicated (the fused
+    flat-vector optimizer carries no per-leaf shardings, so TP does not
+    compose here — use the sequential driver for TP).  Identical math to
+    mesh=None (tested).
 
     `scan_steps`: additionally chain this many vmapped steps into one
     dispatch (lax.scan over (s, k, B, ...) stacks) — the fold axis fills the
@@ -135,6 +144,22 @@ def run_kfold_vmapped(
     single_init, single_step, single_eval = _fold_fns(model, tcfg, impl)
     states = jax.jit(jax.vmap(single_init))(
         jnp.arange(tcfg.seed, tcfg.seed + k))
+
+    bsh = bsh_scan = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        states = jax.device_put(states, rep)
+        bsh = NamedSharding(mesh, P(None, "data"))             # (k, B, ...)
+        bsh_scan = NamedSharding(mesh, P(None, None, "data"))  # (s, k, B, ...)
+
+    def _put(batch, sharding, data_axis):
+        if mesh is None:
+            return batch
+        from ..parallel.mesh import put_global_batch
+
+        return put_global_batch(batch, sharding, data_axis=data_axis)
 
     vstep = jax.jit(jax.vmap(single_step), donate_argnums=(0,))
     # scan over (s, k, B, ...) chunks: s vmapped steps per dispatch
@@ -186,7 +211,14 @@ def run_kfold_vmapped(
         bs = tcfg.batch_size
         rows = bs * (2 if duplicate else 1)
         data, _ = stage_dataset(samples)  # one tested SoA-staging impl
-        train_idx = jax.device_put(np.stack(
+        if mesh is not None:
+            # staged rows replicate (tiny datasets; arbitrary-index gathers
+            # across shards would be all-to-all); the per-batch sharding
+            # constraint below shards the compute
+            data = jax.device_put(data, rep)
+        _put_idx = (lambda x: jax.device_put(x, rep)) if mesh is not None \
+            else jax.device_put
+        train_idx = _put_idx(np.stack(
             [np.concatenate([np.arange(r.start, r.stop) for r in tr])
              for _, tr in folds]).astype(np.int32))        # (k, n_tr)
         n_tr = int(train_idx.shape[1])
@@ -199,12 +231,17 @@ def run_kfold_vmapped(
         valid_np = np.stack([np.arange(va.start, va.stop)
                              for va, _ in folds]).astype(np.int32)
         n_va_pad_idx, n_va_pad_w = padded_eval_indices(valid_np, bs)
-        ev_idx = jax.device_put(n_va_pad_idx)
-        ev_w = jax.device_put(n_va_pad_w)
+        ev_idx = _put_idx(n_va_pad_idx)
+        ev_w = _put_idx(n_va_pad_w)
         n_va_pad = int(ev_idx.shape[1])
 
         def _gather(idx):  # (k, rows) row ids -> (k, rows, ...) batch dict
-            return gather_rows(data, idx)
+            batch = gather_rows(data, idx)
+            if mesh is not None:
+                # shard the gathered batch (and thus the step compute) over
+                # 'data'; GSPMD inserts the gradient all-reduce
+                batch = jax.lax.with_sharding_constraint(batch, bsh)
+            return batch
 
         def train_epoch(states_, key):
             def perm_one(key_i, idx_i):
@@ -259,14 +296,15 @@ def run_kfold_vmapped(
             step_losses, n_steps, n_samples = [], 0, 0
             if scan_steps > 1:
                 for group in _chunks(zip(*train_iters), scan_steps):
-                    states, losses = vstep_scan(states, _stack_chunk(group))
+                    states, losses = vstep_scan(
+                        states, _put(_stack_chunk(group), bsh_scan, 2))
                     step_losses.append(losses)  # (s, k)
                     n_steps += len(group)
                     n_samples += len(group) * int(group[0][0]["label"].shape[0])
             else:
                 for batches in zip(*train_iters):
                     stacked = _stack_batches(batches)
-                    states, losses = vstep(states, stacked)
+                    states, losses = vstep(states, _put(stacked, bsh, 1))
                     step_losses.append(losses)  # (k,)
                     n_steps += 1
                     n_samples += int(batches[0]["label"].shape[0])
@@ -275,10 +313,10 @@ def run_kfold_vmapped(
 
             valid_iters = [vl() for _, vl in loaders]
             if scan_steps > 1:
-                va_losses = [veval_scan(states, _stack_chunk(g))
+                va_losses = [veval_scan(states, _put(_stack_chunk(g), bsh_scan, 2))
                              for g in _chunks(zip(*valid_iters), scan_steps)]
             else:
-                va_losses = [veval(states, _stack_batches(bs))
+                va_losses = [veval(states, _put(_stack_batches(bs), bsh, 1))
                              for bs in zip(*valid_iters)]
             va = np.mean(np.concatenate([np.atleast_2d(x) for x in
                                          jax.device_get(va_losses)]), axis=0)
@@ -337,6 +375,7 @@ def run_kfold_fully_compiled(
     store: Optional[CheckpointStore] = None,
     name_prefix: str = "model",
     log_cb=None,
+    mesh=None,
 ):
     """The ENTIRE k-fold bagging experiment — every fold x every epoch — as
     ONE jitted dispatch: the fold axis rides vmap (run_kfold_vmapped), the
@@ -373,7 +412,19 @@ def run_kfold_fully_compiled(
     bs = tcfg.batch_size
     rows = bs * (2 if duplicate else 1)
     data, _ = stage_dataset(samples)
-    train_idx = jax.device_put(np.stack(
+    bsh = None
+    if mesh is not None:
+        # fold axis on vmap + batch axis sharded over 'data' (see
+        # run_kfold_vmapped's mesh note); staged rows replicate, the
+        # per-batch constraint below shards the compute
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        data = jax.device_put(data, rep)
+        bsh = NamedSharding(mesh, P(None, "data"))
+    _put_idx = (lambda x: jax.device_put(x, rep)) if mesh is not None \
+        else jax.device_put
+    train_idx = _put_idx(np.stack(
         [np.concatenate([np.arange(r.start, r.stop) for r in tr])
          for _, tr in folds]).astype(np.int32))            # (k, n_tr)
     n_tr = int(train_idx.shape[1])
@@ -384,8 +435,8 @@ def run_kfold_fully_compiled(
     valid_np = np.stack([np.arange(va.start, va.stop)
                          for va, _ in folds]).astype(np.int32)
     ev_idx_np, ev_w_np = padded_eval_indices(valid_np, bs)
-    ev_idx = jax.device_put(ev_idx_np)
-    ev_w = jax.device_put(ev_w_np)
+    ev_idx = _put_idx(ev_idx_np)
+    ev_w = _put_idx(ev_w_np)
     n_ev = int(ev_idx.shape[1]) // bs
 
     n_epochs = tcfg.epochs if epochs is None else epochs
@@ -402,7 +453,10 @@ def run_kfold_fully_compiled(
 
         def body(st, i):
             idx = jax.lax.dynamic_slice_in_dim(rowids, i * rows, rows, axis=1)
-            return jax.vmap(single_step)(st, gather_rows(data, idx))
+            batch = gather_rows(data, idx)
+            if mesh is not None:
+                batch = jax.lax.with_sharding_constraint(batch, bsh)
+            return jax.vmap(single_step)(st, batch)
 
         states_, losses = jax.lax.scan(body, states_, jnp.arange(n_steps_tr))
         return states_, jnp.mean(losses, axis=0)            # (k,)
@@ -415,6 +469,8 @@ def run_kfold_fully_compiled(
                 idx = jnp.repeat(idx, 2, axis=1)
                 w = jnp.repeat(w, 2, axis=1)
             batch = gather_rows(data, idx)
+            if mesh is not None:
+                batch = jax.lax.with_sharding_constraint(batch, bsh)
             batch["sample_weight"] = w
             return c, jax.vmap(single_eval)(c, batch)
 
@@ -479,6 +535,8 @@ def run_kfold_fully_compiled(
     t0 = time.perf_counter()
     states0 = jax.jit(jax.vmap(single_init))(
         jnp.arange(tcfg.seed, tcfg.seed + k))
+    if mesh is not None:
+        states0 = jax.device_put(states0, rep)
     final, (tr, va, fold_active) = run(states0)
     # apply the carried (post-last-epoch) LR vector like the host driver does
     states = _set_fold_lrs(final[0], final[1][0])

@@ -178,3 +178,53 @@ def test_run_experiment_one_dispatch():
                                                    "n_folds": 2}})
     assert res.report is not None
     assert all(len(h) == 2 for h in res.fold_histories)
+
+
+# ---------------------------------------------------------------------------
+# First-class data-parallel training (pipelines --dp/--tp): new-framework
+# obligation (SURVEY §2.4; the reference is single-device, cmu-mosei/run.py:18)
+# ---------------------------------------------------------------------------
+
+_TINY_DP = {"model": {"l_len": 4, "v_len": 6, "a_len": 8, "dim": 12,
+                      "n_heads": 2, "l_dim": 5, "v_dim": 4, "a_dim": 3},
+            "train": {"n_folds": 2, "batch_size": 8}}
+
+
+def test_run_experiment_dp8_matches_single_device():
+    """run_experiment('mosei_trans', dp=8) over the 8-virtual-device CPU mesh
+    trains end-to-end (k folds + ensemble eval) with the SAME trajectory as
+    single-device: the sharded step's psum-mean over shards IS the full-batch
+    mean, so only f32 reduction-order noise differs."""
+    kw = dict(synthetic_data=True, n_train=24, n_test=8, epochs=2, quiet=True,
+              overrides=_TINY_DP)
+    single = run_experiment("mosei_trans", **kw)
+    dp = run_experiment("mosei_trans", dp=8, **kw)
+    t1 = np.asarray([(e.train_loss, e.valid_loss)
+                     for h in single.fold_histories for e in h])
+    t2 = np.asarray([(e.train_loss, e.valid_loss)
+                     for h in dp.fold_histories for e in h])
+    assert t1.shape == t2.shape and len(t1) > 0
+    np.testing.assert_allclose(t2, t1, rtol=2e-4, atol=2e-5)
+    assert dp.report is not None
+
+
+def test_run_experiment_dp_tp_mesh_with_checkpoints(tmp_path):
+    """dp=4 x tp=2 trains with TP-sharded params, saves best/resume
+    checkpoints of sharded state, and a --resume restart on the same mesh
+    completes the run (restored host state is re-placed onto the mesh)."""
+    kw = dict(synthetic_data=True, n_train=24, n_test=8, quiet=True,
+              overrides=_TINY_DP, checkpoint_dir=str(tmp_path / "ck"))
+    full = run_experiment("mosei_trans", dp=4, tp=2, epochs=2, **kw)
+    assert (tmp_path / "ck" / "manifest.json").exists()
+    resumed = run_experiment("mosei_trans", dp=4, tp=2, epochs=3,
+                             resume=True, **kw)
+    # folds were marked done at epochs=2; resume must not retrain them
+    hist_lens = [len(h) for h in resumed.fold_histories]
+    assert all(l in (0, 1) for l in hist_lens) or resumed.report is not None
+    assert full.report is not None
+
+
+def test_run_experiment_dp_rejects_indivisible_batch():
+    with pytest.raises(ValueError, match="divide"):
+        run_experiment("mosei_trans", dp=3, synthetic_data=True, n_train=24,
+                       n_test=8, epochs=1, quiet=True, overrides=_TINY_DP)

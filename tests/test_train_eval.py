@@ -652,3 +652,58 @@ def test_bf16_weighted_loss_keeps_f32_denominator():
     lu = float(eng.batch_loss(model, exp.train, params, unpadded, None, False,
                               "xla"))
     np.testing.assert_allclose(lp, lu, rtol=1e-3)
+
+
+def test_joint_threshold_grid_matches_reference_loop():
+    """joint_threshold_grid == a brute-force replica of the reference's
+    nested loops (Ren-MME/run.py:582-613): binarize per combination, score
+    sklearn micro+macro F1, keep the FIRST strict maximizer."""
+    sk = pytest.importorskip("sklearn.metrics")
+    import itertools
+
+    from multimodal_emotion_processing_tpu.eval.ensemble import (
+        joint_threshold_grid)
+
+    rng = np.random.default_rng(42)
+    n, e = 60, 8
+    logits = rng.standard_normal((n, e)).astype(np.float32) * 2 - 1
+    labels = (rng.random((n, e)) > 0.6).astype(np.int32)
+    grids = [[-1.5, -0.5, 0.5], [-1.0, 0.0], [-0.8, 0.2, 1.0], [-0.3],
+             [-2.0, 0.0], [-1.2, -0.2], [0.1, 0.6], [-0.7, 0.3]]
+    names = ("love", "anxi", "sorr", "joyy", "expe", "hate", "ange", "surp")
+
+    got = joint_threshold_grid(logits, labels, grids, tuple(range(e)), names)
+
+    best_obj, best_combo, best_micro, best_macro = 0.0, None, 0.0, 0.0
+    for combo in itertools.product(*grids):  # C-order == nested-loop order
+        bina = (logits > np.asarray(combo)[None, :]).astype(np.int32)
+        f1 = (sk.f1_score(labels, bina, average="micro", zero_division=0)
+              + sk.f1_score(labels, bina, average="macro", zero_division=0))
+        if f1 > best_obj:
+            best_obj, best_combo = f1, combo
+            best_micro = sk.f1_score(labels, bina, average="micro",
+                                     zero_division=0)
+            best_macro = sk.f1_score(labels, bina, average="macro",
+                                     zero_division=0)
+    assert tuple(got["thresholds"][nm] for nm in names) == best_combo
+    np.testing.assert_allclose(got["objective"], best_obj, rtol=1e-12)
+    np.testing.assert_allclose(got["micro_f1"], best_micro, rtol=1e-12)
+    np.testing.assert_allclose(got["macro_f1"], best_macro, rtol=1e-12)
+
+
+def test_joint_threshold_grid_reference_degenerate():
+    """The reference's executed single-value grid reduces to its fixed
+    thresholds (Ren-MME/run.py:582-589)."""
+    from multimodal_emotion_processing_tpu import configs
+    from multimodal_emotion_processing_tpu.eval.ensemble import (
+        joint_threshold_grid)
+
+    exp = configs.get("ren_mme")
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((40, 9)).astype(np.float32)
+    labels = (rng.random((40, 9)) > 0.5).astype(np.int32)
+    grids = [[t] for t in exp.thresholds]
+    got = joint_threshold_grid(logits, labels, grids, exp.emotion_index,
+                               exp.emotion_names)
+    assert [got["thresholds"][n] for n in exp.emotion_names] == \
+        list(exp.thresholds)

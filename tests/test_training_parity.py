@@ -163,3 +163,106 @@ def test_concat_trans_training_trajectory_matches_torch():
         ref = (M.accuracy(labels[:, ei], t_pred[:, col]),
                M.weighted_f1(labels[:, ei], t_pred[:, col]))
         assert ours == ref
+
+
+def test_full_run_parity_plateau_earlystop_vs_torch():
+    """A COMPLETE miniature run against the reference recipe
+    (cmu-mosei/run.py:393-420 semantics on the rencecps model): identical
+    initial weights and fixed batches on both sides, epochs driven by
+    torch's ReduceLROnPlateau(factor=0.1) + the stop/save guard loop vs our
+    Trainer.fit — the LR trace, best-save epochs, and stop epoch must be
+    IDENTICAL, and the loss trajectories must track to tolerance."""
+    from torch.optim.lr_scheduler import ReduceLROnPlateau
+
+    from multimodal_emotion_processing_tpu.data.loader import Batcher  # noqa
+    from multimodal_emotion_processing_tpu.train.engine import Trainer
+    from multimodal_emotion_processing_tpu.train import schedule
+
+    exp = configs.get("rencecps")
+    m = dataclasses.replace(exp.model, dim=24)
+    tcfg = dataclasses.replace(exp.train, lr=1e-2, plateau_patience=1,
+                               early_stop=3, batch_size=16, epochs=40)
+    exp = dataclasses.replace(exp, model=m, train=tcfg)
+    torch.manual_seed(7)
+    oracle = tref.ConcatLinear(m.dim, e=9)
+    params0 = from_reference_state_dict(oracle.state_dict(), m)
+    model = build_model(exp)
+
+    rng = np.random.default_rng(7)
+
+    def mk(n_batches, seed_off):
+        out = []
+        for i in range(n_batches):
+            feat = rng.standard_normal((16, 2, m.dim)).astype(np.float32)
+            label = (rng.random((16, 9)) > 0.6).astype(np.int32)
+            out.append({"feat": feat, "label": label})
+        return out
+
+    train_batches, valid_batches = mk(2, 0), mk(1, 10)
+
+    # ---- torch: the reference run() loop verbatim (minus I/O)
+    opt = torch.optim.AdamW(oracle.parameters(), lr=tcfg.lr)
+    sched = ReduceLROnPlateau(opt, factor=0.1, patience=1)
+    t_train, t_valid, t_lrs, t_saves = [], [], [], []
+    loss_list, stop = [], 0
+    stop_epoch = None
+    for epoch in range(tcfg.epochs):
+        oracle.train()
+        ep = 0.0
+        for b in train_batches:
+            opt.zero_grad()
+            loss = torch_zlpr(oracle(torch.tensor(b["feat"])),
+                              torch.tensor(b["label"])).mean()
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(oracle.parameters(), 1.0)
+            opt.step()
+            ep += float(loss)
+        t_train.append(ep / len(train_batches))
+        oracle.eval()
+        with torch.no_grad():
+            va = float(np.mean([float(torch_zlpr(
+                oracle(torch.tensor(b["feat"])),
+                torch.tensor(b["label"])).mean()) for b in valid_batches]))
+        t_valid.append(va)
+        sched.step(va)
+        t_lrs.append(opt.param_groups[0]["lr"])
+        loss_list.append(va)
+        if va == min(loss_list) and va > 0.009:   # cmu-mosei/run.py:413
+            stop = 0
+            t_saves.append(epoch)
+        else:
+            stop += 1
+            if stop >= tcfg.early_stop:
+                stop_epoch = epoch
+                break
+
+    assert stop_epoch is not None and stop_epoch < tcfg.epochs - 1
+    assert t_lrs[-1] < tcfg.lr  # a plateau decay actually fired
+
+    # ---- ours: Trainer.fit over the same fixed batches
+    from jax.flatten_util import ravel_pytree
+
+    trainer = Trainer(model, tcfg, prefetch=0)
+    tx = trainer.tx
+    state = eng.init_state(model, tx, seed=0)
+    state = dataclasses.replace(
+        state, params=jax.tree.map(lambda x: np.asarray(x), params0),
+        opt_state=tx.init(ravel_pytree(params0)[0]))
+    o_lrs, o_saves = [], []
+    plateau = schedule.PlateauState(lr=tcfg.lr, factor=tcfg.plateau_factor,
+                                    patience=tcfg.plateau_patience)
+    trainer.checkpoint_cb = lambda s, e, vl: o_saves.append(e)
+    _, hist = trainer.fit(
+        lambda: iter(train_batches), lambda: iter(valid_batches),
+        state=state, plateau=plateau,
+        last_cb=lambda s, e, p, st: o_lrs.append(p.lr))
+    o_train = [h.train_loss for h in hist]
+    o_valid = [h.valid_loss for h in hist]
+
+    # identical control decisions: stop epoch, LR trace, best-save epochs
+    assert len(hist) - 1 == stop_epoch
+    np.testing.assert_allclose(o_lrs, t_lrs, rtol=1e-12)
+    assert o_saves == t_saves
+    # trajectories track through the decayed-LR epochs
+    np.testing.assert_allclose(o_train, t_train, rtol=3e-3, atol=3e-3)
+    np.testing.assert_allclose(o_valid, t_valid, rtol=3e-3, atol=3e-3)

@@ -263,3 +263,58 @@ def test_fully_compiled_kfold_rdrop_and_store(tmp_path):
     for x, y in zip(jax.tree_util.tree_leaves(restored),
                     jax.tree_util.tree_leaves(best[0])):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_vmapped_mesh_dp_matches_unsharded():
+    """Fold axis on vmap + batch axis sharded over an 8-device 'data' mesh
+    (the TPU-native k-fold composition, VERDICT r2 #2): identical trajectory
+    to the unsharded vmapped driver, in host-loader AND device-resident
+    modes."""
+    from multimodal_emotion_processing_tpu.parallel import make_mesh
+
+    exp = _exp()
+    model = build_model(exp)
+    samples = synthetic_dataset("rencecps", exp.model, n=64, seed=5)
+    mesh = make_mesh(n_data=8)
+
+    base = run_kfold_vmapped(samples, _loaders(exp), model, exp.train,
+                             epochs=2, shuffle_seed=0)
+    for kw in ({}, {"scan_steps": 3}, {"device_resident": True}):
+        got = run_kfold_vmapped(samples, _loaders(exp), model, exp.train,
+                                epochs=2, shuffle_seed=0, mesh=mesh, **kw)
+        if kw.get("device_resident"):
+            # device-resident shuffles device-side (different epoch order
+            # than host loaders) — compare against its own unsharded twin
+            ref = run_kfold_vmapped(samples, _loaders(exp), model, exp.train,
+                                    epochs=2, shuffle_seed=0, **kw)
+        else:
+            ref = base
+        for hist_ref, hist_got in zip(ref[1], got[1]):
+            assert len(hist_ref) == len(hist_got)
+            for a, b in zip(hist_ref, hist_got):
+                np.testing.assert_allclose(b.train_loss, a.train_loss,
+                                           rtol=2e-4, atol=2e-5)
+                np.testing.assert_allclose(b.valid_loss, a.valid_loss,
+                                           rtol=2e-4, atol=2e-5)
+
+
+def test_fully_compiled_mesh_dp_matches_unsharded(tmp_path):
+    """The one-dispatch whole-experiment driver under a dp=8 mesh: same
+    trajectory and same best members as unsharded."""
+    from multimodal_emotion_processing_tpu.parallel import make_mesh
+    from multimodal_emotion_processing_tpu.train.vmap_kfold import (
+        run_kfold_fully_compiled)
+
+    exp = _exp()
+    model = build_model(exp)
+    samples = synthetic_dataset("rencecps", exp.model, n=64, seed=7)
+    _, h0, b0, l0 = run_kfold_fully_compiled(samples, model, exp.train,
+                                             epochs=2, shuffle_seed=0)
+    _, h1, b1, l1 = run_kfold_fully_compiled(samples, model, exp.train,
+                                             epochs=2, shuffle_seed=0,
+                                             mesh=make_mesh(n_data=8))
+    np.testing.assert_allclose(l1, l0, rtol=2e-4, atol=2e-5)
+    for hist0, hist1 in zip(h0, h1):
+        for a, b in zip(hist0, hist1):
+            np.testing.assert_allclose(b.valid_loss, a.valid_loss,
+                                       rtol=2e-4, atol=2e-5)
