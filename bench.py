@@ -164,14 +164,17 @@ def measure_jax_datafed(exp, *, n_samples=512, epochs=8, impl="xla"):
         state, loss = train_step(state, batch)
     jax.block_until_ready(loss)
 
-    best = 0.0
+    window_sps = []
     for _ in range(epochs):
         t0 = time.perf_counter()
         for batch in prefetch_to_device(iter(batcher())):
             state, loss = train_step(state, batch)
         jax.block_until_ready(loss)
-        best = max(best, len(samples) / (time.perf_counter() - t0))
-    return best
+        window_sps.append(len(samples) / (time.perf_counter() - t0))
+    # best AND median: the relay wanders ~4x, and a single best-of scalar
+    # made "weather vs regression" undecidable across rounds (VERDICT r2) —
+    # the artifact now records both
+    return float(max(window_sps)), float(np.median(window_sps))
 
 
 def pallas_parity(exp, batch):
@@ -284,12 +287,12 @@ def main():
         log(f"jax[xla,scan k={scan_k_hi}] skipped: over half the "
             f"{budget_s:.0f}s budget spent")
 
-    datafed = None
+    datafed = datafed_med = None
     if elapsed() < budget_s * 0.7:
         try:
-            datafed = measure_jax_datafed(exp)
+            datafed, datafed_med = measure_jax_datafed(exp)
             log(f"jax[xla] data-fed (host assembly + prefetch + step): "
-                f"{datafed:.1f} samples/s")
+                f"best {datafed:.1f} / median {datafed_med:.1f} samples/s")
         except Exception as e:
             log(f"data-fed phase failed: {e!r}")
     else:
@@ -334,17 +337,55 @@ def main():
             "window 44/138 samples/s (vs_baseline is a lower bound); "
             "torch_fallback flagged in the JSON")
 
+    # --- MFU: analytic matmul FLOPs (bench/flops.py, validated against
+    # XLA's cost analysis to within 15%) over the chip's bf16 peak.  At these
+    # model sizes utilization is dispatch/HBM-bound, not MXU-bound — the
+    # number exists to SAY that with a measurement, not to flatter.
+    from multimodal_emotion_processing_tpu.bench import flops as _fl
+
+    peak = float(os.environ.get("MEP_PEAK_TFLOPS", _fl.V5E_PEAK_TFLOPS))
+    f_tr = _fl.train_flops_per_sample(m)
+    f_inf = _fl.forward_flops_per_sample(m)
+
+    def mfu_of(train_sps, infer_sps):
+        if train_sps is None:
+            return None
+        return {
+            "train_tflops": round(train_sps * f_tr / 1e12, 3),
+            "train_mfu": round(_fl.mfu(train_sps, f_tr, peak), 5),
+            "infer_tflops": (None if infer_sps is None else
+                             round(infer_sps * f_inf / 1e12, 3)),
+            "infer_mfu": (None if infer_sps is None else
+                          round(_fl.mfu(infer_sps, f_inf, peak), 5)),
+        }
+
     r1 = lambda x: None if x is None else round(x, 1)
     ours_xla = combined(jax_train, jax_infer, b)
     ours_scan = combined(scan_train, scan_infer, b)
     # parity gate is relative to logit scale (both paths round differently
     # through the MXU's bf16 passes; ~1e-3 absolute on O(10) logits is noise)
     candidates = {"xla": ours_xla, f"xla,scan k={scan_k}": ours_scan}
+    cand_train = {"xla": jax_train, f"xla,scan k={scan_k}": scan_train}
     if scan_train_hi is not None:
         candidates[f"xla,scan k={scan_k_hi}"] = combined(
             scan_train_hi, scan_infer_hi, b)
+        cand_train[f"xla,scan k={scan_k_hi}"] = scan_train_hi
     if pal_train is not None and parity_rel is not None and parity_rel < 1e-2:
         candidates["pallas"] = combined(pal_train, pal_infer, b)
+        cand_train["pallas"] = pal_train
+    # physical-plausibility gate: a candidate whose implied train FLOP/s
+    # exceeds the chip's peak CANNOT be a real execution rate (the analytic
+    # count is validated <= XLA's own) — on this relay-tunneled image,
+    # block_until_ready on very large scan programs has been observed to
+    # return before the device work completes, inflating the window.  Such
+    # candidates are excluded from the headline and flagged.
+    implausible = [name for name, tr in cand_train.items()
+                   if tr is not None and _fl.mfu(tr, f_tr, peak) > 1.0]
+    for name in implausible:
+        log(f"headline candidate {name!r} implies "
+            f"{_fl.mfu(cand_train[name], f_tr, peak):.1f}x chip peak FLOP/s "
+            "— measurement artifact, excluded from headline")
+        candidates.pop(name, None)
     impl = max(candidates, key=candidates.get)
     ours = candidates[impl]
     base = combined(torch_train, torch_infer, b)
@@ -358,16 +399,25 @@ def main():
         "vs_baseline": None if torch_fallback else round(ours / base, 2),
         "diagnostics": {  # null = phase skipped/failed (stderr says which)
             "impl": impl,
-            "xla": {"train_sps": r1(jax_train), "infer_sps": r1(jax_infer)},
+            "xla": {"train_sps": r1(jax_train), "infer_sps": r1(jax_infer),
+                    "mfu": mfu_of(jax_train, jax_infer)},
             "scan": {"k": scan_k, "train_sps": r1(scan_train),
-                     "infer_sps": r1(scan_infer)},
+                     "infer_sps": r1(scan_infer),
+                     "mfu": mfu_of(scan_train, scan_infer)},
             "scan_hi": {"k": scan_k_hi, "train_sps": r1(scan_train_hi),
-                        "infer_sps": r1(scan_infer_hi)},
+                        "infer_sps": r1(scan_infer_hi),
+                        "mfu": mfu_of(scan_train_hi, scan_infer_hi)},
             "pallas": {"train_sps": r1(pal_train),
                        "infer_sps": r1(pal_infer),
+                       "mfu": mfu_of(pal_train, pal_infer),
                        "forward_parity_maxdiff": parity,
                        "forward_parity_relative": parity_rel},
-            "datafed_train_sps": r1(datafed),
+            "datafed_train_sps": {"best": r1(datafed),
+                                  "median": r1(datafed_med)},
+            "flops": {"per_sample_forward": f_inf,
+                      "per_sample_train": f_tr,
+                      "peak_tflops": peak},
+            "mfu_implausible_excluded": implausible,
             "torch_cpu": {"train_sps": round(torch_train, 1),
                           "infer_sps": round(torch_infer, 1)},
         },

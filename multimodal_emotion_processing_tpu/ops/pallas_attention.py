@@ -151,6 +151,169 @@ def _forward(q, k, v, mask, sprev, c, n_heads: int, emit: bool):
     return (out[0], out[1]) if emit else (out[0], None)
 
 
+def _make_bwd_kernel(n_heads: int, block_b: int, has_sprev: bool, emit: bool):
+    """Fused backward: dS -> dQ/dK/dV (+ dS_prev, dc, dmask) in ONE kernel,
+    everything VMEM-resident.  emit=True variants reuse the forward's emitted
+    masked scores as the residual; emit=False variants recompute S in-kernel
+    (one extra QKᵀ matmul — still cheaper than the einsum path's separate
+    recompute program).  dc accumulates across the sequential grid in SMEM."""
+
+    def kernel(*refs):
+        i = 0
+        q_ref, k_ref, v_ref = refs[:3]
+        i = 3
+        mask_ref = sprev_ref = scores_ref = dscores_ref = None
+        if not emit:
+            mask_ref = refs[i]
+            i += 1
+        if has_sprev:
+            sprev_ref = refs[i]
+            i += 1
+        if emit:
+            scores_ref = refs[i]
+            dscores_ref = refs[i + 1]
+            i += 2
+        dctx_ref = refs[i]
+        c_ref = refs[i + 1]
+        i += 2
+        dq_ref, dk_ref, dv_ref, dmask_ref = refs[i:i + 4]
+        i += 4
+        dsprev_ref = refs[i] if has_sprev else None
+        dc_ref = refs[i + 1] if has_sprev else None
+
+        d = q_ref.shape[-1]
+        dh = d // n_heads
+        inv_sqrt = 1.0 / math.sqrt(dh)
+        c = c_ref[0, 0]
+        if has_sprev:
+            gi = pl.program_id(0)
+
+            @pl.when(gi == 0)
+            def _():
+                dc_ref[0, 0] = 0.0
+        dc_acc = 0.0
+        for bb in range(block_b):
+            dmask_acc = None
+            for h in range(n_heads):
+                sl = slice(h * dh, (h + 1) * dh)
+                if emit:
+                    s = scores_ref[bb, h]
+                else:
+                    s = jax.lax.dot_general(
+                        q_ref[bb, :, sl], k_ref[bb, :, sl],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) * inv_sqrt
+                    if has_sprev:
+                        s = s + c * sprev_ref[bb, h]
+                    s = s - MASK_PENALTY * (1.0 - mask_ref[bb, 0, :])[None, :]
+                p = jax.nn.softmax(s, axis=-1)               # (Lq, Lkv)
+                g = dctx_ref[bb, :, sl].astype(jnp.float32)  # (Lq, dh)
+                dv_ref[bb, :, sl] = jax.lax.dot_general(
+                    p, g, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+                dp = jax.lax.dot_general(
+                    g, v_ref[bb, :, sl],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (Lq, Lkv)
+                ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                if emit:
+                    ds = ds + dscores_ref[bb, h]
+                if has_sprev:
+                    dsprev_ref[bb, h] = c * ds
+                    dc_acc += jnp.sum(ds * sprev_ref[bb, h])
+                row = jnp.sum(ds, axis=0)                    # (Lkv,)
+                dmask_acc = row if dmask_acc is None else dmask_acc + row
+                dq_ref[bb, :, sl] = (jnp.dot(
+                    ds, k_ref[bb, :, sl],
+                    preferred_element_type=jnp.float32)
+                    * inv_sqrt).astype(dq_ref.dtype)
+                dk_ref[bb, :, sl] = (jax.lax.dot_general(
+                    ds, q_ref[bb, :, sl],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                    * inv_sqrt).astype(dk_ref.dtype)
+            dmask_ref[bb, 0, :] = MASK_PENALTY * dmask_acc
+        if has_sprev:
+            dc_ref[0, 0] += dc_acc
+
+    return kernel
+
+
+def _pick_block_b_bwd(b, lq, lkv, d, h, has_sprev, emit):
+    """Backward working set ~2-3x forward (dq/dk/dv/dctx + ds/dsprev)."""
+    pad = lambda n: -(-n // 128) * 128
+    n_score = 2 + (2 if has_sprev else 0) + (2 if emit else 0)
+    per_sample = 4 * (4 * lq * pad(d) + 4 * lkv * pad(d)
+                      + n_score * h * lq * pad(lkv))
+    cap = max(1, _VMEM_BUDGET // max(per_sample, 1))
+    best = 1
+    for cand in range(1, min(b, cap) + 1):
+        if b % cand == 0:
+            best = cand
+    return best
+
+
+def _backward_pallas(q, k, v, mask, sprev, c, scores, dscores, dctx, n_heads):
+    """Fused-kernel twin of _attn_bwd (+_recompute_scores when scores is
+    None): returns (dq, dk, dv, dmask, dsprev, dc) — dsprev/dc are None
+    without sprev."""
+    b, lq, d = q.shape
+    lkv = k.shape[1]
+    h = n_heads
+    has_sprev = sprev is not None
+    emit = scores is not None
+    bb = _pick_block_b_bwd(b, lq, lkv, d, h, has_sprev, emit)
+    kernel = _make_bwd_kernel(n_heads, bb, has_sprev, emit)
+
+    spec_bld = lambda shape: pl.BlockSpec(
+        (bb,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+    in_specs = [spec_bld((lq, d)), spec_bld((lkv, d)), spec_bld((lkv, d))]
+    args = [q, k, v]
+    if not emit:
+        in_specs.append(spec_bld((1, lkv)))
+        args.append(mask.reshape(b, 1, lkv).astype(q.dtype))
+    if has_sprev:
+        in_specs.append(spec_bld((h, lq, lkv)))
+        args.append(sprev)
+    if emit:
+        in_specs += [spec_bld((h, lq, lkv)), spec_bld((h, lq, lkv))]
+        args += [scores, dscores.astype(jnp.float32)]
+    in_specs.append(spec_bld((lq, d)))
+    args.append(dctx)
+    in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM))
+    args.append((c if c is not None else jnp.zeros((1,), jnp.float32)
+                 ).reshape(1, 1).astype(jnp.float32))
+
+    # dmask rides as (b, 1, lkv): a 2-D (bb, lkv) block violates the TPU
+    # (8, 128)-divisibility rule on the sublane dim when bb < 8
+    out_specs = [spec_bld((lq, d)), spec_bld((lkv, d)), spec_bld((lkv, d)),
+                 spec_bld((1, lkv))]
+    out_shape = [jax.ShapeDtypeStruct((b, lq, d), jnp.float32),
+                 jax.ShapeDtypeStruct((b, lkv, d), jnp.float32),
+                 jax.ShapeDtypeStruct((b, lkv, d), jnp.float32),
+                 jax.ShapeDtypeStruct((b, 1, lkv), jnp.float32)]
+    if has_sprev:
+        out_specs += [spec_bld((h, lq, lkv)),
+                      pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                   memory_space=pltpu.SMEM)]
+        out_shape += [jax.ShapeDtypeStruct((b, h, lq, lkv), jnp.float32),
+                      jax.ShapeDtypeStruct((1, 1), jnp.float32)]
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // bb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(*args)
+    dq, dk, dv, dmask = out[0], out[1], out[2], out[3].reshape(b, lkv)
+    dsprev = out[4] if has_sprev else None
+    dc = out[5].reshape(()) if has_sprev else None
+    return dq, dk, dv, dmask, dsprev, dc
+
+
 def _attn_bwd(q, k, v, scores, ds_extra, dctx, n_heads):
     """Shared backward math: softmax recomputed from (masked) scores; returns
     (ds, dq, dk, dv) with dq/dk/dv merged-head arrays."""
@@ -187,11 +350,20 @@ def _recompute_scores(q, k, mask, sprev, c, n_heads):
     return s - MASK_PENALTY * (1.0 - mask[:, None, None, :].astype(jnp.float32))
 
 
+# Backward implementation default: 'pallas' = the fused dS->dQ/dK/dV kernel
+# (_backward_pallas), 'einsum' = the XLA einsum recompute path (_attn_bwd).
+# Per house rules both stay selectable; see ENGINEERING_NOTES for the
+# measured comparison that set this default.
+PALLAS_BACKWARD_DEFAULT = "einsum"
+
+
 @functools.lru_cache(maxsize=None)
-def _make(n_heads: int, has_sprev: bool, emit: bool):
-    """Four kernel/VJP variants keyed on (score-residual input present,
-    scores output consumed).  All share the same math; the lean variants skip
-    dead HBM traffic (docstring of _make_fwd_kernel)."""
+def _make(n_heads: int, has_sprev: bool, emit: bool, bwd_impl: str = "einsum"):
+    """Kernel/VJP variants keyed on (score-residual input present, scores
+    output consumed, backward impl).  All share the same math; the lean
+    variants skip dead HBM traffic (docstring of _make_fwd_kernel)."""
+    fused_bwd = bwd_impl == "pallas"
+
     if has_sprev and emit:
         @jax.custom_vjp
         def attn(q, k, v, mask, sprev, c):
@@ -204,6 +376,13 @@ def _make(n_heads: int, has_sprev: bool, emit: bool):
         def bwd(res, grads):
             q, k, v, sprev, c, scores = res
             dctx, dscores = grads
+            if fused_bwd:
+                dq, dk, dv, dmask, dsprev, dc = _backward_pallas(
+                    q, k, v, None, sprev, c, scores, dscores, dctx, n_heads)
+                return (dq.astype(q.dtype), dk.astype(k.dtype),
+                        dv.astype(v.dtype), dmask.astype(q.dtype),
+                        dsprev.astype(sprev.dtype),
+                        dc.reshape(1).astype(c.dtype))
             ds, dq, dk, dv = _attn_bwd(q, k, v, scores, dscores, dctx, n_heads)
             dc = jnp.sum(ds * sprev).reshape(1).astype(c.dtype)
             dmask = MASK_PENALTY * jnp.sum(ds, axis=(1, 2))
@@ -224,6 +403,13 @@ def _make(n_heads: int, has_sprev: bool, emit: bool):
 
         def bwd(res, dctx):
             q, k, v, mask, sprev, c = res
+            if fused_bwd:
+                dq, dk, dv, dmask, dsprev, dc = _backward_pallas(
+                    q, k, v, mask, sprev, c, None, None, dctx, n_heads)
+                return (dq.astype(q.dtype), dk.astype(k.dtype),
+                        dv.astype(v.dtype), dmask.astype(q.dtype),
+                        dsprev.astype(sprev.dtype),
+                        dc.reshape(1).astype(c.dtype))
             scores = _recompute_scores(q, k, mask, sprev, c, n_heads)
             ds, dq, dk, dv = _attn_bwd(q, k, v, scores, None, dctx, n_heads)
             dc = jnp.sum(ds * sprev).reshape(1).astype(c.dtype)
@@ -246,6 +432,12 @@ def _make(n_heads: int, has_sprev: bool, emit: bool):
         def bwd(res, grads):
             q, k, v, c, scores = res
             dctx, dscores = grads
+            if fused_bwd:
+                dq, dk, dv, dmask, _, _ = _backward_pallas(
+                    q, k, v, None, None, c, scores, dscores, dctx, n_heads)
+                return (dq.astype(q.dtype), dk.astype(k.dtype),
+                        dv.astype(v.dtype), dmask.astype(q.dtype),
+                        jnp.zeros_like(c))
             ds, dq, dk, dv = _attn_bwd(q, k, v, scores, dscores, dctx, n_heads)
             dmask = MASK_PENALTY * jnp.sum(ds, axis=(1, 2))
             return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
@@ -264,6 +456,12 @@ def _make(n_heads: int, has_sprev: bool, emit: bool):
 
     def bwd(res, dctx):
         q, k, v, mask, c = res
+        if fused_bwd:
+            dq, dk, dv, dmask, _, _ = _backward_pallas(
+                q, k, v, mask, None, c, None, None, dctx, n_heads)
+            return (dq.astype(q.dtype), dk.astype(k.dtype),
+                    dv.astype(v.dtype), dmask.astype(q.dtype),
+                    jnp.zeros_like(c))
         scores = _recompute_scores(q, k, mask, None, None, n_heads)
         ds, dq, dk, dv = _attn_bwd(q, k, v, scores, None, dctx, n_heads)
         dmask = MASK_PENALTY * jnp.sum(ds, axis=(1, 2))
@@ -284,8 +482,13 @@ def scored_attention_pallas(
     *,
     n_heads: int,
     emit_scores: bool = True,
+    bwd_impl: Optional[str] = None,
 ):
     """Drop-in for ops.attention.scored_attention (impl='pallas').
+
+    `bwd_impl`: 'pallas' (fused dS->dQ/dK/dV kernel, scores reused from the
+    forward's VMEM emission) or 'einsum' (XLA recompute path); None =
+    PALLAS_BACKWARD_DEFAULT.
 
     `emit_scores=False` selects the lean kernel for terminal blocks (no
     consumer for the score tensor): the scores HBM write is skipped, and its
@@ -306,7 +509,8 @@ def scored_attention_pallas(
     if mask is None:
         mask = jnp.ones((b, lkv), q.dtype)
     has_sprev = scores_prev is not None
-    fn = _make(n_heads, has_sprev, emit_scores)
+    fn = _make(n_heads, has_sprev, emit_scores,
+               PALLAS_BACKWARD_DEFAULT if bwd_impl is None else bwd_impl)
     args = ((q, k, v, mask.astype(q.dtype), scores_prev, c) if has_sprev
             else (q, k, v, mask.astype(q.dtype), c))
     out = fn(*args)

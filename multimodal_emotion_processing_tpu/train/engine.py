@@ -225,9 +225,9 @@ class EpochStats:
     train_loss: float
     valid_loss: float
     steps: int
-    samples: int  # dispatched rows (incl. the zero-weight padding of the
-    # final partial batch — counting exactly would force a per-step device
-    # fetch of sample_weight and serialize the prefetch pipeline)
+    samples: int  # REAL samples (zero-weight padding rows excluded, counted
+    # host-side from the numpy sample_weight before the device transfer —
+    # Trainer._iter's counter; no device fetch, prefetch pipeline unaffected)
     seconds: float
 
     @property
@@ -301,13 +301,29 @@ class Trainer:
 
         return NamedSharding(self.mesh, P(None, "data") if scan else P("data"))
 
-    def _iter(self, loader):
+    def _iter(self, loader, counter: Optional[dict] = None):
+        """`counter`: mutated with {"n": real samples, "rows": dispatched
+        rows} counted HOST-side from the numpy sample_weight before the
+        device transfer — exact without any device fetch (EpochStats.samples
+        previously counted zero-weight padding rows)."""
         it = iter(loader())
         scan = self.scan_steps > 1
         if scan:
             from ..data.loader import stack_batches
 
             it = stack_batches(it, self.scan_steps)
+        if counter is not None:
+            def counting(inner):
+                for b in inner:
+                    w = b.get("sample_weight")
+                    rows = int(np.prod(b["label"].shape[:2]) if scan
+                               else b["label"].shape[0])
+                    counter["rows"] += rows
+                    counter["n"] += (int(np.asarray(w).sum())
+                                     if w is not None else rows)
+                    yield b
+
+            it = counting(it)
         if self.prefetch:
             from ..data.loader import prefetch_to_device
 
@@ -367,13 +383,12 @@ class Trainer:
                 eval_fn = self.eval_step_scan if scan else self.eval_step
                 # losses stay on-device until epoch end — fetching per step
                 # would serialize host and chip and defeat the prefetch pipeline
-                losses, n_steps, n_samples = [], 0, 0
-                for batch in self._iter(train_loader):
+                losses, n_steps = [], 0
+                counter = {"n": 0, "rows": 0}
+                for batch in self._iter(train_loader, counter):
                     state, loss = train_fn(state, batch)
                     losses.append(loss)
                     n_steps += int(loss.shape[0]) if loss.ndim else 1
-                    n_samples += int(np.prod(batch["label"].shape[:2])
-                                     if scan else batch["label"].shape[0])
                 tr_loss = (float(sum(np.sum(x) for x in jax.device_get(losses)))
                            if losses else 0.0)
                 va_losses = [eval_fn(state.params, batch)
@@ -386,7 +401,7 @@ class Trainer:
             stats = EpochStats(
                 train_loss=tr_loss / max(n_steps, 1),
                 valid_loss=va_loss / max(va_steps, 1),
-                steps=n_steps, samples=n_samples,
+                steps=n_steps, samples=counter["n"],
                 seconds=time.perf_counter() - t0,
             )
             history.append(stats)

@@ -131,3 +131,31 @@ def test_latency_bench_helpers():
     t = latency.measure_torch("mosei_trans", members=2, reps=2)
     assert t is not None and t["p50_ms"] > 0
     assert latency.measure_torch("rencecps") is None
+
+
+def test_analytic_flops_vs_xla_cost_analysis():
+    """bench/flops.py analytic matmul counts vs XLA's own cost analysis:
+    analytic must be slightly BELOW (elementwise omitted) but within 15% for
+    every config — the MFU denominator is honest."""
+    import numpy as np
+
+    from multimodal_emotion_processing_tpu import configs
+    from multimodal_emotion_processing_tpu.bench import flops as fl
+    from multimodal_emotion_processing_tpu.data.synthetic import (
+        synthetic_dataset)
+    from multimodal_emotion_processing_tpu.models import build_model
+
+    for name in ("mosei_trans", "mosei_realformer", "rencecps", "ren_mme",
+                 "robot_demo"):
+        exp = configs.get(name)
+        m = exp.model
+        model = build_model(exp)
+        params = model.init(jax.random.PRNGKey(0))
+        s = synthetic_dataset(name, m, 2, 0)
+        batch = {k: np.stack([x[k] for x in s]) for k in s[0] if k != "label"}
+        fn = jax.jit(lambda p, b: model.apply(p, b))
+        cost = fn.lower(params, batch).compile().cost_analysis()
+        xla_per_sample = cost["flops"] / 2
+        ours = fl.forward_flops_per_sample(m)
+        ratio = ours / xla_per_sample
+        assert 0.85 < ratio <= 1.02, (name, ratio)

@@ -707,3 +707,16 @@ def test_joint_threshold_grid_reference_degenerate():
                                exp.emotion_names)
     assert [got["thresholds"][n] for n in exp.emotion_names] == \
         list(exp.thresholds)
+
+
+def test_epoch_stats_counts_real_samples_not_padding():
+    """EpochStats.samples excludes zero-weight padding rows (the final
+    partial batch pads to batch_size): 20 samples at batch 8 -> 20, not 24."""
+    exp = tiny_exp("rencecps")
+    model = build_model(exp)
+    trainer = eng.Trainer(model, exp.train)
+    samples = synthetic_dataset("rencecps", exp.model, 20, seed=0)
+    loader = lambda: iter(Batcher(samples, 8, shuffle=False)())
+    _, hist = trainer.fit(loader, loader, epochs=1)
+    assert hist[0].samples == 20
+    assert hist[0].steps == 3  # 8+8+4(padded) rows dispatched
