@@ -39,9 +39,25 @@ def make_batch(m, b, seed=0):
     }
 
 
+def _sync(x) -> float:
+    """HONEST device synchronization: fetch a scalar DERIVED from the result.
+
+    On this image's relay-tunneled chip, `jax.block_until_ready` has been
+    measured to return ~1000x EARLY on large programs (a k=128 scan whose
+    true completion — verified by fetching its losses — takes 1370 ms acks
+    in ~1-4 ms; round-3 probe, see ENGINEERING_NOTES).  A device_get cannot
+    lie: the bytes must exist.  Every timed window in this file ends by
+    fetching a scalar reduction of the window's last result."""
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
 def measure_jax(exp, batch, *, steps=30, warmup=3, reps=7, impl="xla"):
     """Best-of-`reps` measurement windows (the chip is shared through a
-    network relay on this image; contention makes single windows noisy)."""
+    network relay on this image; contention makes single windows noisy).
+    Windows end with a scalar fetch (_sync) — the only sync the relay
+    honors; its RTT is amortized over `steps` dispatches."""
     import jax
 
     from multimodal_emotion_processing_tpu.models import build_model
@@ -55,24 +71,24 @@ def measure_jax(exp, batch, *, steps=30, warmup=3, reps=7, impl="xla"):
 
     for _ in range(warmup):
         state, loss = train_step(state, dev_batch)
-    jax.block_until_ready(loss)
+    _sync(loss)
     train_sps = 0.0
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(steps):
             state, loss = train_step(state, dev_batch)
-        jax.block_until_ready(loss)
+        _sync(loss)
         train_sps = max(train_sps, bsz * steps / (time.perf_counter() - t0))
 
     predict = eng.make_predict_step(model, impl=impl)
     out = predict(state.params, dev_batch)
-    jax.block_until_ready(out)
+    _sync(out)
     infer_sps = 0.0
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(steps):
             out = predict(state.params, dev_batch)
-        jax.block_until_ready(out)
+        _sync(out)
         infer_sps = max(infer_sps, bsz * steps / (time.perf_counter() - t0))
     return train_sps, infer_sps
 
@@ -116,24 +132,24 @@ def measure_jax_scan(exp, *, k=64, steps=4, reps=7, impl="xla"):
     jax.block_until_ready(dev)
 
     state, losses = scan_train(state, dev)
-    jax.block_until_ready(losses)
+    _sync(losses)
     train_sps = 0.0
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(steps):
             state, losses = scan_train(state, dev)
-        jax.block_until_ready(losses)
+        _sync(losses)
         train_sps = max(train_sps, b * k * steps / (time.perf_counter() - t0))
 
     scan_predict = eng.make_scan_predict_step(model, impl=impl)
     out = scan_predict(state.params, dev)
-    jax.block_until_ready(out)
+    _sync(out)
     infer_sps = 0.0
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(steps):
             out = scan_predict(state.params, dev)
-        jax.block_until_ready(out)
+        _sync(out)
         infer_sps = max(infer_sps, b * k * steps / (time.perf_counter() - t0))
     return train_sps, infer_sps
 
@@ -162,14 +178,14 @@ def measure_jax_datafed(exp, *, n_samples=512, epochs=8, impl="xla"):
     # one warmup epoch compiles both the padded-final and full-batch shapes
     for batch in prefetch_to_device(iter(batcher())):
         state, loss = train_step(state, batch)
-    jax.block_until_ready(loss)
+    _sync(loss)
 
     window_sps = []
     for _ in range(epochs):
         t0 = time.perf_counter()
         for batch in prefetch_to_device(iter(batcher())):
             state, loss = train_step(state, batch)
-        jax.block_until_ready(loss)
+        _sync(loss)
         window_sps.append(len(samples) / (time.perf_counter() - t0))
     # best AND median: the relay wanders ~4x, and a single best-of scalar
     # made "weather vs regression" undecidable across rounds (VERDICT r2) —

@@ -12,6 +12,16 @@ import sys
 import time
 
 
+def _sync(x) -> float:
+    """Fetch a scalar derived from the result: the relay's block_until_ready
+    acks large programs early (bench.py _sync docstring); a device_get
+    cannot."""
+    import jax
+    import jax.numpy as jnp
+
+    return float(jnp.sum(jax.tree_util.tree_leaves(x)[0]))
+
+
 def synth_batch(name, m, b):
     from multimodal_emotion_processing_tpu.data.loader import Batcher
     from multimodal_emotion_processing_tpu.data.synthetic import synthetic_dataset
@@ -35,24 +45,24 @@ def measure(name, *, impl="xla", steps=20, reps=4, scan_k=32):
     tx, step = eng.make_train_step(model, exp.train, impl=impl)
     state = eng.init_state(model, tx, seed=0)
     state, loss = step(state, batch)
-    jax.block_until_ready(loss)
+    _sync(loss)
     train_sps = 0.0
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(steps):
             state, loss = step(state, batch)
-        jax.block_until_ready(loss)
+        _sync(loss)
         train_sps = max(train_sps, b * steps / (time.perf_counter() - t0))
 
     predict = eng.make_predict_step(model, impl=impl)
     out = predict(state.params, batch)
-    jax.block_until_ready(out)
+    _sync(out)
     infer_sps = 0.0
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(steps):
             out = predict(state.params, batch)
-        jax.block_until_ready(out)
+        _sync(out)
         infer_sps = max(infer_sps, b * steps / (time.perf_counter() - t0))
 
     # scan-chained path: scan_k distinct batches, scan_k steps per dispatch
@@ -63,24 +73,24 @@ def measure(name, *, impl="xla", steps=20, reps=4, scan_k=32):
     scan_tx, scan_step = eng.make_scan_train_step(model, exp.train, impl=impl)
     sstate = eng.init_state(model, scan_tx, seed=0)
     sstate, losses = scan_step(sstate, stacked)
-    jax.block_until_ready(losses)
+    _sync(losses)
     scan_train = 0.0
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(2):
             sstate, losses = scan_step(sstate, stacked)
-        jax.block_until_ready(losses)
+        _sync(losses)
         scan_train = max(scan_train, b * scan_k * 2 / (time.perf_counter() - t0))
 
     scan_predict = eng.make_scan_predict_step(model, impl=impl)
     outs = scan_predict(sstate.params, stacked)
-    jax.block_until_ready(outs)
+    _sync(outs)
     scan_infer = 0.0
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(2):
             outs = scan_predict(sstate.params, stacked)
-        jax.block_until_ready(outs)
+        _sync(outs)
         scan_infer = max(scan_infer, b * scan_k * 2 / (time.perf_counter() - t0))
 
     return {"config": name, "impl": impl, "batch": b,

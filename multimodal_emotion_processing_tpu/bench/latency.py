@@ -51,11 +51,12 @@ def measure_jax(config_name: str, *, members: int = 4, reps: int = 200):
 
     # compute-only: the batch-1 sample already on device
     dev_batch = jax.device_put(sp._batch1(sample))
-    jax.block_until_ready(sp._run(sp.stacked, dev_batch))
+    np.asarray(sp._run(sp.stacked, dev_batch)[1])  # fetch: the
+    # relay's block_until_ready can ack early; the probs bytes cannot lie
     compute = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(sp._run(sp.stacked, dev_batch))
+        np.asarray(sp._run(sp.stacked, dev_batch)[1])
         compute.append(time.perf_counter() - t0)
 
     # end-to-end: fresh host sample each call (H2D included)

@@ -331,7 +331,8 @@ def fit_fully_compiled(
     # after every epoch)
     state = set_learning_rate(final[0], final[1])
     best_params, best_epoch = final[7], final[8]
-    jax.block_until_ready(va)
+    float(jnp.sum(va))  # scalar fetch: the relay acks
+    # block_until_ready early on large programs (bench.py _sync)
     dt = time.perf_counter() - t0
     tr, va, active = (np.asarray(jax.device_get(x)) for x in (tr, va, active))
     n_live = int(active.sum())

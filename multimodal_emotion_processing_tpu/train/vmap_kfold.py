@@ -542,7 +542,8 @@ def run_kfold_fully_compiled(
     states = _set_fold_lrs(final[0], final[1][0])
     bp, bl, bep, savedany, last_va = final[3:8]
     stopped_v = final[2]
-    jax.block_until_ready(va)
+    float(jnp.sum(va))  # scalar fetch: the relay acks
+    # block_until_ready early on large programs (bench.py _sync)
     dt = time.perf_counter() - t0
     tr, va, fold_active, bl, bep, savedany, stopped_v, last_va = (
         np.asarray(jax.device_get(x))
