@@ -74,10 +74,10 @@ class TrainConfig:
     clip_mask_loss: bool = False
     seed: int = 0
     # 'float32' or 'bfloat16': mixed precision — fp32 master weights and
-    # optimizer state, forward/backward in bf16.  Measured on v5e at these
-    # model sizes bf16 storage is ~6x SLOWER (1.2 -> 7.7 ms/step: relayout +
-    # convert overhead dominates, and f32 matmuls already run bf16 passes on
-    # the MXU), so float32 is the default; the knob matters for scaled-up
+    # optimizer state, forward/backward in bf16.  HONEST round-3 measure
+    # (scalar-fetch sync): bf16 is ~7% FASTER on the flagship train step
+    # (10.4 vs 11.1 ms); float32 stays the default for exact torch-parity
+    # semantics, and the knob matters more for scaled-up
     # dims where HBM bandwidth dominates.
     compute_dtype: str = "float32"
 

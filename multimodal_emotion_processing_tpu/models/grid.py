@@ -101,7 +101,14 @@ def init_grid_head(key, cfg, collect: str, out: str):
 # NOTE: read at TRACE time — flipping them does not invalidate already-jitted
 # callers (jax caches compiled programs); toggle before the first call, or
 # call model.apply unjitted, when cross-checking paths.
-MERGED_FAST_PATH = True
+#
+# MERGED default flipped to False in round 3: the "+25%" win recorded for
+# the merged-minus path was a relay sync artifact (block_until_ready acks
+# early — ENGINEERING_NOTES "measurement-integrity finding"); honestly
+# synced, interleaved A/B measurement shows merged is 0.82x of unrolled on
+# the flagship train step (14.9 vs 12.3 ms/step median).  The path remains
+# correct (parity-tested) and selectable.
+MERGED_FAST_PATH = False
 # realformer stream stacking DEFAULT (used when apply_grid's `stacked` arg is
 # None): ~11% SLOWER on the TRAIN step (per-step weight restacking + 5-D
 # einsum backward overhead) but ~60% FASTER at inference (8 interleaved

@@ -13,15 +13,15 @@ the emitted (masked) scores — no extra residuals beyond the forward's own
 inputs/outputs are stored — and the incoming gradient w.r.t. the emitted
 scores (from the next block's c·S term) is folded in exactly.
 
-Measured on TPU v5e (B=64, H=6, D=96, flagship config): with the adaptive
-multi-sample grid blocks (_pick_block_b) the fused kernel runs the full
-18-block train step at parity-to-slightly-faster vs the XLA-fused path
-(1.20-1.44 ms vs 1.31-1.55 ms/step across runs, within shared-chip noise) and
-~2x faster on the largest isolated stream when scores ride along
-(Lq=Lkv=200 with S_prev: 26-27 us vs 51 us/call).  A naive one-sample-per-grid-
-step version was 6x SLOWER than XLA — kernel-launch amortization is the whole
-game at these shapes.  impl='xla' stays the default (robust under XLA's own
-fusion); select impl='pallas' per call/model where shapes warrant it.
+Measured on TPU v5e (B=64, H=6, D=96, flagship config), HONEST round-3
+re-measure with scalar-fetch sync (the round-2 sub-ms "parity-to-faster"
+rows were relay early-ack artifacts — ENGINEERING_NOTES "measurement-
+integrity finding"): the fused kernel LOSES to the XLA-fused einsum path —
+train 12.7 vs 11.1 ms/step (0.87x), infer 6.7 vs 4.2 ms/batch (0.64x).
+XLA tiles these small-dim matmuls across its own fusion better than the
+per-sample-block kernel pipeline does.  impl='xla' is the default; the
+kernels remain parity-tested and selectable per call/model for shapes
+where a VMEM-resident S chain wins.
 
 `mask=None` and `scores_prev=None` are canonicalized to all-ones / zeros: the
 math is bit-identical (penalty −1e8·(1−1)=0; c·0=0) and one specialization

@@ -416,13 +416,13 @@ def _run_experiment(
             order = np.argsort(member_losses)[:2]
             members = [members[i] for i in order]
             weights = [0.6, 0.4]
-        # inference-only ensembles: the stacked realformer grid measured
-        # +21% (robot B=64, padded-unequal) / +8% (realformer B=16) infer
-        # throughput on v5e round 3 — default it on for realformer blocks
+        # NOTE round 3: an early block_until_ready-timed measurement showed
+        # stacked-grid inference "+21%" and it was briefly defaulted here;
+        # honest scalar-fetch sync shows stacked is SLOWER at batch
+        # inference (robot B=64 -26%, realformer B=16 -4%) — default stays
+        # the unrolled path, `Ensemble(stacked=True)` remains selectable
         ens = Ensemble(model, members, weights=weights, combine=combine,
-                       impl=impl,
-                       stacked=True if (exp.model.block == "realformer"
-                                        and impl == "xla") else None)
+                       impl=impl)
         # eval loaders: no shuffle, no R-Drop duplication (Ren-MME/run.py:427-449)
         test_loader = Batcher(test_samples, exp.train.batch_size, shuffle=False)
         logits = ens.predict_all(test_loader)
