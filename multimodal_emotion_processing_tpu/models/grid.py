@@ -110,11 +110,11 @@ def init_grid_head(key, cfg, collect: str, out: str):
 # correct (parity-tested) and selectable.
 MERGED_FAST_PATH = False
 # realformer stream stacking DEFAULT (used when apply_grid's `stacked` arg is
-# None): ~11% SLOWER on the TRAIN step (per-step weight restacking + 5-D
-# einsum backward overhead) but ~60% FASTER at inference (8 interleaved
-# windows, round 2: infer median 300k vs 183k samples/s; train 48k vs 54k;
-# combined train+infer a wash).  Off by default (train-optimal); serving
-# passes stacked=True per call (thread-safe) — see StreamingPredictor.
+# None): honest round-3 re-measure (scalar-fetch sync) shows stacked is
+# slower BOTH ways at these shapes — train −11%, batch-infer robot −26% /
+# realformer −4% (the round-2 "+60% infer" ranking was submission-side).
+# Off by default everywhere; `stacked=True` stays selectable per call
+# (thread-safe static arg) for shapes where 3 fat chains beat 9 thin ones.
 REALFORMER_STACKED = False
 
 
@@ -141,8 +141,10 @@ def _apply_grid_minus_merged(p, cfg, src, masks, *, rng, train):
     {l, v, a} keys — ONE merged QKᵀ against concat[l; v; a] replaces three
     matmuls, softmax/AV stay per segment (each stream normalizes over its own
     keys), and the per-stream epilogues (proj, minus, LayerNorm) run as
-    stacked batched matmuls.  Exact same math as the unrolled path; measured
-    ~25% faster on the flagship train step (v5e).
+    stacked batched matmuls.  Exact same math as the unrolled path; the
+    round-2 "~25% faster" reading was a submission-side artifact — honest
+    round-3 A/B has merged at 0.82x of unrolled (off by default, selectable
+    via MERGED_FAST_PATH).
     """
     from ..ops.attention import MASK_PENALTY, merge_heads, split_heads
 

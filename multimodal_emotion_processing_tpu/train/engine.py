@@ -133,8 +133,10 @@ def make_train_step(model, tcfg, *, impl: str = "xla", donate: bool = True,
     per-leaf optimizer kernels collapse into a handful.  Crucially the ravel
     happens AFTER autodiff (per-leaf value_and_grad, then flatten grads +
     params for the update): differentiating THROUGH unravel compiled
-    pathologically on this backend (8.2 ms/step), while post-grad ravel
-    measured 0.40 ms/step vs 1.29 ms per-leaf on v5e — a 3.2x step speedup.
+    pathologically on this backend (8.2 ms/step).  The round-2 "0.40 vs
+    1.29 ms/step" win was a submission-side artifact; honest round-3 A/B is
+    a wash on wall-clock, but the fused update still submits ~100 fewer
+    buffer arguments per dispatch — kept as default.
     The sharded/TP path (parallel/mesh) requires fused=False (per-leaf
     sharding specs on the optimizer state).
     """
