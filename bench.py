@@ -40,17 +40,12 @@ def make_batch(m, b, seed=0):
 
 
 def _sync(x) -> float:
-    """HONEST device synchronization: fetch a scalar DERIVED from the result.
+    """HONEST device synchronization — the shared helper; see
+    multimodal_emotion_processing_tpu/utils/sync.py for why
+    block_until_ready cannot be trusted on this image."""
+    from multimodal_emotion_processing_tpu.utils.sync import fetch_scalar
 
-    On this image's relay-tunneled chip, `jax.block_until_ready` has been
-    measured to return ~1000x EARLY on large programs (a k=128 scan whose
-    true completion — verified by fetching its losses — takes 1370 ms acks
-    in ~1-4 ms; round-3 probe, see ENGINEERING_NOTES).  A device_get cannot
-    lie: the bytes must exist.  Every timed window in this file ends by
-    fetching a scalar reduction of the window's last result."""
-    import jax.numpy as jnp
-
-    return float(jnp.sum(x))
+    return fetch_scalar(x)
 
 
 def measure_jax(exp, batch, *, steps=30, warmup=3, reps=7, impl="xla"):
@@ -397,11 +392,21 @@ def main():
     # candidates are excluded from the headline and flagged.
     implausible = [name for name, tr in cand_train.items()
                    if tr is not None and _fl.mfu(tr, f_tr, peak) > 1.0]
+    all_candidates = dict(candidates)
     for name in implausible:
         log(f"headline candidate {name!r} implies "
             f"{_fl.mfu(cand_train[name], f_tr, peak):.1f}x chip peak FLOP/s "
             "— measurement artifact, excluded from headline")
         candidates.pop(name, None)
+    if not candidates:
+        # every path read implausible (relay-wide sync failure): the one-line
+        # artifact contract still holds — emit the least-implausible candidate,
+        # flagged, rather than crashing with no stdout JSON at all
+        least = min((n for n in cand_train if cand_train[n] is not None),
+                    key=lambda n: _fl.mfu(cand_train[n], f_tr, peak))
+        log(f"ALL headline candidates implausible — emitting {least!r} "
+            "flagged; treat this run's value as untrusted")
+        candidates[least] = all_candidates[least]
     impl = max(candidates, key=candidates.get)
     ours = candidates[impl]
     base = combined(torch_train, torch_infer, b)

@@ -14,12 +14,10 @@ import time
 
 def _sync(x) -> float:
     """Fetch a scalar derived from the result: the relay's block_until_ready
-    acks large programs early (bench.py _sync docstring); a device_get
-    cannot."""
-    import jax
-    import jax.numpy as jnp
+    acks large programs early (utils/sync.py); a device_get cannot."""
+    from multimodal_emotion_processing_tpu.utils.sync import fetch_scalar
 
-    return float(jnp.sum(jax.tree_util.tree_leaves(x)[0]))
+    return fetch_scalar(x)
 
 
 def synth_batch(name, m, b):

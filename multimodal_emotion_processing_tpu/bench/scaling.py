@@ -1,0 +1,121 @@
+"""MFU scaling sweep: where does this design sit vs the hardware ceiling?
+
+The reference operates at ONE model size (dim 96, sequences <=275 — its
+scripts hard-code the dims, e.g. cmu-mosei/run.py:27-42), where any
+framework is dispatch/small-matmul-bound: our honest flagship MFU is ~2%
+because a (64x200)x(96x96) matmul underfills the v5e's 128x128 MXU lanes,
+not because the step wastes work.  This sweep scales the SAME flagship
+architecture (9-stream minus grid + concat_trans head) through
+production-sized dims/sequences and reports honest train-step MFU at each
+point, in f32 and bf16 — the evidence that the design reaches a real
+fraction of peak once shapes can feed the MXU, and the measurement that
+locates where the pallas kernels start to earn their keep.
+
+    python -m multimodal_emotion_processing_tpu.bench.scaling [--points ref,s256,...]
+
+One JSON line per (point, dtype) on stdout; diagnostics on stderr.  Every
+window ends with a scalar device_get (utils/sync.py — block_until_ready
+lies on this image's relay).  Points run smallest-first so an OOM or relay
+stall late in the sweep still leaves the earlier lines emitted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+
+
+# (name, dim, n_heads, l_len, v_len, a_len, batch): the flagship mosei_trans
+# architecture scaled.  Feature dims (l_dim/v_dim/a_dim) stay at the
+# reference's raw-modality sizes — scaling the LEARNED dims is the realistic
+# axis (a bigger encoder over the same features).
+POINTS = {
+    "ref": dict(dim=96, n_heads=6, l_len=20, v_len=100, a_len=200, batch=64),
+    "s256": dict(dim=256, n_heads=8, l_len=64, v_len=128, a_len=256, batch=64),
+    "s512": dict(dim=512, n_heads=8, l_len=128, v_len=256, a_len=512, batch=32),
+    "s1024": dict(dim=1024, n_heads=16, l_len=128, v_len=256, a_len=512, batch=16),
+}
+
+
+def _point_config(spec):
+    from multimodal_emotion_processing_tpu import configs
+
+    exp = configs.get("mosei_trans")
+    m = dataclasses.replace(
+        exp.model, dim=spec["dim"], n_heads=spec["n_heads"],
+        l_len=spec["l_len"], v_len=spec["v_len"], a_len=spec["a_len"])
+    t = dataclasses.replace(exp.train, batch_size=spec["batch"])
+    return dataclasses.replace(exp, model=m, train=t)
+
+
+def measure_point(name, spec, *, dtype="float32", impl="xla",
+                  steps=10, reps=4):
+    import jax
+    import numpy as np
+
+    from multimodal_emotion_processing_tpu.bench import flops as fl
+    from multimodal_emotion_processing_tpu.data.loader import Batcher
+    from multimodal_emotion_processing_tpu.data.synthetic import synthetic_dataset
+    from multimodal_emotion_processing_tpu.models import build_model
+    from multimodal_emotion_processing_tpu.train import engine as eng
+    from multimodal_emotion_processing_tpu.utils.sync import fetch_scalar
+
+    exp = _point_config(spec)
+    exp = dataclasses.replace(
+        exp, train=dataclasses.replace(exp.train, compute_dtype=dtype))
+    b = exp.train.batch_size
+    model = build_model(exp)
+    samples = synthetic_dataset("mosei_trans", exp.model, b, seed=0)
+    batch = jax.device_put(
+        next(iter(Batcher(samples, b, shuffle=False, pad_final=False)())))
+    tx, step = eng.make_train_step(model, exp.train, impl=impl)
+    state = eng.init_state(model, tx, seed=0)
+    t0 = time.perf_counter()
+    state, loss = step(state, batch)
+    fetch_scalar(loss)
+    compile_s = time.perf_counter() - t0
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, loss = step(state, batch)
+        fetch_scalar(loss)
+        best = max(best, b * steps / (time.perf_counter() - t0))
+    f_tr = fl.train_flops_per_sample(exp.model)
+    return {
+        "point": name, "impl": impl, "dtype": dtype, "batch": b,
+        "dim": spec["dim"], "lens": [spec["l_len"], spec["v_len"], spec["a_len"]],
+        "train_sps": round(best, 1),
+        "ms_per_step": round(1e3 * b / best, 2),
+        "train_gflops_per_sample": round(f_tr / 1e9, 2),
+        "achieved_tflops": round(best * f_tr / 1e12, 2),
+        "mfu": round(fl.mfu(best, f_tr), 4),
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def main():
+    names = list(POINTS)
+    impls = ["xla"]
+    for arg in sys.argv[1:]:
+        if arg.startswith("--points="):
+            names = arg.split("=", 1)[1].split(",")
+        elif arg.startswith("--impl="):
+            impls = arg.split("=", 1)[1].split(",")
+    for name in names:
+        for impl in impls:
+            for dtype in ("float32", "bfloat16"):
+                try:
+                    row = measure_point(name, POINTS[name], dtype=dtype,
+                                        impl=impl)
+                except Exception as e:  # OOM / relay stall: emit what we have
+                    print(f"point {name}/{impl}/{dtype} failed: {e!r}",
+                          file=sys.stderr, flush=True)
+                    continue
+                print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -78,7 +78,9 @@ def build_parser():
     sv.add_argument("--impl", choices=["xla", "pallas", "cp"], default="xla")
     sv.add_argument("--stacked-grid", action="store_true",
                     help="stacked realformer grid for the inference program "
-                         "(~+64%% measured on the realformer families; "
+                         "(measured SLOWER at reference shapes under honest "
+                         "sync — robot -26%%, realformer -4%%; selectable for "
+                         "shapes where 3 fat chains beat 9 thin ones; "
                          "unequal lengths pad to max; no-op for minus blocks)")
 
     ex = sub.add_parser("export", help="AOT-export the serving predictor "

@@ -35,8 +35,9 @@ class Ensemble:
         else:  # 'sum' (Ren-MME)
             self.weights = jnp.ones((self.k,), jnp.float32)
 
-        # `stacked`: inference-only programs measured ~+64% with the stacked
-        # realformer grid (models/grid.apply_grid) — per-trace static arg
+        # `stacked`: stacked realformer grid (models/grid.apply_grid) —
+        # per-trace static arg; measured slower at reference shapes under
+        # honest sync (ENGINEERING_NOTES), kept selectable
         def member_logits(params, batch):
             return model.apply(params, batch, train=False, impl=impl,
                                stacked=stacked)

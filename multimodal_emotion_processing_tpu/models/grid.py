@@ -360,8 +360,15 @@ def apply_grid(
     masks = {"l": l_mask, "v": v_mask, "a": a_mask}
     use_stacked = REALFORMER_STACKED if stacked is None else stacked
     fast = None
-    if MERGED_FAST_PATH and impl == "xla":
-        if cfg.block == "minus" and cfg.n_layers == 1:
+    if impl == "xla":
+        # NOTE: the two fast paths are gated INDEPENDENTLY — the merged minus
+        # grid by the MERGED_FAST_PATH module default, the stacked realformer
+        # by its own per-call `stacked` argument.  (A round-3 regression
+        # nested the stacked branch under `if MERGED_FAST_PATH and ...`, so
+        # flipping the merged default off silently dead-coded every stacked
+        # entry point; kept separate + invocation-probed by
+        # tests/test_models.py::test_stacked_path_actually_invoked.)
+        if MERGED_FAST_PATH and cfg.block == "minus" and cfg.n_layers == 1:
             # per-layer vs final collect coincide at one layer
             fast = _apply_grid_minus_merged(p, cfg, src, masks,
                                             rng=rngs[1], train=train)

@@ -57,9 +57,11 @@ class StreamingPredictor:
     def __init__(self, model, params_list: Sequence, offsets: Sequence[float],
                  *, impl: str = "xla", stacked_grid: bool = False):
         """`stacked_grid`: trace the ensemble forward with the stacked
-        realformer grid path (models/grid.apply_grid stacked=True) —
-        inference-only programs measured ~+64% on the realformer family
-        (unequal lengths are padded to the max and sliced back, so robot_demo
+        realformer grid path (models/grid.apply_grid stacked=True).  Measured
+        SLOWER at reference shapes under honest sync (robot -26%, realformer
+        -4% batch infer; batch-1 p50 unchanged, relay-RTT-bound) — kept
+        selectable for shapes where 3 fat chains beat 9 thin ones (unequal
+        lengths are padded to the max and sliced back, so robot_demo
         qualifies too; a no-op for non-realformer block types)."""
         self.model = model
         self.k = len(params_list)

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.sync import fetch_scalar
 from . import schedule
 from .engine import (EpochStats, _make_step_fn, batch_loss, init_state,
                      make_optimizer, set_learning_rate)
@@ -331,8 +332,8 @@ def fit_fully_compiled(
     # after every epoch)
     state = set_learning_rate(final[0], final[1])
     best_params, best_epoch = final[7], final[8]
-    float(jnp.sum(va))  # scalar fetch: the relay acks
-    # block_until_ready early on large programs (bench.py _sync)
+    fetch_scalar(va)  # honest sync: the relay acks block_until_ready
+    # early on large programs (utils/sync.py)
     dt = time.perf_counter() - t0
     tr, va, active = (np.asarray(jax.device_get(x)) for x in (tr, va, active))
     n_live = int(active.sum())

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.sync import fetch_scalar
 from . import schedule
 from .checkpoint import CheckpointStore
 from .engine import EpochStats, TrainState, batch_loss, make_optimizer
@@ -542,8 +543,8 @@ def run_kfold_fully_compiled(
     states = _set_fold_lrs(final[0], final[1][0])
     bp, bl, bep, savedany, last_va = final[3:8]
     stopped_v = final[2]
-    float(jnp.sum(va))  # scalar fetch: the relay acks
-    # block_until_ready early on large programs (bench.py _sync)
+    fetch_scalar(va)  # honest sync: the relay acks block_until_ready
+    # early on large programs (utils/sync.py)
     dt = time.perf_counter() - t0
     tr, va, fold_active, bl, bep, savedany, stopped_v, last_va = (
         np.asarray(jax.device_get(x))

@@ -182,13 +182,14 @@ def test_merged_fast_path_matches_unrolled():
         model = build_model(exp)
         params = model.init(jax.random.PRNGKey(0))
         batch = make_pair_batch(exp.model, b=3, rng=np.random.default_rng(11))
+        orig = gridmod.MERGED_FAST_PATH
         try:
             gridmod.MERGED_FAST_PATH = True
             fast = np.asarray(model.apply(params, batch))
             gridmod.MERGED_FAST_PATH = False
             slow = np.asarray(model.apply(params, batch))
         finally:
-            gridmod.MERGED_FAST_PATH = True
+            gridmod.MERGED_FAST_PATH = orig
         np.testing.assert_allclose(fast, slow, rtol=2e-5, atol=2e-5,
                                    err_msg=name)
 
@@ -246,6 +247,28 @@ def test_realformer_stacked_padded_unequal_lengths():
     slow = np.asarray(model.apply(params, batch, stacked=False))
     assert np.isfinite(fast).all()
     np.testing.assert_allclose(fast, slow, rtol=3e-5, atol=3e-5)
+
+
+def test_stacked_path_actually_invoked(monkeypatch):
+    """Regression for the round-3 dead-code bug: the stacked branch was
+    nested under `if MERGED_FAST_PATH ...`, so flipping the merged default
+    off made every `stacked=True` entry point a silent no-op (and the parity
+    tests above vacuous).  Probe that the stacked implementation actually
+    runs when requested — independent of the merged-minus default."""
+    import multimodal_emotion_processing_tpu.models.grid as gridmod
+
+    calls = []
+    real = gridmod._apply_grid_realformer_stacked
+    monkeypatch.setattr(
+        gridmod, "_apply_grid_realformer_stacked",
+        lambda *a, **k: (calls.append(1), real(*a, **k))[1])
+    exp = tiny("mosei_realformer")
+    model = build_model(exp)
+    params = model.init(jax.random.PRNGKey(1))
+    batch = make_pair_batch(exp.model, b=2, p=exp.model.p_len)
+    assert gridmod.MERGED_FAST_PATH is False  # the default that dead-coded it
+    model.apply(params, batch, stacked=True)
+    assert calls, "stacked=True never reached _apply_grid_realformer_stacked"
 
 
 def test_stacked_flag_is_per_call_not_global():
