@@ -98,6 +98,25 @@ def _make_fwd_kernel(n_heads: int, block_b: int, has_sprev: bool, emit: bool):
 
 _VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under ~16 MB/core
 
+# The compiler's scoped-VMEM hard cap is ~16 MB/core; a kernel whose ONE-sample
+# working set exceeds it cannot run at any block size.  Estimate calibrated on
+# the observed failure (dim 1024, 16 heads, 512x512 f32 lean block: scoped
+# allocation 19.16 MB vs 16 MB limit) and on the largest working points
+# (s512 f32 / s1024 bf16 estimate 11.5 MB): pipeline double-buffering doubles
+# the i/o blocks; softmax temporaries stay f32.
+_SCOPED_VMEM_LIMIT = 15 * 1024 * 1024
+
+
+def _one_sample_vmem_bytes(lq, lkv, d, h, has_sprev, emit, itemsize) -> int:
+    pad = lambda n: -(-n // 128) * 128
+    io = (2 * lq * pad(d) + 2 * lkv * pad(d)) * itemsize   # q,ctx + k,v
+    if has_sprev:
+        io += h * lq * pad(lkv) * 4                        # scores are f32
+    if emit:
+        io += h * lq * pad(lkv) * 4
+    temps = 3 * lq * pad(lkv) * 4                          # s, p, neg
+    return 2 * io + temps
+
 
 def _pick_block_b(b, lq, lkv, d, h):
     """Largest divisor of b whose working set fits the VMEM budget."""
@@ -504,8 +523,18 @@ def scored_attention_pallas(
 
         return scored_attention(q, k, v, mask, scores_prev, c,
                                 n_heads=n_heads, impl="xla")
-    b, lq, _ = q.shape
+    b, lq, d = q.shape
     lkv = k.shape[1]
+    if _one_sample_vmem_bytes(lq, lkv, d, n_heads,
+                              scores_prev is not None, emit_scores,
+                              jnp.dtype(q.dtype).itemsize) > _SCOPED_VMEM_LIMIT:
+        # even one sample per grid step cannot fit scoped VMEM (e.g. the
+        # f32 dim-1024 16-head 512x512 scaling point) — XLA's tiled einsum
+        # path handles any size; fall back rather than fail to compile
+        from .attention import scored_attention
+
+        return scored_attention(q, k, v, mask, scores_prev, c,
+                                n_heads=n_heads, impl="xla")
     if mask is None:
         mask = jnp.ones((b, lkv), q.dtype)
     has_sprev = scores_prev is not None

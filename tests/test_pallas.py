@@ -293,3 +293,45 @@ def test_fused_backward_kernel_matches_einsum(with_prev, emit):
     for i, (a, b) in enumerate(zip(g_e, g_p)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-5, atol=2e-5, err_msg=f"arg {i}")
+
+
+def test_vmem_fit_predicate_calibration():
+    """_one_sample_vmem_bytes must separate the observed compile-OOM point
+    (f32 dim-1024 16-head 512x512 lean: scoped alloc 19.16 MB > 16 MB limit)
+    from the largest shapes that are known to compile (s512 f32, s1024 bf16
+    scaling points) — the calibration that backs the einsum fallback."""
+    from multimodal_emotion_processing_tpu.ops.pallas_attention import (
+        _SCOPED_VMEM_LIMIT, _one_sample_vmem_bytes)
+
+    # the failing point: must be rejected
+    assert _one_sample_vmem_bytes(512, 512, 1024, 16, False, False, 4) \
+        > _SCOPED_VMEM_LIMIT
+    # known-good points: must be accepted
+    assert _one_sample_vmem_bytes(512, 512, 512, 8, False, False, 4) \
+        <= _SCOPED_VMEM_LIMIT          # s512 f32
+    assert _one_sample_vmem_bytes(512, 512, 1024, 16, False, False, 2) \
+        <= _SCOPED_VMEM_LIMIT          # s1024 bf16
+    assert _one_sample_vmem_bytes(200, 200, 96, 6, True, True, 4) \
+        <= _SCOPED_VMEM_LIMIT          # flagship largest stream, emit+sprev
+
+
+def test_vmem_overflow_falls_back_to_einsum():
+    """Shapes whose ONE-sample VMEM working set exceeds the scoped limit must
+    run (via the XLA einsum fallback) instead of failing to compile, and
+    match the xla path exactly."""
+    rng = np.random.default_rng(23)
+    b, lq, lkv, d, h = 1, 512, 512, 1024, 16  # the observed compile-OOM shape
+    from multimodal_emotion_processing_tpu.ops import pallas_attention as pa
+
+    assert pa._one_sample_vmem_bytes(lq, lkv, d, h, False, False, 4) \
+        > pa._SCOPED_VMEM_LIMIT
+    q = jnp.asarray(rng.standard_normal((b, lq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, lkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, lkv, d)), jnp.float32)
+    mask = jnp.ones((b, lkv), jnp.float32)
+    c = jnp.asarray([0.3], jnp.float32)
+    ctx_p, _ = pa.scored_attention_pallas(q, k, v, mask, None, c, n_heads=h,
+                                          emit_scores=False)
+    ctx_x, _ = scored_attention(q, k, v, mask, None, c, n_heads=h, impl="xla")
+    np.testing.assert_allclose(np.asarray(ctx_p), np.asarray(ctx_x),
+                               rtol=1e-6, atol=1e-6)
