@@ -159,3 +159,22 @@ def test_analytic_flops_vs_xla_cost_analysis():
         ours = fl.forward_flops_per_sample(m)
         ratio = ours / xla_per_sample
         assert 0.85 < ratio <= 1.02, (name, ratio)
+
+
+def test_scaling_bench_point_smoke(monkeypatch):
+    """bench/scaling.py measure_point end-to-end on a tiny point (CPU): the
+    JSON row must carry the fields the docs tables quote, with sane values."""
+    from multimodal_emotion_processing_tpu.bench import scaling
+
+    spec = dict(dim=16, n_heads=2, l_len=4, v_len=6, a_len=8, batch=4)
+    row = scaling.measure_point("tiny", spec, dtype="float32", steps=2, reps=1)
+    for key in ("train_sps", "ms_per_step", "mfu", "achieved_tflops",
+                "train_gflops_per_sample", "compile_s"):
+        assert key in row, key
+    assert row["train_sps"] > 0
+    assert 0 <= row["mfu"] < 1
+    assert row["point"] == "tiny" and row["batch"] == 4
+    # bf16 path traces too (dtype threads through TrainConfig.compute_dtype)
+    row16 = scaling.measure_point("tiny", spec, dtype="bfloat16",
+                                  steps=2, reps=1)
+    assert row16["dtype"] == "bfloat16" and row16["train_sps"] > 0
