@@ -181,15 +181,16 @@ def _run_experiment(
     12-49x step throughput at these model sizes (train/engine.py).
 
     `device_resident`: stage the whole dataset in HBM once and run each
-    k-fold epoch as ONE dispatch (train/vmap_kfold.py; 31x steady-state
-    epochs measured).  Requires the vmapped driver and a static sample set —
-    falls back with a log line when pair-level folds or the robot per-epoch
-    substitution make that impossible.
+    k-fold epoch as ONE dispatch (train/vmap_kfold.py; honest A/B/C
+    2026-08-17: 2.3x the host-fed driver on the full flagship experiment).
+    Requires the vmapped driver and a static sample set — falls back with a
+    log line when pair-level folds or the robot per-epoch substitution make
+    that impossible.
 
     `one_dispatch`: go further — the ENTIRE k-fold experiment (all folds x
     all epochs, per-fold plateau LR + early stop + best tracking in-graph)
-    as a single dispatch (run_kfold_fully_compiled; measured 6x over the
-    per-epoch device-resident driver on v5e, identical trajectory).  Same
+    as a single dispatch (run_kfold_fully_compiled; honest A/B/C: 4.5x the
+    host-fed driver, 2.0x device-resident, identical trajectory).  Same
     applicability conditions as device_resident; resume is not supported
     (there are no epoch boundaries to resume at); store members persist
     params-only at the end.
