@@ -4,8 +4,10 @@ The honest flagship step is ~10 ms at B=64 (~2% MFU).  This script times a
 nested sequence of sub-programs on the real chip (honest scalar-fetch sync,
 utils/sync.py) and differences them into a cost ledger:
 
-    forward            = predict program
-    +loss              = value (batch_loss, no grad)
+    forward            = predict program (inference forward)
+    +loss              = train-mode batch_loss, no grad (includes dropout
+                         masks and the R-Drop KL term where the config has
+                         them, so it nests inside the train step's forward)
     +backward          = value_and_grad (no update)
     +clip+optimizer    = the full train step
 
@@ -25,24 +27,14 @@ from __future__ import annotations
 
 import json
 import sys
-import time
 
 
 def _measure(fn, sync_of, *args, steps=20, reps=4):
-    """Best-of-reps ms per call; fn must return device values, sync_of picks
-    the leaf to fetch."""
-    from multimodal_emotion_processing_tpu.utils.sync import fetch_scalar
+    """Best-of-reps ms per call (the shared utils/timing.py window)."""
+    from multimodal_emotion_processing_tpu.utils.timing import best_window_ms
 
-    out = fn(*args)
-    fetch_scalar(sync_of(out))
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            out = fn(*args)
-        fetch_scalar(sync_of(out))
-        best = min(best, (time.perf_counter() - t0) / steps)
-    return best * 1e3
+    return best_window_ms(fn, *args, steps=steps, reps=reps,
+                          sync_pick=sync_of)
 
 
 def main():
@@ -72,10 +64,12 @@ def main():
     predict = eng.make_predict_step(model)
 
     def value_fn(params, batch):
-        # train=False/rng=None: identical math to the train forward for the
-        # flagship (dropout 0.0) — the delta ledger needs same-program nesting
-        return eng.batch_loss(model, exp.train, params, batch, None, False,
-                              "xla")
+        # train=True + fixed rng: the value/grad programs must nest inside
+        # the TRAIN step's forward (same dropout masks and R-Drop KL term
+        # where the config has them) or those costs would land in the wrong
+        # delta; a fixed key is fine — cost, not trajectory, is measured
+        return eng.batch_loss(model, exp.train, params, batch,
+                              jax.random.PRNGKey(0), True, "xla")
 
     value = jax.jit(value_fn)
     grad = jax.jit(jax.value_and_grad(value_fn))
@@ -106,8 +100,12 @@ def main():
     # per-stream attention microbench: the 9 (query_len, kv_len) pairs the
     # grid actually runs, each as its own jitted program at full batch
     lens = {"l": m.l_len, "v": m.v_len, "a": m.a_len}
-    att = jax.jit(lambda q, k, v, mask, c: scored_attention(
+    att0 = jax.jit(lambda q, k, v, mask, c: scored_attention(
         q, k, v, mask, None, c, n_heads=m.n_heads)[0])
+    # layers >= 1 additionally read a (B,H,Lq,Lkv) residual-score input —
+    # time that variant separately so multi-layer configs are not understated
+    att1 = jax.jit(lambda q, k, v, mask, sp, c: scored_attention(
+        q, k, v, mask, sp, c, n_heads=m.n_heads)[0])
     rng = np.random.default_rng(0)
     total_att = 0.0
     per_stream = {}
@@ -125,9 +123,16 @@ def main():
                             jnp.float32)
             mask = jnp.ones((eff_b, lkv), jnp.float32)
             c = jnp.asarray([0.3], jnp.float32)
-            ms = _measure(att, lambda o: o, q, k, v, mask, c)
+            ms = _measure(att0, lambda o: o, q, k, v, mask, c)
             per_stream[f"{qm}<-{kvm}"] = round(ms, 3)
-            total_att += ms * m.n_layers * grids
+            total_att += ms * grids
+            if m.n_layers > 1:
+                sp = jnp.asarray(
+                    rng.standard_normal((eff_b, m.n_heads, lq, lkv)),
+                    jnp.float32)
+                ms1 = _measure(att1, lambda o: o, q, k, v, mask, sp, c)
+                per_stream[f"{qm}<-{kvm}+sprev"] = round(ms1, 3)
+                total_att += ms1 * (m.n_layers - 1) * grids
     rows["attention_only_sum_ms"] = round(total_att, 2)
     rows["attention_streams_ms"] = per_stream
 
@@ -144,9 +149,13 @@ def main():
         "attention_only_sum_ms": d["attention_only_sum_ms"],
         "attention_streams_ms": d["attention_streams_ms"],
         "note": ("each phase timed identically, so the shared relay dispatch "
-                 "overhead cancels in the *_delta_ms terms; "
-                 "attention_only_sum_ms is 9 standalone dispatches x layers "
-                 "x grids and so carries 9x that overhead — an upper bound"),
+                 "overhead cancels in the *_delta_ms terms; loss_delta_ms "
+                 "also carries dropout-mask and R-Drop-KL cost for configs "
+                 "that have them (the train-mode forward vs the inference "
+                 "forward); attention_only_sum_ms sums standalone dispatches "
+                 "(sprev-free for layer 0, +sprev variants for deeper "
+                 "layers) x grids and carries per-dispatch overhead many "
+                 "times — an upper bound"),
     }
     print(json.dumps(ledger), flush=True)
 

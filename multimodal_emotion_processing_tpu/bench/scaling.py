@@ -61,6 +61,7 @@ def measure_point(name, spec, *, dtype="float32", impl="xla",
     from multimodal_emotion_processing_tpu.models import build_model
     from multimodal_emotion_processing_tpu.train import engine as eng
     from multimodal_emotion_processing_tpu.utils.sync import fetch_scalar
+    from multimodal_emotion_processing_tpu.utils.timing import best_window_ms
 
     exp = _point_config(spec)
     exp = dataclasses.replace(
@@ -76,13 +77,14 @@ def measure_point(name, spec, *, dtype="float32", impl="xla",
     state, loss = step(state, batch)
     fetch_scalar(loss)
     compile_s = time.perf_counter() - t0
-    best = 0.0
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            state, loss = step(state, batch)
-        fetch_scalar(loss)
-        best = max(best, b * steps / (time.perf_counter() - t0))
+
+    def one(batch):
+        nonlocal state
+        state, loss = step(state, batch)
+        return loss
+
+    ms = best_window_ms(one, batch, steps=steps, reps=reps)
+    best = b * 1e3 / ms
     f_tr = fl.train_flops_per_sample(exp.model)
     return {
         "point": name, "impl": impl, "dtype": dtype, "batch": b,

@@ -99,28 +99,56 @@ def _make_fwd_kernel(n_heads: int, block_b: int, has_sprev: bool, emit: bool):
 _VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under ~16 MB/core
 
 # The compiler's scoped-VMEM hard cap is ~16 MB/core; a kernel whose ONE-sample
-# working set exceeds it cannot run at any block size.  Estimate calibrated on
+# working set exceeds it cannot run at any block size.  Estimates calibrated on
 # the observed failure (dim 1024, 16 heads, 512x512 f32 lean block: scoped
 # allocation 19.16 MB vs 16 MB limit) and on the largest working points
 # (s512 f32 / s1024 bf16 estimate 11.5 MB): pipeline double-buffering doubles
 # the i/o blocks; softmax temporaries stay f32.
+#
+# NOTE two working-set models coexist on purpose:
+#   * _one_sample_vmem_bytes{,_bwd} (here) — the FIT PREDICATES: conditioned
+#    on has_sprev/emit, x2 double-buffer factor, temps term, 15 MB limit;
+#    used to decide pallas-vs-einsum-fallback.
+#   * _pick_block_b{,_bwd} — the BLOCK-SIZE heuristics: unconditional score
+#    terms, no x2, 10 MB budget.  Their constants are what every recorded
+#    kernel measurement was taken with; re-deriving them from the predicates
+#    would silently change block sizes (and the measurement record), so they
+#    keep their empirically-validated form.  A kernel layout change must
+#    update BOTH models.
 _SCOPED_VMEM_LIMIT = 15 * 1024 * 1024
 
 
+def _pad128(n: int) -> int:
+    return -(-n // 128) * 128
+
+
 def _one_sample_vmem_bytes(lq, lkv, d, h, has_sprev, emit, itemsize) -> int:
-    pad = lambda n: -(-n // 128) * 128
-    io = (2 * lq * pad(d) + 2 * lkv * pad(d)) * itemsize   # q,ctx + k,v
+    """Forward-kernel one-sample working set (fit predicate)."""
+    io = (2 * lq * _pad128(d) + 2 * lkv * _pad128(d)) * itemsize  # q,ctx + k,v
     if has_sprev:
-        io += h * lq * pad(lkv) * 4                        # scores are f32
+        io += h * lq * _pad128(lkv) * 4                    # scores are f32
     if emit:
-        io += h * lq * pad(lkv) * 4
-    temps = 3 * lq * pad(lkv) * 4                          # s, p, neg
+        io += h * lq * _pad128(lkv) * 4
+    temps = 3 * lq * _pad128(lkv) * 4                      # s, p, neg
+    return 2 * io + temps
+
+
+def _one_sample_vmem_bytes_bwd(lq, lkv, d, h, has_sprev, emit,
+                               itemsize) -> int:
+    """Backward-kernel one-sample working set (fit predicate): dq/dk/dv/dctx
+    double the d-sized i/o, and the score-sized tensor set grows to
+    {s, ds} + {sprev, dsprev} + {scores-in, dscores-in} (mirrors
+    _pick_block_b_bwd's n_score accounting)."""
+    io = (4 * lq * _pad128(d) + 4 * lkv * _pad128(d)) * itemsize
+    n_score = 2 + (2 if has_sprev else 0) + (2 if emit else 0)
+    io += n_score * h * lq * _pad128(lkv) * 4
+    temps = 3 * lq * _pad128(lkv) * 4
     return 2 * io + temps
 
 
 def _pick_block_b(b, lq, lkv, d, h):
     """Largest divisor of b whose working set fits the VMEM budget."""
-    pad = lambda n: -(-n // 128) * 128
+    pad = _pad128
     per_sample = 4 * (lq * pad(d) * 2 + 2 * lkv * pad(d)      # q,ctx,k,v
                       + 2 * h * lq * pad(lkv))                # sprev, scores
     cap = max(1, _VMEM_BUDGET // max(per_sample, 1))
@@ -260,7 +288,7 @@ def _make_bwd_kernel(n_heads: int, block_b: int, has_sprev: bool, emit: bool):
 
 def _pick_block_b_bwd(b, lq, lkv, d, h, has_sprev, emit):
     """Backward working set ~2-3x forward (dq/dk/dv/dctx + ds/dsprev)."""
-    pad = lambda n: -(-n // 128) * 128
+    pad = _pad128
     n_score = 2 + (2 if has_sprev else 0) + (2 if emit else 0)
     per_sample = 4 * (4 * lq * pad(d) + 4 * lkv * pad(d)
                       + n_score * h * lq * pad(lkv))
@@ -525,9 +553,10 @@ def scored_attention_pallas(
                                 n_heads=n_heads, impl="xla")
     b, lq, d = q.shape
     lkv = k.shape[1]
-    if _one_sample_vmem_bytes(lq, lkv, d, n_heads,
-                              scores_prev is not None, emit_scores,
-                              jnp.dtype(q.dtype).itemsize) > _SCOPED_VMEM_LIMIT:
+    has_sprev = scores_prev is not None
+    itemsize = jnp.dtype(q.dtype).itemsize
+    if _one_sample_vmem_bytes(lq, lkv, d, n_heads, has_sprev, emit_scores,
+                              itemsize) > _SCOPED_VMEM_LIMIT:
         # even one sample per grid step cannot fit scoped VMEM (e.g. the
         # f32 dim-1024 16-head 512x512 scaling point) — XLA's tiled einsum
         # path handles any size; fall back rather than fail to compile
@@ -537,9 +566,15 @@ def scored_attention_pallas(
                                 n_heads=n_heads, impl="xla")
     if mask is None:
         mask = jnp.ones((b, lkv), q.dtype)
-    has_sprev = scores_prev is not None
-    fn = _make(n_heads, has_sprev, emit_scores,
-               PALLAS_BACKWARD_DEFAULT if bwd_impl is None else bwd_impl)
+    bwd = PALLAS_BACKWARD_DEFAULT if bwd_impl is None else bwd_impl
+    if bwd == "pallas" and _one_sample_vmem_bytes_bwd(
+            lq, lkv, d, n_heads, has_sprev, emit_scores,
+            itemsize) > _SCOPED_VMEM_LIMIT:
+        # the fused backward's score-sized cotangent set can overflow scoped
+        # VMEM on shapes whose FORWARD still fits (e.g. 512x512 d=512 f32);
+        # keep the pallas forward but take the einsum VJP for this shape
+        bwd = "einsum"
+    fn = _make(n_heads, has_sprev, emit_scores, bwd)
     args = ((q, k, v, mask.astype(q.dtype), scores_prev, c) if has_sprev
             else (q, k, v, mask.astype(q.dtype), c))
     out = fn(*args)

@@ -335,3 +335,40 @@ def test_vmem_overflow_falls_back_to_einsum():
     ctx_x, _ = scored_attention(q, k, v, mask, None, c, n_heads=h, impl="xla")
     np.testing.assert_allclose(np.asarray(ctx_p), np.asarray(ctx_x),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_bwd_vmem_overflow_downgrades_to_einsum(monkeypatch):
+    """A shape whose FORWARD fits scoped VMEM but whose fused BACKWARD would
+    not (512x512 d=512 f32 lean) must silently downgrade bwd_impl='pallas'
+    to the einsum VJP instead of failing the backward compile."""
+    from multimodal_emotion_processing_tpu.ops import pallas_attention as pa
+
+    lq = lkv = 512
+    d, h = 512, 8
+    assert pa._one_sample_vmem_bytes(lq, lkv, d, h, False, False, 4) \
+        <= pa._SCOPED_VMEM_LIMIT
+    assert pa._one_sample_vmem_bytes_bwd(lq, lkv, d, h, False, False, 4) \
+        > pa._SCOPED_VMEM_LIMIT
+
+    seen = {}
+    real = pa._make
+
+    def spy(n_heads, has_sprev, emit, bwd_impl="einsum"):
+        seen["bwd"] = bwd_impl
+        return real(n_heads, has_sprev, emit, bwd_impl)
+
+    monkeypatch.setattr(pa, "_make", spy)
+    rng = np.random.default_rng(31)
+    q = jnp.asarray(rng.standard_normal((1, lq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, lkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, lkv, d)), jnp.float32)
+    mask = jnp.ones((1, lkv), jnp.float32)
+    c = jnp.asarray([0.3], jnp.float32)
+    pa.scored_attention_pallas(q, k, v, mask, None, c, n_heads=h,
+                               emit_scores=False, bwd_impl="pallas")
+    assert seen["bwd"] == "einsum"
+    # a small shape keeps the explicit request
+    q2, k2, v2 = (x[:, :8, :96] for x in (q, k, v))
+    pa.scored_attention_pallas(q2, k2, v2, mask[:, :8], None, c, n_heads=2,
+                               emit_scores=False, bwd_impl="pallas")
+    assert seen["bwd"] == "pallas"
