@@ -92,9 +92,11 @@ def measure_jax_scan(exp, *, k=64, steps=4, reps=7, impl="xla"):
     """Scan-chained throughput: k train (resp. predict) steps per dispatch
     via lax.scan over k DISTINCT device-staged batches — identical math and
     RNG chain to the per-dispatch path (tests/test_train_eval.py), just
-    1/k-th the dispatches.  At these model sizes a step is ~microseconds of
-    device work, so per-dispatch overhead dominates the plain path (measured
-    12-49x on v5e; the relay adds ~0.4 ms/dispatch on this image)."""
+    1/k-th the dispatches.  Honest value: the relay's ~1.2 ms/dispatch
+    overhead is amortized away (~1.1-1.2x at flagship shapes whose step is
+    ~9 ms of real device work; up to ~3.8x for the tiny rencecps step —
+    bench/all_configs.py).  The round-2 "12-49x" readings were
+    block_until_ready early-ack artifacts (ENGINEERING_NOTES)."""
     import jax
 
     from multimodal_emotion_processing_tpu.models import build_model
@@ -275,10 +277,11 @@ def main():
     jax_train, jax_infer = measure_jax(exp, batch)
     log(f"jax[xla]: train {jax_train:.1f} samples/s, infer {jax_infer:.1f} samples/s")
 
-    # K-sweep on this chip keeps improving through k=512 (train 26.8M -> 59.2M
-    # samples/s measured 128 -> 512; the ~1 us/step device work makes even
-    # one dispatch per 512 steps overhead-visible).  Measure a mid and a high
-    # k; staging happens on device via jax.random, outside the timed windows,
+    # Scan-chaining amortizes the ~1.2 ms/dispatch relay overhead over k
+    # steps — honestly a ~1.1-1.2x win at flagship shapes (the step itself is
+    # ~9 ms of real device work; the pre-round-3 "26-59M samples/s" K-sweep
+    # readings were early-ack artifacts).  Measure a mid and a high k;
+    # staging happens on device via jax.random, outside the timed windows,
     # and fits HBM with room to spare.
     scan_k = 128
     scan_train, scan_infer = measure_jax_scan(exp, k=scan_k)
@@ -308,6 +311,25 @@ def main():
             log(f"data-fed phase failed: {e!r}")
     else:
         log("data-fed phase skipped: budget")
+
+    # bf16 compute (f32 master weights): diagnostics-only — the headline
+    # stays on the f32 torch-parity path, but the knob's honest value on
+    # this chip is worth recording every run (scaling sweep: +7% at these
+    # dims, +9-19% at production dims)
+    bf16_train = bf16_infer = None
+    if elapsed() < budget_s * 0.8:
+        try:
+            import dataclasses
+
+            exp16 = dataclasses.replace(exp, train=dataclasses.replace(
+                exp.train, compute_dtype="bfloat16"))
+            bf16_train, bf16_infer = measure_jax(exp16, batch, reps=4)
+            log(f"jax[xla,bf16]: train {bf16_train:.1f} samples/s, "
+                f"infer {bf16_infer:.1f} samples/s")
+        except Exception as e:
+            log(f"bf16 phase failed: {e!r}")
+    else:
+        log("bf16 phase skipped: budget")
 
     # pallas runs LAST: on this image's relay-tunneled chip, executing a
     # pallas program degrades subsequent fresh-H2D step throughput ~10x
@@ -435,6 +457,9 @@ def main():
                        "forward_parity_relative": parity_rel},
             "datafed_train_sps": {"best": r1(datafed),
                                   "median": r1(datafed_med)},
+            "bf16": {"train_sps": r1(bf16_train),
+                     "infer_sps": r1(bf16_infer),
+                     "mfu": mfu_of(bf16_train, bf16_infer)},
             "flops": {"per_sample_forward": f_inf,
                       "per_sample_train": f_tr,
                       "peak_tflops": peak},

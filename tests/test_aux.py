@@ -178,3 +178,30 @@ def test_scaling_bench_point_smoke(monkeypatch):
     row16 = scaling.measure_point("tiny", spec, dtype="bfloat16",
                                   steps=2, reps=1)
     assert row16["dtype"] == "bfloat16" and row16["train_sps"] > 0
+
+
+def test_best_window_ms_contract():
+    """utils/timing.best_window_ms: returns best ms/call, fills all_windows,
+    applies sync_pick, and runs the warm-up call before any timed window."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_emotion_processing_tpu.utils.timing import best_window_ms
+
+    calls = []
+
+    @jax.jit
+    def f(x):
+        return x * 2.0
+
+    def wrapped(x):
+        calls.append(1)
+        return {"out": f(x)}
+
+    windows = []
+    x = jnp.ones((4,))
+    ms = best_window_ms(wrapped, x, steps=3, reps=2,
+                        sync_pick=lambda o: o["out"], all_windows=windows)
+    assert ms > 0
+    assert len(windows) == 2 and min(windows) == ms
+    assert len(calls) == 1 + 2 * 3  # warm-up + reps x steps
