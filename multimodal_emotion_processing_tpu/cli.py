@@ -43,17 +43,19 @@ def build_parser():
                              "(jax_debug_nans)")
         sp.add_argument("--scan-steps", type=int, default=1,
                         help="chain N train/eval steps into one dispatch "
-                             "(lax.scan; identical math, amortizes dispatch "
-                             "overhead — 12-49x measured at these sizes)")
+                             "(lax.scan; identical math, amortizes the per-"
+                             "dispatch overhead — honest win 1.1-3.8x by "
+                             "config; the old 12-49x was a sync artifact)")
         sp.add_argument("--device-resident", action="store_true",
                         help="stage the dataset in HBM once and run each "
-                             "k-fold epoch as one dispatch (31x steady-state "
-                             "epochs measured; needs the corpus to fit HBM)")
+                             "k-fold epoch as one dispatch (honest A/B: 2.3x "
+                             "the host-fed experiment; needs the corpus to "
+                             "fit HBM)")
         sp.add_argument("--one-dispatch", action="store_true",
                         help="the ENTIRE k-fold experiment (all folds x all "
                              "epochs, plateau LR + early stop in-graph) as a "
-                             "single dispatch (6x measured over per-epoch "
-                             "dispatches; same HBM requirements)")
+                             "single dispatch (honest A/B: 4.5x the host-fed "
+                             "experiment; same HBM requirements)")
         sp.add_argument("--resume", action="store_true",
                         help="resume an interrupted k-fold run from its "
                              "per-epoch checkpoints (requires --checkpoint-dir)")

@@ -131,10 +131,10 @@ def stack_batches(
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Group k consecutive batches into ONE stacked pytree with a leading
     (k, ...) axis — the input format of engine.make_scan_train_step /
-    make_scan_predict_step, which run k steps per dispatch.  At these model
-    sizes a step is microseconds of device work, so per-dispatch overhead
-    dominates wall-clock (measured 12-49x train throughput on v5e chaining
-    16-64 steps).  Batches must be shape-uniform (Batcher's pad_final
+    make_scan_predict_step, which run k steps per dispatch — amortizing the
+    per-dispatch overhead for an honest 1.1-3.8x by config
+    (bench/all_configs.py; the round-2 "12-49x" reading was a sync
+    artifact).  Batches must be shape-uniform (Batcher's pad_final
     default); the epoch tail is emitted as a smaller stack (its own compiled
     program — the tail size is constant across epochs, so exactly one extra
     compile)."""

@@ -258,9 +258,10 @@ class Trainer:
 
         `scan_steps`: chain this many train/eval steps into one dispatch via
         lax.scan over host-stacked batch groups (data/loader.stack_batches).
-        Identical math and RNG chain to scan_steps=1 (tested); at these model
-        sizes steps are dispatch-bound, so chaining measured 12-49x train
-        throughput on v5e.  The epoch tail (< scan_steps batches) runs as a
+        Identical math and RNG chain to scan_steps=1 (tested); chaining
+        amortizes the per-dispatch overhead — honest win 1.1-3.8x by config
+        (bench/all_configs.py; the round-2 "12-49x" was a sync artifact).
+        The epoch tail (< scan_steps batches) runs as a
         smaller stack — one extra compile, constant across epochs.
 
         `mesh`: a jax.sharding.Mesh ('data'[, 'model'] axes) — batches are

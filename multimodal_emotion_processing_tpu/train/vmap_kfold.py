@@ -125,8 +125,10 @@ def run_kfold_vmapped(
     `device_resident`: stage the full (uniform-shape) sample array in HBM
     once and run each epoch as ONE dispatch per phase — per-fold device-side
     shuffles, HBM-gathered (k, B, ...) batches, scan over steps (see
-    train/device_epochs.py for the single-model version and the measured
-    31× steady-state epoch win).  `make_loaders` is unused in this mode;
+    train/device_epochs.py for the single-model version; measured 31×
+    steady-state epochs on this relay-attached host whose H2D bounds host
+    feeding — honest whole-experiment win 2.3×).  `make_loaders` is unused
+    in this mode;
     train epochs drop the final partial batch (static shapes), eval covers
     every sample via zero-weight padding.  `duplicate` reproduces the R-Drop
     adjacent duplication the host Batcher would apply (train AND valid, as
