@@ -21,6 +21,11 @@ import sys
 
 def build_parser():
     p = argparse.ArgumentParser(prog="multimodal_emotion_processing_tpu")
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation-cache directory (also "
+                        "via MEP_COMPILE_CACHE): later launches reuse "
+                        "compiled train/eval programs instead of paying the "
+                        "20-40s first-compile again")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def common(sp):
@@ -308,6 +313,12 @@ def cmd_export_torch(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from .utils.compile_cache import cache_dir_from_env, enable_compilation_cache
+
+    cache_dir = args.compile_cache or cache_dir_from_env()
+    if cache_dir:
+        resolved = enable_compilation_cache(cache_dir)
+        print(f"(persistent compilation cache: {resolved})", file=sys.stderr)
     if args.cmd == "configs":
         cmd_configs()
     elif args.cmd == "train":

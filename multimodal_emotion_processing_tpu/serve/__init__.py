@@ -1,2 +1,3 @@
 from .stream import StreamingPredictor  # noqa: F401
 from .export import export_predictor, load_predictor  # noqa: F401
+from .server import BatchingServer  # noqa: F401

@@ -205,3 +205,54 @@ def test_best_window_ms_contract():
     assert ms > 0
     assert len(windows) == 2 and min(windows) == ms
     assert len(calls) == 1 + 2 * 3  # warm-up + reps x steps
+
+
+def test_compile_cache_switch(tmp_path):
+    """enable_compilation_cache points JAX's persistent cache at the given
+    dir (created on demand) and compiled executables land there; prior
+    config values are restored afterwards so other tests keep the
+    conftest's cache."""
+    from multimodal_emotion_processing_tpu.utils.compile_cache import (
+        cache_dir_from_env, enable_compilation_cache)
+
+    saved = {k: jax.config._read(k) for k in (
+        "jax_enable_compilation_cache", "jax_compilation_cache_dir",
+        "jax_persistent_cache_min_compile_time_secs",
+        "jax_persistent_cache_min_entry_size_bytes")}
+    target = tmp_path / "cache" / "nested"
+    try:
+        resolved = enable_compilation_cache(
+            str(target), min_compile_secs=0.0, min_entry_bytes=-1)
+        assert os.path.isdir(resolved)
+
+        import jax.numpy as jnp
+
+        # a fresh program shape so this test itself triggers a compile
+        out = jax.jit(lambda x: (x @ x.T) * 3.0)(jnp.ones((13, 5)))
+        assert float(out.sum()) == 13 * 13 * 5 * 3.0
+        entries = [p for p in os.listdir(resolved)]
+        assert entries, "no cache entries written"
+    finally:
+        for k, v in saved.items():
+            jax.config.update(k, v)
+
+    assert cache_dir_from_env() is None or os.environ.get("MEP_COMPILE_CACHE")
+
+
+def test_cli_compile_cache_flag(tmp_path, monkeypatch, capsys):
+    """--compile-cache DIR on any CLI command enables the cache before the
+    command body runs (checked via the `configs` command, which compiles
+    nothing but still flows through main())."""
+    from multimodal_emotion_processing_tpu import cli
+
+    saved = {k: jax.config._read(k) for k in (
+        "jax_enable_compilation_cache", "jax_compilation_cache_dir")}
+    try:
+        cli.main(["--compile-cache", str(tmp_path / "c"), "configs"])
+        assert jax.config._read("jax_compilation_cache_dir") == str(tmp_path / "c")
+        assert os.path.isdir(str(tmp_path / "c"))
+    finally:
+        for k, v in saved.items():
+            jax.config.update(k, v)
+    out = capsys.readouterr().out
+    assert "mosei_trans" in out

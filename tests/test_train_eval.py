@@ -720,3 +720,74 @@ def test_epoch_stats_counts_real_samples_not_padding():
     _, hist = trainer.fit(loader, loader, epochs=1)
     assert hist[0].samples == 20
     assert hist[0].steps == 3  # 8+8+4(padded) rows dispatched
+
+
+# ---------------------------------------------------------------------------
+# dynamic micro-batching server (serve/server.py)
+# ---------------------------------------------------------------------------
+
+def test_batching_server_groups_and_matches_batch1():
+    """Concurrent submits group into one bucketed batch; every result is
+    numerically identical to the batch-1 StreamingPredictor for the same
+    members (no cross-row op in any model family)."""
+    from multimodal_emotion_processing_tpu.serve import BatchingServer
+
+    exp = tiny_exp("robot_demo")
+    model = build_model(exp)
+    ps = [model.init(jax.random.PRNGKey(i)) for i in range(3)]
+    samples = synthetic_dataset("robot_demo", exp.model, 5, seed=11)
+    sp = StreamingPredictor(model, ps, offsets=exp.thresholds)
+
+    with BatchingServer(model, ps, offsets=exp.thresholds,
+                        max_delay_ms=500.0, buckets=(1, 2, 4, 8)) as srv:
+        srv.warmup(samples[0])
+        futs = [srv.submit(s) for s in samples]
+        results = [f.result(timeout=60) for f in futs]
+        stats = srv.stats()
+
+    assert stats["requests"] == 5
+    # all five were in flight before the collector's delay expired -> one
+    # batch, padded up to the bucket of 8
+    assert stats["batches"] == 1 and stats["by_bucket"][8] == 1
+    assert stats["padded_rows"] == 3
+    for s, (pred, probs) in zip(samples, results):
+        ref_pred, ref_probs = sp.predict(s)
+        np.testing.assert_allclose(pred, ref_pred, atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(probs, ref_probs, atol=1e-5, rtol=1e-5)
+        assert ((probs >= 0) & (probs <= 1)).all()
+
+
+def test_batching_server_single_request_and_shutdown():
+    from multimodal_emotion_processing_tpu.serve import BatchingServer
+
+    exp = tiny_exp("robot_demo")
+    model = build_model(exp)
+    ps = [model.init(jax.random.PRNGKey(i)) for i in range(2)]
+    sample = synthetic_dataset("robot_demo", exp.model, 1, seed=3)[0]
+
+    srv = BatchingServer(model, ps, offsets=exp.thresholds, max_delay_ms=1.0)
+    pred, probs = srv.predict(sample)
+    assert pred.shape == (7,) and probs.shape == (6,)
+    assert srv.stats()["by_bucket"][1] == 1
+    srv.close()
+    with pytest.raises(RuntimeError):
+        srv.submit(sample)
+
+
+def test_batching_server_delivers_errors_and_survives():
+    """A malformed request resolves its future with the exception; the
+    collector thread stays alive for later good requests."""
+    from multimodal_emotion_processing_tpu.serve import BatchingServer
+
+    exp = tiny_exp("robot_demo")
+    model = build_model(exp)
+    ps = [model.init(jax.random.PRNGKey(i)) for i in range(2)]
+    good = synthetic_dataset("robot_demo", exp.model, 1, seed=3)[0]
+    bad = {k: v[..., :2] if k == "l" else v for k, v in good.items()}
+
+    with BatchingServer(model, ps, offsets=exp.thresholds,
+                        max_delay_ms=1.0) as srv:
+        with pytest.raises(Exception):
+            srv.submit(bad).result(timeout=60)
+        pred, _ = srv.predict(good)
+        assert pred.shape == (7,)
