@@ -64,6 +64,12 @@ def build_parser():
         sp.add_argument("--resume", action="store_true",
                         help="resume an interrupted k-fold run from its "
                              "per-epoch checkpoints (requires --checkpoint-dir)")
+        sp.add_argument("--seeds-per-fold", type=int, default=1,
+                        help="train N independently-initialized models per "
+                             "fold and ensemble all k*N members (beyond the "
+                             "reference's one-seed-per-fold bagging; the "
+                             "vmapped drivers widen their model axis, so "
+                             "extra seeds share each training dispatch)")
         sp.add_argument("--dp", type=int, default=None,
                         help="data-parallel over N mesh devices: batches "
                              "sharded on the 'data' axis, gradients "
@@ -83,6 +89,18 @@ def build_parser():
     sv.add_argument("config", nargs="?", default="robot_demo")
     sv.add_argument("--checkpoint-dir", default=None)
     sv.add_argument("--impl", choices=["xla", "pallas", "cp"], default="xla")
+    sv.add_argument("--set", action="append", default=[], metavar="K=V",
+                    help="config override (must match the checkpoints' "
+                         "architecture when restoring members)")
+    sv.add_argument("--concurrent", type=int, default=0, metavar="N",
+                    help="drive N concurrent requests through the dynamic "
+                         "micro-batching server (serve/server.py) instead "
+                         "of one batch-1 sample; prints per-request "
+                         "emotions for the first request plus server "
+                         "batching stats and req/s")
+    sv.add_argument("--max-delay-ms", type=float, default=3.0,
+                    help="micro-batching window: how long the server waits "
+                         "for followers after the first queued request")
     sv.add_argument("--stacked-grid", action="store_true",
                     help="stacked realformer grid for the inference program "
                          "(measured SLOWER at reference shapes under honest "
@@ -94,6 +112,9 @@ def build_parser():
                         "(ensemble + calibrated sigmoid) to a StableHLO blob")
     ex.add_argument("config", nargs="?", default="robot_demo")
     ex.add_argument("--checkpoint-dir", default=None)
+    ex.add_argument("--set", action="append", default=[], metavar="K=V",
+                    help="config override (must match the checkpoints' "
+                         "architecture when restoring members)")
     ex.add_argument("--out", default="predictor.shlo")
     ex.add_argument("--platforms", default="tpu,cpu",
                     help="comma-separated export platforms")
@@ -174,7 +195,8 @@ def cmd_train(args, eval_only=False):
         scan_steps=getattr(args, "scan_steps", 1),
         device_resident=getattr(args, "device_resident", False),
         one_dispatch=getattr(args, "one_dispatch", False),
-        dp=getattr(args, "dp", None), tp=getattr(args, "tp", 1))
+        dp=getattr(args, "dp", None), tp=getattr(args, "tp", 1),
+        seeds_per_fold=getattr(args, "seeds_per_fold", 1))
     if result.report is not None:
         print(json.dumps(result.report, indent=2))
     if result.sweep is not None:
@@ -208,16 +230,45 @@ def cmd_serve(args):
     from .models import build_model
     from .serve import StreamingPredictor
 
-    exp = configs.get(args.config)
+    exp = configs.with_overrides(configs.get(args.config),
+                                 parse_overrides(getattr(args, "set", [])))
     model = build_model(exp)
     members = _load_members(args, model, "serving")
     from .ops.context_parallel import ensure_cp
+
+    import time
+
+    n_conc = getattr(args, "concurrent", 0)
+    if n_conc > 0:
+        from .serve import BatchingServer
+
+        samples = synthetic_dataset(args.config, exp.model, n_conc, seed=7)
+        with ensure_cp(args.impl), BatchingServer(
+                model, members, offsets=exp.thresholds, impl=args.impl,
+                stacked_grid=getattr(args, "stacked_grid", False),
+                max_delay_ms=getattr(args, "max_delay_ms", 3.0)) as srv:
+            srv.warmup(samples[0])
+            t0 = time.perf_counter()
+            futs = [srv.submit(s) for s in samples]
+            results = [f.result(timeout=600) for f in futs]
+            elapsed = time.perf_counter() - t0
+            stats = srv.stats()
+        off = len(exp.thresholds)
+        probs = results[0][1]
+        print("The emotion(s) is(are)  [request 1 of "
+              f"{len(results)} concurrent]")
+        for name, prob in zip(exp.emotion_names[:off], probs):
+            print(name, round(float(prob), 2))
+        print(f"({n_conc} requests in {elapsed * 1e3:.1f} ms = "
+              f"{n_conc / elapsed:.1f} req/s; batches={stats['batches']} "
+              f"by_bucket={ {b: c for b, c in stats['by_bucket'].items() if c} })",
+              file=sys.stderr)
+        return
 
     sp = StreamingPredictor(model, members, offsets=exp.thresholds,
                             impl=args.impl,
                             stacked_grid=getattr(args, "stacked_grid", False))
     sample = synthetic_dataset(args.config, exp.model, 1, seed=7)[0]
-    import time
 
     with ensure_cp(args.impl):  # --impl cp: bind a default mesh at trace time
         sp.warmup(sample)
@@ -237,7 +288,8 @@ def cmd_export(args):
     from .models import build_model
     from .serve import export_predictor
 
-    exp = configs.get(args.config)
+    exp = configs.with_overrides(configs.get(args.config),
+                                 parse_overrides(getattr(args, "set", [])))
     model = build_model(exp)
     members = _load_members(args, model, "exporting")
     sample = synthetic_dataset(args.config, exp.model, 1, seed=0)[0]

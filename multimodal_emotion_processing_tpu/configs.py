@@ -219,3 +219,16 @@ def get(name: str) -> ExperimentConfig:
     if name not in REGISTRY:
         raise KeyError(f"unknown config {name!r}; choose from {sorted(REGISTRY)}")
     return REGISTRY[name]()
+
+
+def with_overrides(exp: ExperimentConfig, overrides) -> ExperimentConfig:
+    """Apply a {'model': {...}, 'train': {...}} override dict (the CLI's
+    --set K=V pairs, cli.parse_overrides) to a config."""
+    if not overrides:
+        return exp
+    import dataclasses
+
+    return dataclasses.replace(
+        exp,
+        model=dataclasses.replace(exp.model, **overrides.get("model", {})),
+        train=dataclasses.replace(exp.train, **overrides.get("train", {})))

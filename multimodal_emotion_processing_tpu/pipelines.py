@@ -175,10 +175,19 @@ def _run_experiment(
     one_dispatch: bool = False,
     dp: Optional[int] = None,
     tp: int = 1,
+    seeds_per_fold: int = 1,
 ) -> PipelineResult:
     """`scan_steps`: chain this many train/eval steps into one dispatch
-    (lax.scan over host-stacked batch groups) — identical math, measured
-    12-49x step throughput at these model sizes (train/engine.py).
+    (lax.scan over host-stacked batch groups) — identical math; honest win
+    1.1-3.8x by config (the old 12-49x figure was a sync artifact —
+    train/engine.py).
+
+    `seeds_per_fold` (beyond-reference): train S independently-initialized
+    models per fold and ensemble all k*S members — member i trains fold
+    i % k with init seed tcfg.seed + i, so the first k members equal a
+    seeds_per_fold=1 run and extra seeds only grow the bagged ensemble.
+    Supported by every driver (the vmapped/device-resident/one-dispatch
+    paths widen their model axis; the sequential path loops members).
 
     `device_resident`: stage the whole dataset in HBM once and run each
     k-fold epoch as ONE dispatch (train/vmap_kfold.py; honest A/B/C
@@ -201,13 +210,7 @@ def _run_experiment(
     to single-device (tested to f32 tolerance); requires batch_size (x2 for
     R-Drop) divisible by dp.  dp=None, tp=1 = single-device (the reference's
     mode, cmu-mosei/run.py:18)."""
-    exp = configs.get(config_name)
-    if overrides:
-        exp = dataclasses.replace(
-            exp,
-            model=dataclasses.replace(exp.model, **overrides.get("model", {})),
-            train=dataclasses.replace(exp.train, **overrides.get("train", {})),
-        )
+    exp = configs.with_overrides(configs.get(config_name), overrides)
     model = build_model(exp)
 
     loader_ctx = None
@@ -376,7 +379,8 @@ def _run_experiment(
                     train_samples, model, exp.train, store=store,
                     name_prefix=config_name, epochs=epochs, impl=impl,
                     log_cb=log_cb, fold_size=exp.train.fold_size,
-                    duplicate=duplicate, mesh=mesh)
+                    duplicate=duplicate, mesh=mesh,
+                    seeds_per_fold=seeds_per_fold)
         else:
             states, hists, best_member_params, best_member_losses = \
                 run_kfold_vmapped(
@@ -384,14 +388,16 @@ def _run_experiment(
                     name_prefix=config_name, epochs=epochs, impl=impl,
                     log_cb=log_cb, fold_size=exp.train.fold_size,
                     scan_steps=scan_steps, device_resident=device_resident,
-                    duplicate=duplicate, mesh=mesh)
-        results = [(None, hists[i]) for i in range(exp.train.n_folds)]
+                    duplicate=duplicate, mesh=mesh,
+                    seeds_per_fold=seeds_per_fold)
+        results = [(None, hists[i]) for i in range(len(hists))]
     else:
         results = run_kfold(train_samples, make_loaders, model, exp.train,
                             store=store, name_prefix=config_name, epochs=epochs,
                             impl=impl, log_cb=log_cb,
                             fold_size=exp.train.fold_size, resume=resume,
-                            scan_steps=scan_steps, mesh=mesh, tp=(tp > 1))
+                            scan_steps=scan_steps, mesh=mesh, tp=(tp > 1),
+                            seeds_per_fold=seeds_per_fold)
 
     report = sweep = None
     if test_samples:

@@ -53,12 +53,18 @@ def run_kfold(
     scan_steps: int = 1,
     mesh=None,
     tp: bool = False,
+    seeds_per_fold: int = 1,
 ):
-    """Train tcfg.n_folds models.  `make_loaders(train_samples, valid_samples)`
-    -> (train_loader, valid_loader) zero-arg callables.
+    """Train tcfg.n_folds * seeds_per_fold models.
+    `make_loaders(train_samples, valid_samples)` -> (train_loader,
+    valid_loader) zero-arg callables.
 
-    Returns list of (final TrainState, history) per fold; best checkpoints go
-    to `store` under '{name_prefix}_{i+1}'.
+    Returns list of (final TrainState, history) per member; best checkpoints
+    go to `store` under '{name_prefix}_{i+1}'.  `seeds_per_fold`
+    (beyond-reference): member i trains fold i % tcfg.n_folds with init seed
+    tcfg.seed + i — the layout the vmapped driver uses, so the first
+    n_folds members are identical to a seeds_per_fold=1 run and extra seeds
+    only extend the bagged ensemble.
 
     With a store, every epoch also persists a resume point (full train state
     + plateau/early-stop schedule); `resume=True` restarts an interrupted
@@ -93,8 +99,11 @@ def run_kfold(
                        store.save_best(current["name"], state, epoch, vl))
         if store is not None else None,
         log_cb=(lambda e, s: log_cb(current["name"], e, s)) if log_cb else None)
-    for i, (valid_sl, train_ranges) in enumerate(
-            contiguous_folds(len(samples), tcfg.n_folds, fold_size)):
+    if seeds_per_fold < 1:
+        raise ValueError(f"seeds_per_fold must be >= 1, got {seeds_per_fold}")
+    folds = contiguous_folds(len(samples), tcfg.n_folds, fold_size)
+    for i in range(tcfg.n_folds * seeds_per_fold):
+        valid_sl, train_ranges = folds[i % tcfg.n_folds]
         name = f"{name_prefix}_{i + 1}"
         current["name"] = name
         if resume and store is not None and store.is_done(name):

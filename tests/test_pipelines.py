@@ -228,3 +228,34 @@ def test_run_experiment_dp_rejects_indivisible_batch():
     with pytest.raises(ValueError, match="divide"):
         run_experiment("mosei_trans", dp=3, synthetic_data=True, n_train=24,
                        n_test=8, epochs=1, quiet=True, overrides=_TINY_DP)
+
+
+def test_cli_serve_concurrent(capsys):
+    """`serve --concurrent N` routes through the micro-batching server: N
+    synthetic requests, emotions printed for the first, batching stats on
+    stderr.  --set shrinks the model so the random-member fallback is fast."""
+    from multimodal_emotion_processing_tpu.cli import main
+
+    sets = []
+    for k, v in ROBOT_OV["model"].items():
+        sets += ["--set", f"model.{k}={list(v) if isinstance(v, tuple) else v}"]
+    main(["serve", "robot_demo", "--concurrent", "5",
+          "--max-delay-ms", "200"] + sets)
+    captured = capsys.readouterr()
+    assert "request 1 of 5" in captured.out
+    for emo in ("happ", "sadn", "fear"):
+        assert emo in captured.out
+    assert "req/s" in captured.err and "by_bucket" in captured.err
+
+
+def test_run_experiment_seeds_per_fold(tmp_path):
+    """seeds_per_fold=2 through the pipeline: the store carries k*S members
+    and the ensemble report covers them all."""
+    res = run_experiment(
+        "rencecps", synthetic_data=True, n_train=48, n_test=16, epochs=2,
+        quiet=True, checkpoint_dir=str(tmp_path / "ck"), seeds_per_fold=2,
+        overrides={"model": {"dim": 16},
+                   "train": {"n_folds": 2, "batch_size": 8}})
+    assert len(res.store.best_members("rencecps")) == 4
+    assert len(res.fold_histories) == 4
+    assert res.report is not None and "macro_f1" in res.report

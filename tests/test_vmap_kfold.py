@@ -318,3 +318,94 @@ def test_fully_compiled_mesh_dp_matches_unsharded(tmp_path):
         for a, b in zip(hist0, hist1):
             np.testing.assert_allclose(b.valid_loss, a.valid_loss,
                                        rtol=2e-4, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# seeds_per_fold: S independently-initialized models per fold (m = k*S)
+# ---------------------------------------------------------------------------
+
+def _leaves(tree):
+    return [np.asarray(x) for x in jax.tree_util.tree_leaves(tree)]
+
+
+def test_seeds_per_fold_extends_members_host_fed():
+    """seeds_per_fold=2 over k=2: four members; the s=0 block (members 0,1)
+    reproduces the seeds_per_fold=1 run exactly (same folds, same batch
+    streams, same init seeds), members k.. are the same folds under new
+    seeds — genuinely different models."""
+    exp = _exp()
+    model = build_model(exp)
+    samples = synthetic_dataset("rencecps", exp.model, n=64, seed=5)
+
+    _, h1, b1, l1 = run_kfold_vmapped(samples, _loaders(exp), model,
+                                      exp.train, epochs=2, shuffle_seed=0)
+    _, h2, b2, l2 = run_kfold_vmapped(samples, _loaders(exp), model,
+                                      exp.train, epochs=2, shuffle_seed=0,
+                                      seeds_per_fold=2)
+    assert len(h2) == 4 and len(b2) == 4 and len(l2) == 4
+    for i in range(2):
+        assert len(h1[i]) == len(h2[i])
+        for a, b in zip(h1[i], h2[i]):
+            np.testing.assert_allclose(b.train_loss, a.train_loss,
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(b.valid_loss, a.valid_loss,
+                                       rtol=1e-5, atol=1e-6)
+        for x, y in zip(_leaves(b1[i]), _leaves(b2[i])):
+            np.testing.assert_allclose(y, x, rtol=1e-5, atol=1e-6)
+    # member 2 = fold 0 under a different seed: same data, different model
+    assert any(not np.allclose(x, y)
+               for x, y in zip(_leaves(b2[0]), _leaves(b2[2])))
+    # all four trained on finite losses
+    assert np.isfinite(l2).all()
+
+
+def test_seeds_per_fold_sequential_matches_layout(tmp_path):
+    """The sequential driver uses the same member->(fold, seed) layout, so
+    its first k members equal a seeds_per_fold=1 run and its store carries
+    k*S members."""
+    store = CheckpointStore(str(tmp_path))
+    exp = _exp()
+    model = build_model(exp)
+    samples = synthetic_dataset("rencecps", exp.model, n=64, seed=6)
+
+    seq1 = run_kfold(samples, _loaders(exp), model, exp.train, epochs=2,
+                     shuffle_seed=0)
+    seq2 = run_kfold(samples, _loaders(exp), model, exp.train, epochs=2,
+                     shuffle_seed=0, seeds_per_fold=2, store=store,
+                     name_prefix="sf")
+    assert len(seq2) == 4
+    for (s1, h1), (s2, h2) in zip(seq1, seq2[:2]):
+        for a, b in zip(h1, h2):
+            np.testing.assert_allclose(b.train_loss, a.train_loss,
+                                       rtol=1e-6, atol=1e-7)
+    assert store.best_members("sf") == ["sf_1", "sf_2", "sf_3", "sf_4"]
+
+
+def test_seeds_per_fold_device_resident_and_fully_compiled():
+    """Device-resident and one-dispatch drivers agree under a widened model
+    axis (shared RNG formulas), produce k*S distinct members, and each
+    replica draws its own shuffle stream."""
+    from multimodal_emotion_processing_tpu.train.vmap_kfold import (
+        run_kfold_fully_compiled)
+
+    exp = _exp()
+    model = build_model(exp)
+    samples = synthetic_dataset("rencecps", exp.model, n=44, seed=7)
+
+    _, dh, db, dl = run_kfold_vmapped(samples, None, model, exp.train,
+                                      epochs=2, shuffle_seed=0,
+                                      device_resident=True, seeds_per_fold=2)
+    _, fh, fb, fl = run_kfold_fully_compiled(samples, model, exp.train,
+                                             epochs=2, shuffle_seed=0,
+                                             seeds_per_fold=2)
+    assert len(dh) == 4 and len(fh) == 4
+    for h, rh in zip(fh, dh):
+        assert len(h) == len(rh)
+        for a, b in zip(h, rh):
+            np.testing.assert_allclose(a.train_loss, b.train_loss,
+                                       rtol=1e-6, atol=1e-7)
+            np.testing.assert_allclose(a.valid_loss, b.valid_loss,
+                                       rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(fl, dl, rtol=1e-6)
+    assert any(not np.allclose(x, y)
+               for x, y in zip(_leaves(db[0]), _leaves(db[2])))
