@@ -46,6 +46,12 @@ def enable_compilation_cache(path: str, *, min_compile_secs: float = 1.0,
                       float(min_compile_secs))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes",
                       int(min_entry_bytes))
+    # jax pins its cache backend to the directory current at the process's
+    # FIRST compile; without a reset, enabling/repointing after any earlier
+    # jit silently keeps writing to the old location (or nowhere)
+    from jax._src import compilation_cache as _cc
+
+    _cc.reset_cache()
     return path
 
 

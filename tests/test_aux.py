@@ -235,6 +235,9 @@ def test_compile_cache_switch(tmp_path):
     finally:
         for k, v in saved.items():
             jax.config.update(k, v)
+        from jax._src import compilation_cache as _cc
+
+        _cc.reset_cache()  # re-point later tests at the conftest cache
 
     assert cache_dir_from_env() is None or os.environ.get("MEP_COMPILE_CACHE")
 
@@ -254,6 +257,9 @@ def test_cli_compile_cache_flag(tmp_path, monkeypatch, capsys):
     finally:
         for k, v in saved.items():
             jax.config.update(k, v)
+        from jax._src import compilation_cache as _cc
+
+        _cc.reset_cache()
     out = capsys.readouterr().out
     assert "mosei_trans" in out
 
