@@ -312,13 +312,8 @@ def _run_experiment(
             _log(f"[{config_name}] unequal contiguous folds ({sorted(widths)});"
                  " using the sequential k-fold driver", quiet)
             vmap_folds = False
-    if resume:
-        if store is None:
-            raise ValueError("resume=True requires checkpoint_dir")
-        if vmap_folds:
-            _log(f"[{config_name}] resume uses the sequential k-fold driver; "
-                 "disabling vmap_folds", quiet)
-            vmap_folds = False
+    if resume and store is None:
+        raise ValueError("resume=True requires checkpoint_dir")
     if one_dispatch:
         if resume:
             _log(f"[{config_name}] one_dispatch has no epoch boundaries to "
@@ -389,7 +384,7 @@ def _run_experiment(
                     log_cb=log_cb, fold_size=exp.train.fold_size,
                     scan_steps=scan_steps, device_resident=device_resident,
                     duplicate=duplicate, mesh=mesh,
-                    seeds_per_fold=seeds_per_fold)
+                    seeds_per_fold=seeds_per_fold, resume=resume)
         results = [(None, hists[i]) for i in range(len(hists))]
     else:
         results = run_kfold(train_samples, make_loaders, model, exp.train,

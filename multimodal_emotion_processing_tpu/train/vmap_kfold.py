@@ -103,6 +103,7 @@ def run_kfold_vmapped(
     duplicate: bool = False,
     mesh=None,
     seeds_per_fold: int = 1,
+    resume: bool = False,
 ):
     """Drop-in alternative to kfold.run_kfold with the same fold carving and
     checkpoint contract; returns (stacked final TrainState, histories[m],
@@ -144,7 +145,17 @@ def run_kfold_vmapped(
     train epochs drop the final partial batch (static shapes), eval covers
     every sample via zero-weight padding.  `duplicate` reproduces the R-Drop
     adjacent duplication the host Batcher would apply (train AND valid, as
-    the reference's Ren-MME loaders do, Ren-MME/run.py:123-148)."""
+    the reference's Ren-MME loaders do, Ren-MME/run.py:123-148).
+
+    `resume`: with a store, every epoch persists ONE whole-stack resume
+    point ('{name_prefix}__vmstack': stacked train state + all per-member
+    controllers + histories, crash-safe via save_last's slot alternation);
+    resume=True restores it and continues from the next epoch.  In
+    device-resident mode the epoch-indexed shuffle keys make the resumed
+    trajectory bit-equal to the uninterrupted one (tested); host-fed
+    loaders restart their own seed streams, so exact equality additionally
+    needs shuffle-free loaders (the sequential driver's documented caveat,
+    kfold.run_kfold)."""
     k = tcfg.n_folds
     samples = list(samples)
     rng = random.Random(shuffle_seed)
@@ -305,7 +316,48 @@ def run_kfold_vmapped(
     else:
         loaders = [make_loaders(t, v) for t, v in splits]
     n_epochs = tcfg.epochs if epochs is None else epochs
-    for epoch in range(n_epochs):
+    vmname = f"{name_prefix}__vmstack"   # ONE resume point for the whole stack
+    start_epoch = 0
+    if resume:
+        if store is None:
+            raise ValueError("resume=True requires a checkpoint store")
+        restored = store.restore_last(vmname, jax.device_get(states))
+        if restored is not None:
+            host_state, entry = restored
+            sched = entry.get("schedule", {})
+            if len(sched.get("stoppers", [])) != m:
+                raise ValueError(
+                    f"resume point {vmname!r} has "
+                    f"{len(sched.get('stoppers', []))} members, this run has "
+                    f"{m} (n_folds x seeds_per_fold changed?)")
+            states = (jax.device_put(host_state, rep) if mesh is not None
+                      else jax.device_put(host_state))
+            plateaus = [schedule.PlateauState(**d) for d in sched["plateaus"]]
+            stoppers = [schedule.EarlyStop(**d) for d in sched["stoppers"]]
+            stopped = list(sched["stopped"])
+            best_losses = list(sched["best_losses"])
+            histories = [[EpochStats(**e) for e in h]
+                         for h in sched["histories"]]
+            start_epoch = entry["epoch"] + 1
+            # per-member bests re-load from their own store entries (saved by
+            # the same run before the interruption)
+            params_like = _slice_fold(jax.device_get(states.params), 0)
+            for i in range(m):
+                nm = f"{name_prefix}_{i + 1}"
+                if "params" in store.manifest.get(nm, {}):
+                    best_params[i] = store.restore_params(nm, params_like)
+
+    def _save_resume_point(epoch):
+        store.save_last(vmname, jax.device_get(states), epoch, {
+            "plateaus": [dataclasses.asdict(p) for p in plateaus],
+            "stoppers": [dataclasses.asdict(s) for s in stoppers],
+            "stopped": list(stopped),
+            "best_losses": [float(x) for x in best_losses],
+            "histories": [[dataclasses.asdict(e) for e in h]
+                          for h in histories],
+        })
+
+    for epoch in range(start_epoch, n_epochs):
         t0 = time.perf_counter()
         if device_resident:
             states, tr_losses = train_epoch(
@@ -380,6 +432,8 @@ def run_kfold_vmapped(
                             jax.device_get(states.params), i)
                         best_losses[i] = float(va[i])
         states = set_lrs(states, lrs)
+        if store is not None:
+            _save_resume_point(epoch)
         if all(stopped):
             break
     # folds that exhausted the epoch budget without saving fall back to finals

@@ -259,3 +259,20 @@ def test_run_experiment_seeds_per_fold(tmp_path):
     assert len(res.store.best_members("rencecps")) == 4
     assert len(res.fold_histories) == 4
     assert res.report is not None and "macro_f1" in res.report
+
+
+def test_run_experiment_resume_vmapped_driver(tmp_path):
+    """Default-driver (vmapped) runs are resumable now: the whole-stack
+    resume point continues the run instead of silently restarting on the
+    sequential driver."""
+    kw = dict(synthetic_data=True, n_train=48, n_test=16, quiet=True,
+              checkpoint_dir=str(tmp_path / "ck"),
+              overrides={"model": {"dim": 16},
+                         "train": {"n_folds": 2, "batch_size": 8}})
+    run_experiment("rencecps", epochs=2, **kw)
+    manifest = (tmp_path / "ck" / "manifest.json").read_text()
+    assert "__vmstack" in manifest
+    resumed = run_experiment("rencecps", epochs=4, resume=True, **kw)
+    # resumed histories cover all 4 epochs (2 restored + 2 new)
+    assert all(len(h) == 4 for h in resumed.fold_histories)
+    assert resumed.report is not None

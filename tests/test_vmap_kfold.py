@@ -409,3 +409,87 @@ def test_seeds_per_fold_device_resident_and_fully_compiled():
     np.testing.assert_allclose(fl, dl, rtol=1e-6)
     assert any(not np.allclose(x, y)
                for x, y in zip(_leaves(db[0]), _leaves(db[2])))
+
+
+# ---------------------------------------------------------------------------
+# resume for the vmapped driver (whole-stack resume point)
+# ---------------------------------------------------------------------------
+
+def test_vmapped_resume_device_resident_bit_equal(tmp_path):
+    """Crash after epoch 2 of 5, resume: trajectory, best params and best
+    losses bit-equal the uninterrupted run (epoch-indexed shuffle keys make
+    device-resident resume exact)."""
+    exp = _exp()
+    model = build_model(exp)
+    samples = synthetic_dataset("rencecps", exp.model, n=44, seed=9)
+
+    sA = CheckpointStore(str(tmp_path / "a"))
+    _, hA, bA, lA = run_kfold_vmapped(samples, None, model, exp.train,
+                                      epochs=5, shuffle_seed=0, store=sA,
+                                      device_resident=True, name_prefix="r")
+
+    sB = CheckpointStore(str(tmp_path / "b"))
+    run_kfold_vmapped(samples, None, model, exp.train, epochs=2,
+                      shuffle_seed=0, store=sB, device_resident=True,
+                      name_prefix="r")                      # "preempted" here
+    _, hB, bB, lB = run_kfold_vmapped(samples, None, model, exp.train,
+                                      epochs=5, shuffle_seed=0, store=sB,
+                                      device_resident=True, name_prefix="r",
+                                      resume=True)
+    assert [len(h) for h in hB] == [len(h) for h in hA]
+    for ha, hb in zip(hA, hB):
+        for a, b in zip(ha, hb):
+            assert b.train_loss == a.train_loss
+            assert b.valid_loss == a.valid_loss
+    np.testing.assert_array_equal(lB, lA)
+    for pa, pb in zip(bA, bB):
+        for x, y in zip(_leaves(pa), _leaves(pb)):
+            np.testing.assert_array_equal(y, x)
+
+
+def test_vmapped_resume_host_fed_shuffle_free(tmp_path):
+    """Host-fed resume with shuffle-free loaders equals the uninterrupted
+    run (the sequential driver's documented loader caveat applies the same
+    way)."""
+    exp = _exp()
+    model = build_model(exp)
+    samples = synthetic_dataset("rencecps", exp.model, n=64, seed=10)
+
+    def loaders(train, valid):
+        return (Batcher(train, exp.train.batch_size, shuffle=False),
+                Batcher(valid, exp.train.batch_size, shuffle=False))
+
+    sA = CheckpointStore(str(tmp_path / "a"))
+    _, hA, bA, lA = run_kfold_vmapped(samples, loaders, model, exp.train,
+                                      epochs=4, shuffle_seed=0, store=sA,
+                                      name_prefix="r")
+    sB = CheckpointStore(str(tmp_path / "b"))
+    run_kfold_vmapped(samples, loaders, model, exp.train, epochs=1,
+                      shuffle_seed=0, store=sB, name_prefix="r")
+    _, hB, bB, lB = run_kfold_vmapped(samples, loaders, model, exp.train,
+                                      epochs=4, shuffle_seed=0, store=sB,
+                                      name_prefix="r", resume=True)
+    for ha, hb in zip(hA, hB):
+        assert len(ha) == len(hb)
+        for a, b in zip(ha, hb):
+            np.testing.assert_allclose(b.train_loss, a.train_loss,
+                                       rtol=1e-6, atol=1e-7)
+            np.testing.assert_allclose(b.valid_loss, a.valid_loss,
+                                       rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(lB, lA, rtol=1e-6)
+
+
+def test_vmapped_resume_member_count_mismatch(tmp_path):
+    import pytest
+
+    exp = _exp()
+    model = build_model(exp)
+    samples = synthetic_dataset("rencecps", exp.model, n=44, seed=11)
+    store = CheckpointStore(str(tmp_path))
+    run_kfold_vmapped(samples, None, model, exp.train, epochs=1,
+                      shuffle_seed=0, store=store, device_resident=True,
+                      name_prefix="r")
+    with pytest.raises(ValueError, match="members"):
+        run_kfold_vmapped(samples, None, model, exp.train, epochs=2,
+                          shuffle_seed=0, store=store, device_resident=True,
+                          name_prefix="r", resume=True, seeds_per_fold=2)
