@@ -237,3 +237,20 @@ def test_psum_cp_pads_indivisible_kv():
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(s_cp), np.asarray(s_ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_cp_through_vmapped_experiment_driver():
+    """`run_experiment(impl='cp')` end-to-end on the default (vmapped)
+    driver: the context-parallel attention traces inside the fold-vmap on
+    the 8-device mesh and the experiment completes with a report."""
+    from multimodal_emotion_processing_tpu.pipelines import run_experiment
+
+    res = run_experiment(
+        "mosei_trans", synthetic_data=True, n_train=24, n_test=8, epochs=1,
+        quiet=True, impl="cp",
+        overrides={"model": {"l_len": 4, "v_len": 6, "a_len": 8, "dim": 12,
+                             "n_heads": 2, "l_dim": 5, "v_dim": 4,
+                             "a_dim": 3},
+                   "train": {"n_folds": 2, "batch_size": 8}})
+    assert len(res.fold_histories) == 2
+    assert res.report is not None and "macro_f1" in res.report
