@@ -125,6 +125,15 @@ class BatchingServer:
         self._closed.set()
         self._q.put(None)                   # wake the collector
         self._thread.join(timeout=10)
+        # a submit that raced close may have left requests enqueued after
+        # the collector exited — fail their futures rather than hang callers
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item[1].set_exception(RuntimeError("server closed"))
 
     def __enter__(self):
         return self
