@@ -70,6 +70,11 @@ def build_parser():
                              "reference's one-seed-per-fold bagging; the "
                              "vmapped drivers widen their model axis, so "
                              "extra seeds share each training dispatch)")
+        sp.add_argument("--accum-steps", type=int, default=1,
+                        help="gradient accumulation: split each batch into "
+                             "this many sequential micro-batches (exact "
+                             "full-batch gradient; ~N-fold lower activation "
+                             "memory; sequential k-fold driver only)")
         sp.add_argument("--dp", type=int, default=None,
                         help="data-parallel over N mesh devices: batches "
                              "sharded on the 'data' axis, gradients "
@@ -81,6 +86,35 @@ def build_parser():
                              "these model sizes)")
 
     common(sub.add_parser("train", help="k-fold training + ensemble eval"))
+
+    sw = sub.add_parser(
+        "sweep", help="vmapped hyperparameter sweep: every (lr x seed) "
+                      "candidate trains in ONE compiled program on the "
+                      "fold-0 split and is ranked by best valid loss")
+    sw.add_argument("config", help="config name (see `configs`)")
+    sw.add_argument("--lrs", required=True,
+                    help="comma-separated learning-rate candidates, e.g. "
+                         "1e-3,3e-4,1e-4")
+    sw.add_argument("--wds", default=None,
+                    help="optional comma-separated AdamW weight-decay "
+                         "candidates — the grid becomes lr x wd x seed, "
+                         "still one compiled program")
+    sw.add_argument("--seeds-per-lr", type=int, default=1,
+                    help="independent init seeds per LR candidate; LR "
+                         "candidates share seeds + batch orders, so "
+                         "trajectory deltas isolate the LR's effect")
+    sw.add_argument("--data-root", default=None,
+                    help="real corpus root (default: synthetic data)")
+    sw.add_argument("--epochs", type=int, default=None)
+    sw.add_argument("--n-train", type=int, default=256)
+    sw.add_argument("--n-test", type=int, default=64)
+    sw.add_argument("--impl", choices=["xla", "pallas", "cp"], default="xla")
+    sw.add_argument("--checkpoint-dir", default=None,
+                    help="persist the winner's best params as "
+                         "'<config>_sweep_winner'")
+    sw.add_argument("--quiet", action="store_true")
+    sw.add_argument("--set", action="append", default=[], metavar="K=V",
+                    help="config override, e.g. train.batch_size=32")
 
     ev = sub.add_parser("eval", help="ensemble eval from checkpoints")
     common(ev)
@@ -141,6 +175,13 @@ def build_parser():
     et.add_argument("--out", default=".", help="output directory")
 
     sub.add_parser("bench", help="train+infer throughput benchmark")
+    dr = sub.add_parser(
+        "doctor", help="environment diagnostics: dispatch floor, H2D "
+                       "bandwidth, matmul GFLOP/s, block_until_ready "
+                       "honesty — the properties every perf number depends "
+                       "on (one JSON line to stdout)")
+    dr.add_argument("--json-only", action="store_true")
+    dr.add_argument("--scan-k", type=int, default=64)
     sub.add_parser("configs", help="list configs")
     return p
 
@@ -196,11 +237,37 @@ def cmd_train(args, eval_only=False):
         device_resident=getattr(args, "device_resident", False),
         one_dispatch=getattr(args, "one_dispatch", False),
         dp=getattr(args, "dp", None), tp=getattr(args, "tp", 1),
-        seeds_per_fold=getattr(args, "seeds_per_fold", 1))
+        seeds_per_fold=getattr(args, "seeds_per_fold", 1),
+        accum_steps=getattr(args, "accum_steps", 1))
     if result.report is not None:
         print(json.dumps(result.report, indent=2))
     if result.sweep is not None:
         print(json.dumps({"best_thresholds": result.sweep}, indent=2))
+
+
+def cmd_sweep(args):
+    from .pipelines import run_lr_sweep_experiment
+
+    def _floats(flag, raw):
+        try:
+            vals = [float(x) for x in raw.split(",") if x.strip()]
+        except ValueError:
+            raise SystemExit(f"{flag} expects comma-separated floats, got "
+                             f"{raw!r}")
+        return vals
+
+    lrs = _floats("--lrs", args.lrs)
+    if not lrs:
+        raise SystemExit("--lrs expects at least one learning rate")
+    wds = _floats("--wds", args.wds) if args.wds else None
+    out = run_lr_sweep_experiment(
+        args.config, lrs=lrs, wds=wds, seeds_per_lr=args.seeds_per_lr,
+        synthetic_data=args.data_root is None, data_root=args.data_root,
+        n_train=args.n_train, n_test=args.n_test, epochs=args.epochs,
+        impl=args.impl, quiet=args.quiet,
+        overrides=parse_overrides(args.set),
+        checkpoint_dir=args.checkpoint_dir)
+    print(json.dumps(out, indent=2))
 
 
 def _load_members(args, model, verb: str):
@@ -377,6 +444,15 @@ def main(argv=None):
         cmd_train(args)
     elif args.cmd == "eval":
         cmd_train(args, eval_only=True)
+    elif args.cmd == "sweep":
+        cmd_sweep(args)
+    elif args.cmd == "doctor":
+        from .bench.doctor import main as doctor_main
+
+        argv = ["--scan-k", str(args.scan_k)]
+        if args.json_only:
+            argv.append("--json-only")
+        doctor_main(argv)
     elif args.cmd == "serve":
         cmd_serve(args)
     elif args.cmd == "export":

@@ -57,6 +57,10 @@ class TrainConfig:
     epochs: int = 999
     grad_clip: float = 1.0
     optimizer: str = "adamw"  # realformer uses plain adam (others/realformer.py:342)
+    # torch AdamW default (the reference never sets it, cmu-mosei/run.py:398);
+    # ignored by the adam configs.  Rides optax.inject_hyperparams like the
+    # LR, so the sweep driver can vary it without recompiling.
+    weight_decay: float = 0.01
     plateau_factor: float = 0.1
     plateau_patience: int = 4
     early_stop: int = 9

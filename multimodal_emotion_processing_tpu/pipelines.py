@@ -176,6 +176,7 @@ def _run_experiment(
     dp: Optional[int] = None,
     tp: int = 1,
     seeds_per_fold: int = 1,
+    accum_steps: int = 1,
 ) -> PipelineResult:
     """`scan_steps`: chain this many train/eval steps into one dispatch
     (lax.scan over host-stacked batch groups) — identical math; honest win
@@ -289,6 +290,12 @@ def _run_experiment(
     # per-fold sample counts then differ, which the vmapped driver's aligned
     # step counts cannot represent -> sequential driver for that case
     nested_units = bool(train_samples) and isinstance(train_samples[0], list)
+    if accum_steps > 1 and vmap_folds:
+        # gradient accumulation is a single-model memory knob
+        # (engine._accum_value_and_grad); the vmapped drivers don't carry it
+        _log(f"[{config_name}] accum_steps > 1 uses the sequential k-fold "
+             "driver; disabling vmap_folds", quiet)
+        vmap_folds = False
     if mesh is not None and tp > 1 and vmap_folds:
         # TP shards per-leaf params/optimizer state; the vmapped drivers run
         # a fused flat-vector optimizer that cannot carry those shardings —
@@ -392,7 +399,8 @@ def _run_experiment(
                             impl=impl, log_cb=log_cb,
                             fold_size=exp.train.fold_size, resume=resume,
                             scan_steps=scan_steps, mesh=mesh, tp=(tp > 1),
-                            seeds_per_fold=seeds_per_fold)
+                            seeds_per_fold=seeds_per_fold,
+                            accum_steps=accum_steps)
 
     report = sweep = None
     if test_samples:
@@ -477,6 +485,97 @@ def _run_experiment(
     for lg in loggers.values():
         lg.close()
     return PipelineResult(config_name, [h for _, h in results], report, sweep, store)
+
+
+def run_lr_sweep_experiment(
+    config_name: str,
+    *,
+    lrs,
+    wds=None,
+    seeds_per_lr: int = 1,
+    synthetic_data: bool = True,
+    data_root: Optional[str] = None,
+    n_train: int = 256,
+    n_test: int = 64,
+    epochs: Optional[int] = None,
+    impl: str = "xla",
+    quiet: bool = False,
+    overrides: Optional[Dict] = None,
+    checkpoint_dir: Optional[str] = None,
+) -> Dict:
+    """Config-named front door for train/sweep.run_lr_sweep: every
+    (lr x seed) candidate trains in ONE compiled program on fold 0's
+    train/valid split (the same shuffle + contiguous carve the k-fold
+    drivers use, so the sweep tunes on exactly the data fold 1 of a
+    subsequent `run_experiment` would validate on).
+
+    The reference has no programmatic tuning — its LR is a hand-edited
+    module constant (cmu-mosei/run.py:33); this is the TPU-native
+    replacement: the candidate axis is a vmap axis over a chip these
+    models underfill, so trying 8 LRs costs far less than 8 runs.
+
+    Returns {"table": rows best-first, "winner": {...}, "seconds": s};
+    with `checkpoint_dir`, the winner's best params persist as
+    '{config_name}_sweep_winner'.
+    """
+    import random as _random
+
+    from .ops.context_parallel import ensure_cp
+    from .train.kfold import contiguous_folds
+    from .train.sweep import run_lr_sweep
+
+    exp = configs.with_overrides(configs.get(config_name), overrides)
+    model = build_model(exp)
+    if synthetic_data:
+        train_units, _ = _synthetic_data(exp, n_train, n_test)
+    else:
+        if data_root is None:
+            raise ValueError("data_root required when synthetic_data=False")
+        train_units, _, loader_ctx = load_real_data(exp, data_root)
+        if loader_ctx is not None:
+            raise ValueError(
+                "the robot per-epoch text substitution re-materializes "
+                "samples each epoch; the staged sweep cannot represent that "
+                "— sweep robot_demo on synthetic data or freeze an epoch's "
+                "materialization")
+    train_units = list(train_units)
+    _random.Random(0).shuffle(train_units)  # = the k-fold drivers' carve
+    va_slice, tr_ranges = contiguous_folds(
+        len(train_units), exp.train.n_folds, exp.train.fold_size)[0]
+    flat = lambda units: [s for u in units
+                          for s in (u if isinstance(u, list) else [u])]
+    valid_samples = flat(train_units[va_slice])
+    train_samples = flat([train_units[j] for r in tr_ranges for j in r])
+    n_members = len(lrs) * (len(wds) if wds else 1) * seeds_per_lr
+    _log(f"[{config_name}] sweep: {len(lrs)} lrs x "
+         f"{len(wds) if wds else 1} wds x {seeds_per_lr} seeds = "
+         f"{n_members} members, {len(train_samples)} train / "
+         f"{len(valid_samples)} valid samples (fold-0 split)", quiet)
+
+    def log_cb(name, epoch, stats):
+        _log(f"[{name}] epoch {epoch + 1}: train {stats.train_loss:.4f} "
+             f"valid {stats.valid_loss:.4f}", quiet)
+
+    with ensure_cp(impl):
+        result = run_lr_sweep(
+            train_samples, valid_samples, model, exp.train, lrs=lrs,
+            wds=wds, seeds_per_lr=seeds_per_lr, epochs=epochs, impl=impl,
+            duplicate=exp.train.rdrop_kl, log_cb=None if quiet else log_cb)
+    win = result.members[result.winner]
+    if checkpoint_dir:
+        store = CheckpointStore(checkpoint_dir)
+        store.save_params(f"{config_name}_sweep_winner", win.best_params,
+                          valid_loss=win.best_valid_loss,
+                          epoch=max(win.best_epoch, 0), imported=False)
+    out = {"table": result.table(),
+           "winner": {"lr": win.lr, "wd": win.wd, "seed": win.seed,
+                      "best_valid_loss": win.best_valid_loss,
+                      "best_epoch": win.best_epoch},
+           "seconds": result.seconds}
+    _log(f"[{config_name}] sweep winner: lr={win.lr:g} wd={win.wd:g} "
+         f"seed={win.seed} best_valid_loss={win.best_valid_loss:.4f} "
+         f"({result.seconds:.1f}s total)", quiet)
+    return out
 
 
 @functools.wraps(_run_experiment)

@@ -42,17 +42,21 @@ def make_optimizer(tcfg):
     CLIP=1.0 — order matches the reference (clip then step,
     cmu-mosei/run.py:368-369)."""
 
-    def factory(learning_rate):
+    def factory(learning_rate, weight_decay):
         if tcfg.optimizer == "adamw":
             opt = optax.adamw(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
-                              weight_decay=0.01)
+                              weight_decay=weight_decay)
         elif tcfg.optimizer == "adam":
+            # plain Adam has no decoupled decay; the injected value is
+            # carried but unused (keeps one opt_state structure per engine)
             opt = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
         else:
             raise ValueError(tcfg.optimizer)
         return optax.chain(optax.clip_by_global_norm(tcfg.grad_clip), opt)
 
-    return optax.inject_hyperparams(factory)(learning_rate=tcfg.lr)
+    return optax.inject_hyperparams(factory)(
+        learning_rate=tcfg.lr,
+        weight_decay=getattr(tcfg, "weight_decay", 0.01))
 
 
 def _cast_tree(tree, dtype):
@@ -98,7 +102,60 @@ def batch_loss(model, tcfg, params, batch, rng, train: bool, impl: str):
     return loss
 
 
-def _make_step_fn(model, tcfg, tx, *, impl: str, fused: bool):
+def _accum_value_and_grad(model, tcfg, impl, params, batch, sub,
+                          accum_steps: int):
+    """Gradient accumulation: split the batch into `accum_steps` sequential
+    micro-batches (lax.scan — peak activation memory shrinks ~A-fold) and
+    recombine EXACTLY to the full-batch loss/gradient.
+
+    batch_loss is a weighted mean whose denominators are all proportional to
+    the micro-batch's sample-weight total d_i (plain mean: d_i = rows; padded
+    mean: sum(w) x a constant P; the R-Drop KL's pair denominator is d_i/2) —
+    so weighting each micro loss/grad by d_i and dividing by sum(d_i) is the
+    exact full-batch value, zero-weight padding rows included.  The reference
+    has no equivalent (fixed B=64/16 fits any GPU); this exists for scaled
+    configs (bench/scaling.py) whose activations outgrow HBM before the
+    model does.
+
+    Dropout draws a fold_in(sub, i) key per micro-batch, so stochastic runs
+    differ from the unaccumulated step (mask shapes differ anyway); with
+    dropout off the equality is exact (tested)."""
+    rows = batch["label"].shape[0]
+    if rows % accum_steps:
+        raise ValueError(f"accum_steps={accum_steps} must divide the batch "
+                         f"rows ({rows})")
+    micro_rows = rows // accum_steps
+    if tcfg.rdrop_kl and micro_rows % 2:
+        raise ValueError("R-Drop needs even micro-batches (adjacent "
+                         f"duplicate pairs); rows/accum_steps = {micro_rows}")
+    micros = jax.tree.map(
+        lambda x: x.reshape((accum_steps, micro_rows) + x.shape[1:]), batch)
+
+    def body(carry, xs):
+        i, mb = xs
+        w = mb.get("sample_weight")
+        d = jnp.sum(w) if w is not None else jnp.asarray(micro_rows,
+                                                         jnp.float32)
+
+        def loss_fn(p):
+            return batch_loss(model, tcfg, p, mb, jax.random.fold_in(sub, i),
+                              True, impl)
+
+        loss_i, g_i = jax.value_and_grad(loss_fn)(params)
+        lsum, gsum, dsum = carry
+        gsum = jax.tree.map(lambda a, g: a + d * g, gsum, g_i)
+        return (lsum + d * loss_i, gsum, dsum + d), None
+
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    (lsum, gsum, dsum), _ = jax.lax.scan(
+        body, (jnp.zeros((), jnp.float32), zeros, jnp.zeros((), jnp.float32)),
+        (jnp.arange(accum_steps), micros))
+    denom = jnp.maximum(dsum, 1.0)  # all-padding batch: 0 loss, 0 grads
+    return lsum / denom, jax.tree.map(lambda g: g / denom, gsum)
+
+
+def _make_step_fn(model, tcfg, tx, *, impl: str, fused: bool,
+                  accum_steps: int = 1):
     """The un-jitted single-step body shared by make_train_step (one dispatch
     per step) and make_scan_train_step (k steps per dispatch)."""
 
@@ -110,7 +167,12 @@ def _make_step_fn(model, tcfg, tx, *, impl: str, fused: bool):
         def loss_fn(params):
             return batch_loss(model, tcfg, params, batch, sub, True, impl)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        if accum_steps > 1:
+            loss, grads = _accum_value_and_grad(model, tcfg, impl,
+                                                state.params, batch, sub,
+                                                accum_steps)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
         if fused:
             gflat = ravel_pytree(grads)[0]
             pflat, unravel = ravel_pytree(state.params)
@@ -125,8 +187,12 @@ def _make_step_fn(model, tcfg, tx, *, impl: str, fused: bool):
 
 
 def make_train_step(model, tcfg, *, impl: str = "xla", donate: bool = True,
-                    fused: bool = True):
+                    fused: bool = True, accum_steps: int = 1):
     """One jitted program per step.
+
+    `accum_steps`: gradient accumulation — A sequential micro-batches per
+    optimizer step, exact full-batch loss/gradient (see
+    _accum_value_and_grad).  Memory knob, not a throughput knob.
 
     fused=True runs the optimizer over ONE flattened vector (mathematically
     identical: global-norm clip is global, AdamW is elementwise) — ~100
@@ -141,7 +207,8 @@ def make_train_step(model, tcfg, *, impl: str = "xla", donate: bool = True,
     sharding specs on the optimizer state).
     """
     tx = make_optimizer(tcfg)
-    step = _make_step_fn(model, tcfg, tx, impl=impl, fused=fused)
+    step = _make_step_fn(model, tcfg, tx, impl=impl, fused=fused,
+                         accum_steps=accum_steps)
     return tx, jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
@@ -251,7 +318,7 @@ class Trainer:
                  prefetch: int = 2,
                  profile_dir: Optional[str] = None,
                  scan_steps: int = 1,
-                 mesh=None, tp: bool = False):
+                 mesh=None, tp: bool = False, accum_steps: int = 1):
         """`profile_dir`: capture a jax.profiler trace of epoch 1 (steady
         state, post-compile) into this directory — view with Perfetto or the
         TensorBoard profile plugin.
@@ -283,10 +350,22 @@ class Trainer:
                 model, tcfg, mesh, impl=impl, tp=tp)
         else:
             self._place = None
-            self.tx, self.train_step = make_train_step(model, tcfg, impl=impl)
+            self.tx, self.train_step = make_train_step(
+                model, tcfg, impl=impl, accum_steps=accum_steps)
+        if accum_steps > 1 and mesh is not None:
+            # DP already divides the per-device batch by the mesh's data
+            # axis; composing both would need sharded micro-slices — not
+            # supported (use a bigger dp or a smaller batch instead)
+            raise ValueError("accum_steps > 1 is single-device only "
+                             "(the mesh's data axis already shrinks the "
+                             "per-device batch)")
         self.eval_step = make_eval_step(model, tcfg, impl=impl)
         self.scan_steps = scan_steps
         if scan_steps > 1:
+            if accum_steps > 1:
+                raise ValueError("accum_steps > 1 does not compose with "
+                                 "scan_steps > 1 (pick one dispatch-shape "
+                                 "knob)")
             _, self.train_step_scan = make_scan_train_step(
                 model, tcfg, impl=impl, fused=self.fused)
             self.eval_step_scan = make_scan_eval_step(model, tcfg, impl=impl)

@@ -54,6 +54,7 @@ def run_kfold(
     mesh=None,
     tp: bool = False,
     seeds_per_fold: int = 1,
+    accum_steps: int = 1,
 ):
     """Train tcfg.n_folds * seeds_per_fold models.
     `make_loaders(train_samples, valid_samples)` -> (train_loader,
@@ -95,6 +96,7 @@ def run_kfold(
 
     trainer = Trainer(
         model, tcfg, impl=impl, scan_steps=scan_steps, mesh=mesh, tp=tp,
+        accum_steps=accum_steps,
         checkpoint_cb=(lambda state, epoch, vl:
                        store.save_best(current["name"], state, epoch, vl))
         if store is not None else None,

@@ -277,3 +277,30 @@ def test_serving_bench_smoke():
     assert r["server_batches"] >= 1
     total_batched = sum(int(k) * v for k, v in r["by_bucket"].items())
     assert total_batched >= 6  # every request served (padding may add rows)
+
+
+def test_doctor_smoke(capsys):
+    """bench/doctor on CPU: every probe runs, the JSON artifact is complete,
+    and the sync probe reads honest (no relay between us and the CPU)."""
+    import json
+
+    from multimodal_emotion_processing_tpu.bench import doctor
+
+    out = doctor.main(["--json-only", "--scan-k", "8",
+                   "--n", "128", "--scan-dim", "64"])
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(line) == out
+    for key in ("platform", "devices", "dispatch_floor_ms", "h2d_mb_per_s",
+                "matmul_f32_gflop_s", "matmul_bf16_gflop_s",
+                "sync_early_ack_ratio", "sync_honest"):
+        assert key in out, key
+    assert out["platform"] == "cpu"
+    assert out["dispatch_floor_ms"] > 0 and out["h2d_mb_per_s"] > 0
+    assert out["sync_honest"] is True
+
+
+def test_doctor_cli_parser():
+    from multimodal_emotion_processing_tpu.cli import build_parser
+
+    args = build_parser().parse_args(["doctor", "--json-only"])
+    assert args.cmd == "doctor" and args.json_only
