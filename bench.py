@@ -151,13 +151,16 @@ def measure_jax_scan(exp, *, k=64, steps=4, reps=7, impl="xla"):
     return train_sps, infer_sps
 
 
-def measure_jax_datafed(exp, *, n_samples=512, epochs=8, impl="xla"):
+def measure_jax_datafed(exp, *, n_samples=512, epochs=8, impl="xla",
+                        transfer_dtype=None):
     """END-TO-END data-fed throughput: host batch assembly (Batcher) →
     background-thread H2D prefetch → jitted train step.  This is the number
     real-corpus training sees (SURVEY §7.3.5: the benchmark is won or lost in
     host assembly, not the MXU).  Best of `epochs` SHORT windows — the
     relay's H2D throughput wanders ~4x on multi-second timescales, so many
-    short windows beat few long ones at catching an uncontended slot."""
+    short windows beat few long ones at catching an uncontended slot.
+    `transfer_dtype="float16"`: half-width wire format (the put cost is
+    byte-proportional on this relay — data/loader.cast_for_transfer)."""
     import jax
 
     from multimodal_emotion_processing_tpu.data.loader import (
@@ -173,14 +176,16 @@ def measure_jax_datafed(exp, *, n_samples=512, epochs=8, impl="xla"):
     state = eng.init_state(model, tx, seed=0)
 
     # one warmup epoch compiles both the padded-final and full-batch shapes
-    for batch in prefetch_to_device(iter(batcher())):
+    for batch in prefetch_to_device(iter(batcher()),
+                                    transfer_dtype=transfer_dtype):
         state, loss = train_step(state, batch)
     _sync(loss)
 
     window_sps = []
     for _ in range(epochs):
         t0 = time.perf_counter()
-        for batch in prefetch_to_device(iter(batcher())):
+        for batch in prefetch_to_device(iter(batcher()),
+                                        transfer_dtype=transfer_dtype):
             state, loss = train_step(state, batch)
         _sync(loss)
         window_sps.append(len(samples) / (time.perf_counter() - t0))
@@ -311,6 +316,22 @@ def main():
             log(f"data-fed phase failed: {e!r}")
     else:
         log("data-fed phase skipped: budget")
+
+    # half-width wire format: same data-fed loop with float16 H2D payloads
+    # (upcast in-graph; ~2x fewer transfer bytes — the put cost is
+    # byte-proportional on this relay, 543 -> 221 ms for a flagship batch)
+    datafed_f16 = datafed_f16_med = None
+    if datafed is not None and elapsed() < budget_s * 0.75:
+        try:
+            datafed_f16, datafed_f16_med = measure_jax_datafed(
+                exp, transfer_dtype="float16")
+            log(f"jax[xla] data-fed f16-wire: best {datafed_f16:.1f} / "
+                f"median {datafed_f16_med:.1f} samples/s "
+                f"({datafed_f16 / max(datafed, 1e-9):.2f}x best-vs-best)")
+        except Exception as e:
+            log(f"data-fed f16-wire phase failed: {e!r}")
+    else:
+        log("data-fed f16-wire phase skipped: budget or no f32 reference")
 
     # bf16 compute (f32 master weights): diagnostics-only — the headline
     # stays on the f32 torch-parity path, but the knob's honest value on
@@ -457,6 +478,8 @@ def main():
                        "forward_parity_relative": parity_rel},
             "datafed_train_sps": {"best": r1(datafed),
                                   "median": r1(datafed_med)},
+            "datafed_train_sps_f16_wire": {"best": r1(datafed_f16),
+                                           "median": r1(datafed_f16_med)},
             "bf16": {"train_sps": r1(bf16_train),
                      "infer_sps": r1(bf16_infer),
                      "mfu": mfu_of(bf16_train, bf16_infer)},

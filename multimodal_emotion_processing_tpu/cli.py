@@ -75,6 +75,13 @@ def build_parser():
                              "this many sequential micro-batches (exact "
                              "full-batch gradient; ~N-fold lower activation "
                              "memory; sequential k-fold driver only)")
+        sp.add_argument("--transfer-dtype", choices=["float16", "bfloat16"],
+                        default=None,
+                        help="half-width host->device wire format: float32 "
+                             "batch leaves are cast before the transfer and "
+                             "restored to f32 in-graph — halves the data-fed "
+                             "path's H2D bytes (~1e-3 feature rounding; "
+                             "default keeps bit-exact numerics)")
         sp.add_argument("--dp", type=int, default=None,
                         help="data-parallel over N mesh devices: batches "
                              "sharded on the 'data' axis, gradients "
@@ -112,6 +119,10 @@ def build_parser():
     sw.add_argument("--checkpoint-dir", default=None,
                     help="persist the winner's best params as "
                          "'<config>_sweep_winner'")
+    sw.add_argument("--transfer-dtype", choices=["float16", "bfloat16"],
+                    default=None,
+                    help="stage the sweep datasets half-width in HBM "
+                         "(upcast in-graph; see train --transfer-dtype)")
     sw.add_argument("--quiet", action="store_true")
     sw.add_argument("--set", action="append", default=[], metavar="K=V",
                     help="config override, e.g. train.batch_size=32")
@@ -238,7 +249,8 @@ def cmd_train(args, eval_only=False):
         one_dispatch=getattr(args, "one_dispatch", False),
         dp=getattr(args, "dp", None), tp=getattr(args, "tp", 1),
         seeds_per_fold=getattr(args, "seeds_per_fold", 1),
-        accum_steps=getattr(args, "accum_steps", 1))
+        accum_steps=getattr(args, "accum_steps", 1),
+        transfer_dtype=getattr(args, "transfer_dtype", None))
     if result.report is not None:
         print(json.dumps(result.report, indent=2))
     if result.sweep is not None:
@@ -266,7 +278,8 @@ def cmd_sweep(args):
         n_train=args.n_train, n_test=args.n_test, epochs=args.epochs,
         impl=args.impl, quiet=args.quiet,
         overrides=parse_overrides(args.set),
-        checkpoint_dir=args.checkpoint_dir)
+        checkpoint_dir=args.checkpoint_dir,
+        transfer_dtype=getattr(args, "transfer_dtype", None))
     print(json.dumps(out, indent=2))
 
 

@@ -22,10 +22,45 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Dict, Iterator, Sequence
+from typing import Dict, Iterator, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+
+#: wire formats for `cast_for_transfer` — "float16" (exact for the 0/1
+#: mask/label/weight vectors, ~1e-3 relative rounding on features, saturates
+#: at ±65504) and "bfloat16" (full f32 range, coarser mantissa).
+WIRE_DTYPES = {"float16": np.float16, "bfloat16": jnp.bfloat16}
+
+
+def resolve_transfer_dtype(dtype):
+    """None | "float16" | "bfloat16" | numpy dtype -> numpy dtype or None."""
+    if dtype is None:
+        return None
+    if isinstance(dtype, str):
+        if dtype not in WIRE_DTYPES:
+            raise ValueError(f"transfer_dtype must be one of "
+                             f"{sorted(WIRE_DTYPES)}, got {dtype!r}")
+        return WIRE_DTYPES[dtype]
+    return np.dtype(dtype)
+
+
+def cast_for_transfer(batch: Dict[str, np.ndarray], dtype) -> Dict:
+    """Halve the host->device wire bytes: float32 leaves -> `dtype`
+    (float16/bfloat16); everything else passes through.  The jitted steps
+    restore float32 in-graph (train/engine.upcast_wire) before any math, so
+    half precision is a TRANSFER format, never a compute dtype.  On this
+    image's network-relayed chip the put cost is byte-proportional
+    (f32 543 ms -> f16 221 ms for a flagship-sized payload, 2026-08-18), and
+    the data-fed path is transfer-bound (SURVEY §7.3.5) — this is the wire's
+    equivalent of the loader's other overhead amortizations.  Lossy on
+    features (~1e-3 relative for float16), exact on 0/1 masks/labels/weights;
+    default OFF everywhere so torch-parity numerics stay bit-exact."""
+    if dtype is None:
+        return batch
+    return {k: (v.astype(dtype) if v.dtype == np.float32 else v)
+            for k, v in batch.items()}
 
 
 class Batcher:
@@ -156,18 +191,24 @@ def prefetch_to_device(
     size: int = 2,
     sharding=None,
     data_axis: int = 0,
+    transfer_dtype=None,
 ) -> Iterator[Dict]:
     """Background-thread prefetch: host assembly and H2D copies overlap with
     device compute.  With `sharding` (a NamedSharding), batches are placed
     sharded across the mesh; under multi-process (pod) execution each process
     transfers only its own slice of `data_axis` and the global array is
     assembled from per-process shards (parallel/mesh.put_global_batch —
-    tested with a real 2-process gloo run)."""
+    tested with a real 2-process gloo run).  `transfer_dtype`
+    ("float16"/"bfloat16"): cast float32 leaves to a half-width wire format
+    in the worker thread (see cast_for_transfer; the jitted steps upcast
+    in-graph)."""
 
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
+    wire = resolve_transfer_dtype(transfer_dtype)
 
     def put(batch):
+        batch = cast_for_transfer(batch, wire)
         if sharding is not None:
             from ..parallel.mesh import put_global_batch
 

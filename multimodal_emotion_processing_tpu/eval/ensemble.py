@@ -39,8 +39,12 @@ class Ensemble:
         # per-trace static arg; measured slower at reference shapes under
         # honest sync (ENGINEERING_NOTES), kept selectable
         def member_logits(params, batch):
-            return model.apply(params, batch, train=False, impl=impl,
-                               stacked=stacked)
+            from ..train.engine import upcast_wire
+
+            # accept half-width wire batches (data/loader.cast_for_transfer);
+            # no-op on float32
+            return model.apply(params, upcast_wire(batch), train=False,
+                               impl=impl, stacked=stacked)
 
         self._vmapped = jax.jit(jax.vmap(member_logits, in_axes=(0, None)))
 
@@ -50,12 +54,18 @@ class Ensemble:
         w = self.weights.reshape((self.k,) + (1,) * (per_member.ndim - 1))
         return jnp.sum(per_member * w, axis=0)
 
-    def predict_all(self, loader) -> np.ndarray:
+    def predict_all(self, loader, *, transfer_dtype=None) -> np.ndarray:
         """Concatenated combined logits over a loader; honors sample_weight
-        padding by dropping padded rows."""
+        padding by dropping padded rows.  `transfer_dtype`
+        ("float16"/"bfloat16"): cast float32 leaves to a half-width wire
+        format before the implicit H2D transfer (upcast in-graph) — the
+        training side's +40% data-fed win applies to batch inference too."""
+        from ..data.loader import cast_for_transfer, resolve_transfer_dtype
+
+        wire = resolve_transfer_dtype(transfer_dtype)
         outs = []
         for batch in loader() if callable(loader) else loader:
-            lg = np.asarray(self.logits(batch))
+            lg = np.asarray(self.logits(cast_for_transfer(batch, wire)))
             w = batch.get("sample_weight")
             if w is not None:
                 lg = lg[np.asarray(w) > 0]

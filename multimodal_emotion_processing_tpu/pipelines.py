@@ -177,6 +177,7 @@ def _run_experiment(
     tp: int = 1,
     seeds_per_fold: int = 1,
     accum_steps: int = 1,
+    transfer_dtype: Optional[str] = None,
 ) -> PipelineResult:
     """`scan_steps`: chain this many train/eval steps into one dispatch
     (lax.scan over host-stacked batch groups) — identical math; honest win
@@ -210,7 +211,15 @@ def _run_experiment(
     optionally tensor-parallel over `tp` devices on 'model'.  Identical math
     to single-device (tested to f32 tolerance); requires batch_size (x2 for
     R-Drop) divisible by dp.  dp=None, tp=1 = single-device (the reference's
-    mode, cmu-mosei/run.py:18)."""
+    mode, cmu-mosei/run.py:18).
+
+    `transfer_dtype` ("float16"/"bfloat16"): half-width host->device wire
+    format — float32 batch leaves are cast before the transfer (and the
+    device-resident staged dataset is stored half-width in HBM), then
+    restored to f32 in-graph before any math.  Halves the data-fed path's
+    transfer bytes; lossy ~1e-3 on features (exact on 0/1 masks/labels/
+    weights), so default None keeps bit-exact numerics.  Supported by every
+    driver (data/loader.cast_for_transfer)."""
     exp = configs.with_overrides(configs.get(config_name), overrides)
     model = build_model(exp)
 
@@ -382,7 +391,8 @@ def _run_experiment(
                     name_prefix=config_name, epochs=epochs, impl=impl,
                     log_cb=log_cb, fold_size=exp.train.fold_size,
                     duplicate=duplicate, mesh=mesh,
-                    seeds_per_fold=seeds_per_fold)
+                    seeds_per_fold=seeds_per_fold,
+                    transfer_dtype=transfer_dtype)
         else:
             states, hists, best_member_params, best_member_losses = \
                 run_kfold_vmapped(
@@ -391,7 +401,8 @@ def _run_experiment(
                     log_cb=log_cb, fold_size=exp.train.fold_size,
                     scan_steps=scan_steps, device_resident=device_resident,
                     duplicate=duplicate, mesh=mesh,
-                    seeds_per_fold=seeds_per_fold, resume=resume)
+                    seeds_per_fold=seeds_per_fold, resume=resume,
+                    transfer_dtype=transfer_dtype)
         results = [(None, hists[i]) for i in range(len(hists))]
     else:
         results = run_kfold(train_samples, make_loaders, model, exp.train,
@@ -400,7 +411,8 @@ def _run_experiment(
                             fold_size=exp.train.fold_size, resume=resume,
                             scan_steps=scan_steps, mesh=mesh, tp=(tp > 1),
                             seeds_per_fold=seeds_per_fold,
-                            accum_steps=accum_steps)
+                            accum_steps=accum_steps,
+                            transfer_dtype=transfer_dtype)
 
     report = sweep = None
     if test_samples:
@@ -436,7 +448,7 @@ def _run_experiment(
                        impl=impl)
         # eval loaders: no shuffle, no R-Drop duplication (Ren-MME/run.py:427-449)
         test_loader = Batcher(test_samples, exp.train.batch_size, shuffle=False)
-        logits = ens.predict_all(test_loader)
+        logits = ens.predict_all(test_loader, transfer_dtype=transfer_dtype)
         labels = np.stack([s["label"] for s in test_samples])
         if "group" in test_samples[0]:
             # two-crop pairs: one prediction per pair (crop-averaged logits,
@@ -502,6 +514,7 @@ def run_lr_sweep_experiment(
     quiet: bool = False,
     overrides: Optional[Dict] = None,
     checkpoint_dir: Optional[str] = None,
+    transfer_dtype: Optional[str] = None,
 ) -> Dict:
     """Config-named front door for train/sweep.run_lr_sweep: every
     (lr x seed) candidate trains in ONE compiled program on fold 0's
@@ -560,7 +573,8 @@ def run_lr_sweep_experiment(
         result = run_lr_sweep(
             train_samples, valid_samples, model, exp.train, lrs=lrs,
             wds=wds, seeds_per_lr=seeds_per_lr, epochs=epochs, impl=impl,
-            duplicate=exp.train.rdrop_kl, log_cb=None if quiet else log_cb)
+            duplicate=exp.train.rdrop_kl, log_cb=None if quiet else log_cb,
+            transfer_dtype=transfer_dtype)
     win = result.members[result.winner]
     if checkpoint_dir:
         store = CheckpointStore(checkpoint_dir)

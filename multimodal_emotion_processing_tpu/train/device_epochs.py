@@ -40,12 +40,18 @@ from .engine import (EpochStats, _make_step_fn, batch_loss, init_state,
                      make_optimizer, set_learning_rate)
 
 
-def stage_dataset(samples, *, pad_to_multiple: Optional[int] = None):
+def stage_dataset(samples, *, pad_to_multiple: Optional[int] = None,
+                  transfer_dtype=None):
     """Stack samples struct-of-arrays and device_put ONCE.  With
     `pad_to_multiple`, zero rows + a `sample_weight` vector are appended so
     unshuffled slicing covers every sample in static-shape batches (the
     weighted loss ignores the padding exactly like data/loader.Batcher's
-    padded final batch).  Returns (device data dict, n_real)."""
+    padded final batch).  `transfer_dtype` ("float16"/"bfloat16") stages
+    float32 leaves half-width — halves the one-time staging H2D AND the
+    per-step HBM gather bytes; the steps upcast in-graph
+    (engine.upcast_wire).  Returns (device data dict, n_real)."""
+    from ..data.loader import cast_for_transfer, resolve_transfer_dtype
+
     samples = list(samples)
     if not samples:
         raise ValueError("empty sample list")
@@ -61,6 +67,7 @@ def stage_dataset(samples, *, pad_to_multiple: Optional[int] = None):
         w = np.zeros(m, np.float32)
         w[:n] = 1.0
         soa["sample_weight"] = w
+    soa = cast_for_transfer(soa, resolve_transfer_dtype(transfer_dtype))
     return jax.device_put(soa), n
 
 
@@ -148,14 +155,17 @@ def fit_device_resident(
     model, tcfg, train_samples, valid_samples, *,
     epochs: Optional[int] = None, impl: str = "xla", seed: Optional[int] = None,
     duplicate: bool = False, checkpoint_cb=None, log_cb=None,
+    transfer_dtype=None,
 ):
     """Trainer.fit's epoch driver (plateau LR, early stop with save guard,
     best-checkpoint callback) with one dispatch per train epoch and one per
     eval epoch.  Use when the dataset fits HBM (see module docstring);
     returns (final TrainState, [EpochStats])."""
-    train_data, n_train = stage_dataset(train_samples)
+    train_data, n_train = stage_dataset(train_samples,
+                                        transfer_dtype=transfer_dtype)
     valid_data, _ = stage_dataset(valid_samples,
-                                  pad_to_multiple=tcfg.batch_size)
+                                  pad_to_multiple=tcfg.batch_size,
+                                  transfer_dtype=transfer_dtype)
     n_padded = int(valid_data["sample_weight"].shape[0])
 
     tx, train_epoch = make_train_epoch(model, tcfg, n_train, impl=impl,
@@ -235,6 +245,7 @@ def fit_fully_compiled(
     model, tcfg, train_samples, valid_samples, *,
     epochs: Optional[int] = None, impl: str = "xla",
     seed: Optional[int] = None, duplicate: bool = False,
+    transfer_dtype=None,
 ):
     """The ENTIRE training run as ONE dispatch: `lax.scan` over epochs, each
     epoch a scan over HBM-gathered steps, with the host-side controllers
@@ -259,9 +270,11 @@ def fit_fully_compiled(
 
     Returns (final TrainState, [EpochStats] trimmed at the stop epoch,
     best_params, best_epoch, best_valid_loss)."""
-    train_data, n_train = stage_dataset(train_samples)
+    train_data, n_train = stage_dataset(train_samples,
+                                        transfer_dtype=transfer_dtype)
     valid_data, _ = stage_dataset(valid_samples,
-                                  pad_to_multiple=tcfg.batch_size)
+                                  pad_to_multiple=tcfg.batch_size,
+                                  transfer_dtype=transfer_dtype)
     n_padded = int(valid_data["sample_weight"].shape[0])
     tx = make_optimizer(tcfg)
     step = _make_step_fn(model, tcfg, tx, impl=impl, fused=True)

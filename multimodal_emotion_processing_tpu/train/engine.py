@@ -65,6 +65,18 @@ def _cast_tree(tree, dtype):
         tree)
 
 
+def upcast_wire(batch):
+    """Undo the loader's wire-format compression (data/loader.py
+    cast_for_transfer): half-precision batch leaves are an H2D/staging byte
+    optimization, never a compute dtype — restore float32 before any math.
+    (bf16 COMPUTE stays opt-in via tcfg.compute_dtype, applied after this in
+    batch_loss; a bf16-wire + bf16-compute round trip is value-identical.)
+    No-op on float32 batches, so it is safe at the head of every step."""
+    return {k: (v.astype(jnp.float32)
+                if v.dtype in (jnp.float16, jnp.bfloat16) else v)
+            for k, v in batch.items()}
+
+
 def batch_loss(model, tcfg, params, batch, rng, train: bool, impl: str):
     """The reference loss contract: ZLPR mean (+ clip-validity masking for the
     paragraph model, + symmetric KL in training for Ren-MME R-Drop).
@@ -74,6 +86,7 @@ def batch_loss(model, tcfg, params, batch, rng, train: bool, impl: str):
     equal the reference's mean over the unpadded batch — no recompiles, no
     semantic drift.
     """
+    batch = upcast_wire(batch)
     if getattr(tcfg, "compute_dtype", "float32") == "bfloat16":
         # mixed precision: bf16 activations/weights on the MXU, fp32 master
         # params (caller's `params`) and fp32 loss/score math — including the
@@ -120,6 +133,7 @@ def _accum_value_and_grad(model, tcfg, impl, params, batch, sub,
     Dropout draws a fold_in(sub, i) key per micro-batch, so stochastic runs
     differ from the unaccumulated step (mask shapes differ anyway); with
     dropout off the equality is exact (tested)."""
+    batch = upcast_wire(batch)  # keep the d_i sums in f32 wire-independent
     rows = batch["label"].shape[0]
     if rows % accum_steps:
         raise ValueError(f"accum_steps={accum_steps} must divide the batch "
@@ -254,7 +268,7 @@ def make_scan_eval_step(model, tcfg, *, impl: str = "xla"):
 
 def make_predict_step(model, *, impl: str = "xla"):
     def step(params, batch):
-        return model.apply(params, batch, train=False, impl=impl)
+        return model.apply(params, upcast_wire(batch), train=False, impl=impl)
 
     return jax.jit(step)
 
@@ -265,7 +279,8 @@ def make_scan_predict_step(model, *, impl: str = "xla"):
     amortization; logits come back as (k, B, E))."""
     def step(params, batches):
         return jax.lax.scan(
-            lambda _, b: (None, model.apply(params, b, train=False, impl=impl)),
+            lambda _, b: (None, model.apply(params, upcast_wire(b),
+                                            train=False, impl=impl)),
             None, batches)[1]
 
     return jax.jit(step)
@@ -318,7 +333,8 @@ class Trainer:
                  prefetch: int = 2,
                  profile_dir: Optional[str] = None,
                  scan_steps: int = 1,
-                 mesh=None, tp: bool = False, accum_steps: int = 1):
+                 mesh=None, tp: bool = False, accum_steps: int = 1,
+                 transfer_dtype=None):
         """`profile_dir`: capture a jax.profiler trace of epoch 1 (steady
         state, post-compile) into this directory — view with Perfetto or the
         TensorBoard profile plugin.
@@ -338,7 +354,17 @@ class Trainer:
         single-device (the psum-mean over shards IS the full-batch mean);
         requires the per-step batch rows to divide the 'data' axis size.
         The optimizer runs per-leaf (fused flat-vector state cannot carry
-        per-leaf shardings)."""
+        per-leaf shardings).
+
+        `transfer_dtype` ("float16"/"bfloat16"): half-width H2D wire format —
+        float32 batch leaves are cast in the loader/prefetch worker and
+        restored to f32 in-graph (upcast_wire) before any math.  Halves the
+        per-batch transfer bytes (the data-fed bottleneck on relay/PCIe-bound
+        hosts); lossy ~1e-3 on features, exact on 0/1 masks/labels/weights;
+        default None keeps bit-exact torch-parity numerics."""
+        from ..data.loader import resolve_transfer_dtype
+
+        self.transfer_dtype = resolve_transfer_dtype(transfer_dtype)
         self.model = model
         self.tcfg = tcfg
         self.mesh = mesh
@@ -411,7 +437,12 @@ class Trainer:
 
             return prefetch_to_device(it, size=self.prefetch,
                                       sharding=self._batch_sharding(scan),
-                                      data_axis=1 if scan else 0)
+                                      data_axis=1 if scan else 0,
+                                      transfer_dtype=self.transfer_dtype)
+        if self.transfer_dtype is not None:
+            from ..data.loader import cast_for_transfer
+
+            it = (cast_for_transfer(b, self.transfer_dtype) for b in it)
         if self.mesh is not None:
             from ..parallel.mesh import put_global_batch
 

@@ -55,6 +55,7 @@ def run_kfold(
     tp: bool = False,
     seeds_per_fold: int = 1,
     accum_steps: int = 1,
+    transfer_dtype=None,
 ):
     """Train tcfg.n_folds * seeds_per_fold models.
     `make_loaders(train_samples, valid_samples)` -> (train_loader,
@@ -96,7 +97,7 @@ def run_kfold(
 
     trainer = Trainer(
         model, tcfg, impl=impl, scan_steps=scan_steps, mesh=mesh, tp=tp,
-        accum_steps=accum_steps,
+        accum_steps=accum_steps, transfer_dtype=transfer_dtype,
         checkpoint_cb=(lambda state, epoch, vl:
                        store.save_best(current["name"], state, epoch, vl))
         if store is not None else None,

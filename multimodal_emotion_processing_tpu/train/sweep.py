@@ -95,6 +95,7 @@ def run_lr_sweep(
     impl: str = "xla",
     duplicate: bool = False,
     log_cb=None,
+    transfer_dtype=None,
 ) -> SweepResult:
     """Train len(lrs) * len(wds or [default]) * seeds_per_lr candidates in
     one dispatch and rank them by best validation loss.  Device-resident
@@ -105,7 +106,10 @@ def run_lr_sweep(
     (lr x wd x seed), all still one compiled program (weight decay rides
     `optax.inject_hyperparams` exactly like the LR, so varying it is a
     vector set, not a recompile).  Adam configs carry but ignore it
-    (engine.make_optimizer)."""
+    (engine.make_optimizer).
+
+    `transfer_dtype` ("float16"/"bfloat16"): stage the datasets half-width
+    (device_epochs.stage_dataset; the steps upcast in-graph)."""
     from .device_epochs import (controller_step, gather_rows,
                                 padded_eval_indices, stage_dataset)
 
@@ -127,11 +131,13 @@ def run_lr_sweep(
     single_init, single_step, single_eval = _fold_fns(model, tcfg, impl)
     bs = tcfg.batch_size
     rows = bs * (2 if duplicate else 1)
-    train_data, n_train = stage_dataset(list(train_samples))
+    train_data, n_train = stage_dataset(list(train_samples),
+                                        transfer_dtype=transfer_dtype)
     n_steps_tr = n_train // bs
     if n_steps_tr == 0:
         raise ValueError(f"sweep needs >= {bs} train samples, have {n_train}")
-    valid_data, _ = stage_dataset(list(valid_samples), pad_to_multiple=bs)
+    valid_data, _ = stage_dataset(list(valid_samples), pad_to_multiple=bs,
+                                  transfer_dtype=transfer_dtype)
     n_ev = int(valid_data["sample_weight"].shape[0]) // bs
 
     n_epochs = tcfg.epochs if epochs is None else epochs

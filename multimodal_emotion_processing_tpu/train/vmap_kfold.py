@@ -104,6 +104,7 @@ def run_kfold_vmapped(
     mesh=None,
     seeds_per_fold: int = 1,
     resume: bool = False,
+    transfer_dtype=None,
 ):
     """Drop-in alternative to kfold.run_kfold with the same fold carving and
     checkpoint contract; returns (stacked final TrainState, histories[m],
@@ -155,7 +156,15 @@ def run_kfold_vmapped(
     trajectory bit-equal to the uninterrupted one (tested); host-fed
     loaders restart their own seed streams, so exact equality additionally
     needs shuffle-free loaders (the sequential driver's documented caveat,
-    kfold.run_kfold)."""
+    kfold.run_kfold).
+
+    `transfer_dtype` ("float16"/"bfloat16"): half-width wire format — host-fed
+    batches (and the device-resident staged dataset) move/store float32
+    leaves half-width; the steps upcast in-graph (engine.upcast_wire).  See
+    data/loader.cast_for_transfer for the precision contract."""
+    from ..data.loader import cast_for_transfer, resolve_transfer_dtype
+
+    wire = resolve_transfer_dtype(transfer_dtype)
     k = tcfg.n_folds
     samples = list(samples)
     rng = random.Random(shuffle_seed)
@@ -184,6 +193,7 @@ def run_kfold_vmapped(
         bsh_scan = NamedSharding(mesh, P(None, None, "data"))  # (s, k, B, ...)
 
     def _put(batch, sharding, data_axis):
+        batch = cast_for_transfer(batch, wire)
         if mesh is None:
             return batch
         from ..parallel.mesh import put_global_batch
@@ -246,7 +256,8 @@ def run_kfold_vmapped(
 
         bs = tcfg.batch_size
         rows = bs * (2 if duplicate else 1)
-        data, _ = stage_dataset(samples)  # one tested SoA-staging impl
+        # one tested SoA-staging impl (half-width staging under `wire`)
+        data, _ = stage_dataset(samples, transfer_dtype=wire)
         if mesh is not None:
             # staged rows replicate (tiny datasets; arbitrary-index gathers
             # across shards would be all-to-all); the per-batch sharding
@@ -459,6 +470,7 @@ def run_kfold_fully_compiled(
     log_cb=None,
     mesh=None,
     seeds_per_fold: int = 1,
+    transfer_dtype=None,
 ):
     """The ENTIRE k-fold bagging experiment — every fold x every epoch — as
     ONE jitted dispatch: the fold axis rides vmap (run_kfold_vmapped), the
@@ -497,7 +509,7 @@ def run_kfold_fully_compiled(
 
     bs = tcfg.batch_size
     rows = bs * (2 if duplicate else 1)
-    data, _ = stage_dataset(samples)
+    data, _ = stage_dataset(samples, transfer_dtype=transfer_dtype)
     bsh = None
     if mesh is not None:
         # fold axis on vmap + batch axis sharded over 'data' (see

@@ -1,0 +1,265 @@
+"""Half-width H2D wire format (`transfer_dtype`).
+
+The loader may cast float32 batch leaves to float16/bfloat16 for the
+host->device transfer (and for the device-resident HBM staging); the jitted
+steps restore float32 in-graph before any math (engine.upcast_wire).  The
+contract under test: the wire format is a BYTE optimization, not a compute
+dtype — with float16-representable inputs every driver's trajectory is
+unchanged, and with arbitrary inputs only the documented ~1e-3 feature
+rounding enters.
+"""
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multimodal_emotion_processing_tpu import configs
+from multimodal_emotion_processing_tpu.data.loader import (
+    Batcher, cast_for_transfer, prefetch_to_device, resolve_transfer_dtype)
+from multimodal_emotion_processing_tpu.data.synthetic import synthetic_dataset
+from multimodal_emotion_processing_tpu.models import build_model
+from multimodal_emotion_processing_tpu.train import engine as eng
+from multimodal_emotion_processing_tpu.train.engine import Trainer, upcast_wire
+from multimodal_emotion_processing_tpu.train.vmap_kfold import (
+    run_kfold_fully_compiled, run_kfold_vmapped)
+
+
+def _round_f16(samples):
+    """Snap float32 features onto the float16 grid so the f16 wire round-trip
+    is value-identical and trajectory comparisons can be exact."""
+    return [{k: (v.astype(np.float16).astype(np.float32)
+                 if v.dtype == np.float32 else v) for k, v in s.items()}
+            for s in samples]
+
+
+def _exp():
+    exp = configs.get("rencecps")
+    return dataclasses.replace(
+        exp,
+        model=dataclasses.replace(exp.model, dim=16),
+        train=dataclasses.replace(exp.train, n_folds=2, batch_size=8))
+
+
+def _loaders(exp):
+    def make_loaders(train, valid):
+        return (Batcher(train, exp.train.batch_size, seed=1),
+                Batcher(valid, exp.train.batch_size, shuffle=False))
+    return make_loaders
+
+
+def test_cast_for_transfer_leaves():
+    batch = {"feat": np.ones((2, 3), np.float32) * 1.5,
+             "idx": np.arange(2, dtype=np.int32),
+             "flag": np.array([True, False]),
+             "half": np.ones(2, np.float16)}
+    out = cast_for_transfer(batch, resolve_transfer_dtype("float16"))
+    assert out["feat"].dtype == np.float16
+    assert out["idx"].dtype == np.int32          # non-float untouched
+    assert out["flag"].dtype == np.bool_
+    assert out["half"].dtype == np.float16       # already half: pass-through
+    assert cast_for_transfer(batch, None) is batch
+
+    bf = cast_for_transfer(batch, resolve_transfer_dtype("bfloat16"))
+    assert bf["feat"].dtype == jnp.bfloat16
+
+
+def test_resolve_transfer_dtype_rejects_unknown():
+    with pytest.raises(ValueError, match="transfer_dtype"):
+        resolve_transfer_dtype("float8")
+
+
+def test_upcast_wire_restores_float32():
+    x = np.linspace(-3, 3, 16, dtype=np.float32).astype(np.float16)
+    batch = {"a": jnp.asarray(x), "b": jnp.arange(4),
+             "c": jnp.ones(4, jnp.bfloat16)}
+    out = upcast_wire(batch)
+    assert out["a"].dtype == jnp.float32
+    assert out["c"].dtype == jnp.float32
+    assert out["b"].dtype == batch["b"].dtype
+    np.testing.assert_array_equal(np.asarray(out["a"]),
+                                  x.astype(np.float32))
+
+
+def test_prefetch_transfer_dtype_and_step():
+    exp = _exp()
+    samples = _round_f16(synthetic_dataset("rencecps", exp.model, n=24,
+                                           seed=0))
+    model = build_model(exp)
+    tx, step = eng.make_train_step(model, exp.train, donate=False)
+    state = eng.init_state(model, tx, seed=0)
+
+    batcher = Batcher(samples, exp.train.batch_size, shuffle=False)
+    wired = list(prefetch_to_device(iter(batcher()),
+                                    transfer_dtype="float16"))
+    assert all(b["feat"].dtype == jnp.float16 for b in wired)
+    assert all(b["sample_weight"].dtype == jnp.float16 for b in wired)
+
+    plain = list(prefetch_to_device(iter(batcher())))
+    s_w = s_p = state
+    for bw, bp in zip(wired, plain):
+        s_w, loss_w = step(s_w, bw)
+        s_p, loss_p = step(s_p, bp)
+        # same f32 values after the in-graph upcast -> same math (tolerance
+        # only for XLA refusing to guarantee fusion-order stability across
+        # the two programs)
+        np.testing.assert_allclose(float(loss_w), float(loss_p),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_trainer_wire_exact_on_f16_grid():
+    exp = _exp()
+    samples = _round_f16(synthetic_dataset("rencecps", exp.model, n=32,
+                                           seed=1))
+    model = build_model(exp)
+    train, valid = samples[:24], samples[24:]
+
+    def loaders():
+        return (lambda: Batcher(train, 8, seed=2)(),
+                lambda: Batcher(valid, 8, shuffle=False)())
+
+    tl, vl = loaders()
+    _, hist = Trainer(model, exp.train).fit(tl, vl, epochs=2)
+    tl, vl = loaders()
+    _, hist16 = Trainer(model, exp.train,
+                        transfer_dtype="float16").fit(tl, vl, epochs=2)
+    for a, b in zip(hist, hist16):
+        np.testing.assert_allclose(b.train_loss, a.train_loss,
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(b.valid_loss, a.valid_loss,
+                                   rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("mode", ["hostfed", "device_resident"])
+def test_vmapped_wire_matches_plain(mode):
+    exp = _exp()
+    model = build_model(exp)
+    samples = _round_f16(synthetic_dataset("rencecps", exp.model, n=64,
+                                           seed=2))
+    kw = dict(epochs=2, shuffle_seed=0,
+              device_resident=(mode == "device_resident"))
+    _, h0, _, l0 = run_kfold_vmapped(samples, _loaders(exp), model,
+                                     exp.train, **kw)
+    _, h1, _, l1 = run_kfold_vmapped(samples, _loaders(exp), model,
+                                     exp.train, transfer_dtype="float16",
+                                     **kw)
+    for hist0, hist1 in zip(h0, h1):
+        assert len(hist0) == len(hist1)
+        for a, b in zip(hist0, hist1):
+            np.testing.assert_allclose(b.train_loss, a.train_loss,
+                                       rtol=1e-6, atol=1e-7)
+            np.testing.assert_allclose(b.valid_loss, a.valid_loss,
+                                       rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(l1, l0, rtol=1e-6, atol=1e-7)
+
+
+def test_fully_compiled_wire_matches_plain():
+    exp = _exp()
+    model = build_model(exp)
+    samples = _round_f16(synthetic_dataset("rencecps", exp.model, n=64,
+                                           seed=3))
+    _, h0, _, l0 = run_kfold_fully_compiled(samples, model, exp.train,
+                                            epochs=2, shuffle_seed=0)
+    _, h1, _, l1 = run_kfold_fully_compiled(samples, model, exp.train,
+                                            epochs=2, shuffle_seed=0,
+                                            transfer_dtype="float16")
+    for hist0, hist1 in zip(h0, h1):
+        for a, b in zip(hist0, hist1):
+            np.testing.assert_allclose(b.valid_loss, a.valid_loss,
+                                       rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(l1, l0, rtol=1e-6, atol=1e-7)
+
+
+def test_bfloat16_wire_close_on_unrounded_features():
+    """Arbitrary f32 features: bf16 wire rounds at ~0.4% relative — the
+    trajectory must stay close (the documented lossy contract), not exact."""
+    exp = _exp()
+    samples = synthetic_dataset("rencecps", exp.model, n=32, seed=4)
+    model = build_model(exp)
+    train, valid = samples[:24], samples[24:]
+
+    def fit(dtype):
+        return Trainer(model, exp.train, transfer_dtype=dtype).fit(
+            lambda: Batcher(train, 8, seed=2)(),
+            lambda: Batcher(valid, 8, shuffle=False)(), epochs=2)[1]
+
+    h0, hb = fit(None), fit("bfloat16")
+    for a, b in zip(h0, hb):
+        np.testing.assert_allclose(b.train_loss, a.train_loss, rtol=0.05)
+        np.testing.assert_allclose(b.valid_loss, a.valid_loss, rtol=0.05)
+
+
+def test_accum_steps_with_wire_batch():
+    exp = _exp()
+    samples = _round_f16(synthetic_dataset("rencecps", exp.model, n=8,
+                                           seed=5))
+    model = build_model(exp)
+    batch = next(iter(Batcher(samples, 8, shuffle=False)()))
+    tx, step2 = eng.make_train_step(model, exp.train, accum_steps=2,
+                                    donate=False)
+    state = eng.init_state(model, tx, seed=0)
+    _, loss_f32 = step2(state, batch)
+    _, loss_f16 = step2(state, cast_for_transfer(
+        batch, resolve_transfer_dtype("float16")))
+    np.testing.assert_allclose(float(loss_f16), float(loss_f32),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_sweep_wire_matches_plain():
+    from multimodal_emotion_processing_tpu.train.sweep import run_lr_sweep
+
+    exp = _exp()
+    model = build_model(exp)
+    samples = _round_f16(synthetic_dataset("rencecps", exp.model, n=40,
+                                           seed=6))
+    kw = dict(lrs=[1e-3, 3e-4], epochs=2)
+    r0 = run_lr_sweep(samples[:32], samples[32:], model, exp.train, **kw)
+    r1 = run_lr_sweep(samples[:32], samples[32:], model, exp.train,
+                      transfer_dtype="float16", **kw)
+    assert r1.winner == r0.winner
+    for a, b in zip(r0.members, r1.members):
+        np.testing.assert_allclose(b.best_valid_loss, a.best_valid_loss,
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_ensemble_predict_all_wire_matches_plain():
+    from multimodal_emotion_processing_tpu.eval.ensemble import Ensemble
+
+    exp = _exp()
+    model = build_model(exp)
+    samples = _round_f16(synthetic_dataset("rencecps", exp.model, n=20,
+                                           seed=7))
+    members = [model.init(jax.random.PRNGKey(s)) for s in (0, 1)]
+    ens = Ensemble(model, members)
+    loader = lambda: Batcher(samples, 8, shuffle=False)()
+    lg0 = ens.predict_all(loader)
+    lg16 = ens.predict_all(loader, transfer_dtype="float16")
+    assert lg0.shape == (20, 9)
+    np.testing.assert_allclose(lg16, lg0, rtol=1e-6, atol=1e-7)
+
+
+def test_cli_parses_transfer_dtype():
+    from multimodal_emotion_processing_tpu.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["train", "rencecps", "--transfer-dtype", "float16"])
+    assert args.transfer_dtype == "float16"
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(
+            ["train", "rencecps", "--transfer-dtype", "float8"])
+
+
+def test_run_experiment_transfer_dtype_smoke():
+    from multimodal_emotion_processing_tpu.pipelines import run_experiment
+
+    res = run_experiment(
+        "rencecps", synthetic_data=True, n_train=48, n_test=12, epochs=1,
+        quiet=True, transfer_dtype="float16",
+        overrides={"train.n_folds": 2, "train.batch_size": 8,
+                   "model.dim": 16})
+    assert res.report is not None
+    assert all(np.isfinite([h.valid_loss for hist in res.fold_histories
+                            for h in hist]).tolist())
