@@ -317,9 +317,13 @@ def main():
     else:
         log("data-fed phase skipped: budget")
 
-    # half-width wire format: same data-fed loop with float16 H2D payloads
-    # (upcast in-graph; ~2x fewer transfer bytes — the put cost is
-    # byte-proportional on this relay, 543 -> 221 ms for a flagship batch)
+    # compressed wire formats: same data-fed loop with float16 (2x fewer
+    # bytes) and int8 (4x fewer feature bytes) H2D payloads, upcast/
+    # dequantized in-graph.  The put cost is byte-proportional on this relay
+    # (543 -> 221 ms f32 -> f16 for a flagship batch); NOTE the phases run
+    # sequentially, so x-vs-x ratios here carry the relay's ~4x weather —
+    # the interleaved A/B/C (ENGINEERING_NOTES 2026-08-18) is the honest
+    # comparison: int8 ~2x f32 every round, f16 in between
     datafed_f16 = datafed_f16_med = None
     if datafed is not None and elapsed() < budget_s * 0.75:
         try:
@@ -332,6 +336,18 @@ def main():
             log(f"data-fed f16-wire phase failed: {e!r}")
     else:
         log("data-fed f16-wire phase skipped: budget or no f32 reference")
+    datafed_i8 = datafed_i8_med = None
+    if datafed is not None and elapsed() < budget_s * 0.78:
+        try:
+            datafed_i8, datafed_i8_med = measure_jax_datafed(
+                exp, transfer_dtype="int8")
+            log(f"jax[xla] data-fed int8-wire: best {datafed_i8:.1f} / "
+                f"median {datafed_i8_med:.1f} samples/s "
+                f"({datafed_i8 / max(datafed, 1e-9):.2f}x best-vs-best)")
+        except Exception as e:
+            log(f"data-fed int8-wire phase failed: {e!r}")
+    else:
+        log("data-fed int8-wire phase skipped: budget or no f32 reference")
 
     # bf16 compute (f32 master weights): diagnostics-only — the headline
     # stays on the f32 torch-parity path, but the knob's honest value on
@@ -480,6 +496,8 @@ def main():
                                   "median": r1(datafed_med)},
             "datafed_train_sps_f16_wire": {"best": r1(datafed_f16),
                                            "median": r1(datafed_f16_med)},
+            "datafed_train_sps_int8_wire": {"best": r1(datafed_i8),
+                                            "median": r1(datafed_i8_med)},
             "bf16": {"train_sps": r1(bf16_train),
                      "infer_sps": r1(bf16_infer),
                      "mfu": mfu_of(bf16_train, bf16_infer)},

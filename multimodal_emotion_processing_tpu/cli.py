@@ -75,13 +75,16 @@ def build_parser():
                              "this many sequential micro-batches (exact "
                              "full-batch gradient; ~N-fold lower activation "
                              "memory; sequential k-fold driver only)")
-        sp.add_argument("--transfer-dtype", choices=["float16", "bfloat16"],
+        sp.add_argument("--transfer-dtype",
+                        choices=["float16", "bfloat16", "int8"],
                         default=None,
-                        help="half-width host->device wire format: float32 "
+                        help="compressed host->device wire format: float32 "
                              "batch leaves are cast before the transfer and "
-                             "restored to f32 in-graph — halves the data-fed "
-                             "path's H2D bytes (~1e-3 feature rounding; "
-                             "default keeps bit-exact numerics)")
+                             "restored to f32 in-graph — float16/bfloat16 "
+                             "halve the data-fed path's H2D bytes (~1e-3 "
+                             "feature rounding), int8 quantizes features "
+                             "4x (sequential driver only; masks/labels stay "
+                             "exact); default keeps bit-exact numerics)")
         sp.add_argument("--dp", type=int, default=None,
                         help="data-parallel over N mesh devices: batches "
                              "sharded on the 'data' axis, gradients "

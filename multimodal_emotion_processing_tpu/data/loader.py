@@ -30,12 +30,25 @@ import numpy as np
 
 #: wire formats for `cast_for_transfer` — "float16" (exact for the 0/1
 #: mask/label/weight vectors, ~1e-3 relative rounding on features, saturates
-#: at ±65504) and "bfloat16" (full f32 range, coarser mantissa).
-WIRE_DTYPES = {"float16": np.float16, "bfloat16": jnp.bfloat16}
+#: at ±65504), "bfloat16" (full f32 range, coarser mantissa), and "int8"
+#: (per-row symmetric quantization of FEATURE keys, ~4x fewer bytes;
+#: mask/weight/label keys ride exact float16 — see cast_for_transfer).
+WIRE_DTYPES = {"float16": np.float16, "bfloat16": jnp.bfloat16,
+               "int8": "int8"}
+
+#: f32 keys whose name contains one of these stay on the EXACT f16 path
+#: under the "int8" wire (their values are 0/1 flags whose semantics — e.g.
+#: the -1e8 additive attention mask — must not pick up quantization noise).
+EXACT_KEY_SUBSTRINGS = ("mask", "weight", "label")
+
+#: reserved suffix for the int8 wire's per-row dequantization scales
+#: (consumed and dropped by train/engine.upcast_wire).
+WIRE_SCALE_SUFFIX = "__wire_scale"
 
 
 def resolve_transfer_dtype(dtype):
-    """None | "float16" | "bfloat16" | numpy dtype -> numpy dtype or None."""
+    """None | "float16" | "bfloat16" | "int8" | numpy dtype ->
+    numpy dtype, the "int8" sentinel, or None."""
     if dtype is None:
         return None
     if isinstance(dtype, str):
@@ -47,20 +60,48 @@ def resolve_transfer_dtype(dtype):
 
 
 def cast_for_transfer(batch: Dict[str, np.ndarray], dtype) -> Dict:
-    """Halve the host->device wire bytes: float32 leaves -> `dtype`
-    (float16/bfloat16); everything else passes through.  The jitted steps
-    restore float32 in-graph (train/engine.upcast_wire) before any math, so
-    half precision is a TRANSFER format, never a compute dtype.  On this
-    image's network-relayed chip the put cost is byte-proportional
-    (f32 543 ms -> f16 221 ms for a flagship-sized payload, 2026-08-18), and
-    the data-fed path is transfer-bound (SURVEY §7.3.5) — this is the wire's
-    equivalent of the loader's other overhead amortizations.  Lossy on
-    features (~1e-3 relative for float16), exact on 0/1 masks/labels/weights;
-    default OFF everywhere so torch-parity numerics stay bit-exact."""
+    """Shrink the host->device wire bytes; the jitted steps restore float32
+    in-graph (train/engine.upcast_wire) before any math, so these are
+    TRANSFER formats, never compute dtypes.  On this image's network-relayed
+    chip the put cost is byte-proportional (f32 543 ms -> f16 221 ms for a
+    flagship-sized payload, 2026-08-18), and the data-fed path is
+    transfer-bound (SURVEY §7.3.5).
+
+      * float16/bfloat16 (2x fewer bytes): every float32 leaf is cast;
+        lossy ~1e-3 relative on features (f16 saturates at ±65504; bf16 is
+        range-safe), exact on 0/1 masks/labels/weights.
+      * "int8" (4x fewer feature bytes): float32 FEATURE keys are
+        symmetrically quantized per leading-axis row (q = round(v/s),
+        s = rowwise max|v|/127, shipped as a small '<key>__wire_scale' f32
+        vector; worst-case error s/2 per element); keys whose name contains
+        mask/weight/label take the exact float16 path.  Quantization
+        granularity follows the array's leading axis, so casting a
+        scan-stacked (k, B, ...) group uses per-group scales — int8 is
+        explicitly lossy and shape-dependent, unlike the half-float wires.
+
+    Default OFF everywhere so torch-parity numerics stay bit-exact."""
     if dtype is None:
         return batch
-    return {k: (v.astype(dtype) if v.dtype == np.float32 else v)
-            for k, v in batch.items()}
+    if not isinstance(dtype, str):  # numpy half-float wire
+        return {k: (v.astype(dtype) if v.dtype == np.float32 else v)
+                for k, v in batch.items()}
+    assert dtype == "int8", dtype
+    out = {}
+    for k, v in batch.items():
+        if v.dtype != np.float32:
+            out[k] = v
+        elif any(t in k for t in EXACT_KEY_SUBSTRINGS):
+            out[k] = v.astype(np.float16)  # 0/1 values: exact
+        else:
+            flat = np.abs(v).reshape(v.shape[0], -1) if v.ndim > 1 \
+                else np.abs(v)[:, None]
+            scale = np.maximum(flat.max(axis=1) / 127.0,
+                               1e-12).astype(np.float32)
+            bshape = (-1,) + (1,) * (v.ndim - 1)
+            out[k] = np.clip(np.round(v / scale.reshape(bshape)),
+                             -127, 127).astype(np.int8)
+            out[k + WIRE_SCALE_SUFFIX] = scale
+    return out
 
 
 class Batcher:

@@ -305,6 +305,12 @@ def _run_experiment(
         _log(f"[{config_name}] accum_steps > 1 uses the sequential k-fold "
              "driver; disabling vmap_folds", quiet)
         vmap_folds = False
+    if transfer_dtype == "int8" and vmap_folds:
+        # per-batch int8 scales cannot ride the model-axis vmap/scan
+        # (train/vmap_kfold.py guard); the sequential driver carries them
+        _log(f"[{config_name}] int8 wire uses the sequential k-fold driver; "
+             "disabling vmap_folds", quiet)
+        vmap_folds = False
     if mesh is not None and tp > 1 and vmap_folds:
         # TP shards per-leaf params/optimizer state; the vmapped drivers run
         # a fused flat-vector optimizer that cannot carry those shardings —

@@ -52,6 +52,10 @@ def stage_dataset(samples, *, pad_to_multiple: Optional[int] = None,
     (engine.upcast_wire).  Returns (device data dict, n_real)."""
     from ..data.loader import cast_for_transfer, resolve_transfer_dtype
 
+    if resolve_transfer_dtype(transfer_dtype) == "int8":
+        raise ValueError(
+            "int8 wire is host-fed only (its per-row scales do not compose "
+            "with HBM staging + gathers); use float16/bfloat16 here")
     samples = list(samples)
     if not samples:
         raise ValueError("empty sample list")

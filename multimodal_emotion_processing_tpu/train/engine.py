@@ -69,12 +69,27 @@ def upcast_wire(batch):
     """Undo the loader's wire-format compression (data/loader.py
     cast_for_transfer): half-precision batch leaves are an H2D/staging byte
     optimization, never a compute dtype — restore float32 before any math.
+    int8-quantized leaves dequantize against their '<key>__wire_scale'
+    rows (the scale keys are consumed and dropped here).
     (bf16 COMPUTE stays opt-in via tcfg.compute_dtype, applied after this in
     batch_loss; a bf16-wire + bf16-compute round trip is value-identical.)
     No-op on float32 batches, so it is safe at the head of every step."""
-    return {k: (v.astype(jnp.float32)
-                if v.dtype in (jnp.float16, jnp.bfloat16) else v)
-            for k, v in batch.items()}
+    from ..data.loader import WIRE_SCALE_SUFFIX
+
+    out = {}
+    for k, v in batch.items():
+        if k.endswith(WIRE_SCALE_SUFFIX):
+            continue
+        s = batch.get(k + WIRE_SCALE_SUFFIX)
+        if s is not None:
+            s = jnp.asarray(s)
+            out[k] = v.astype(jnp.float32) * s.reshape(
+                s.shape + (1,) * (v.ndim - s.ndim))
+        elif v.dtype in (jnp.float16, jnp.bfloat16):
+            out[k] = v.astype(jnp.float32)
+        else:
+            out[k] = v
+    return out
 
 
 def batch_loss(model, tcfg, params, batch, rng, train: bool, impl: str):
@@ -365,6 +380,11 @@ class Trainer:
         from ..data.loader import resolve_transfer_dtype
 
         self.transfer_dtype = resolve_transfer_dtype(transfer_dtype)
+        if self.transfer_dtype == "int8" and mesh is not None:
+            raise ValueError(
+                "int8 wire does not compose with a mesh (the per-row scale "
+                "vectors cannot be sliced along the scan axis by "
+                "put_global_batch); use float16/bfloat16 with dp/tp")
         self.model = model
         self.tcfg = tcfg
         self.mesh = mesh

@@ -165,6 +165,11 @@ def run_kfold_vmapped(
     from ..data.loader import cast_for_transfer, resolve_transfer_dtype
 
     wire = resolve_transfer_dtype(transfer_dtype)
+    if wire == "int8":
+        raise ValueError(
+            "int8 wire does not compose with the vmapped drivers (scalar "
+            "per-batch scales cannot ride the model-axis vmap/scan); use "
+            "float16/bfloat16 here or the sequential driver for int8")
     k = tcfg.n_folds
     samples = list(samples)
     rng = random.Random(shuffle_seed)

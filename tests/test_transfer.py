@@ -241,6 +241,105 @@ def test_ensemble_predict_all_wire_matches_plain():
     np.testing.assert_allclose(lg16, lg0, rtol=1e-6, atol=1e-7)
 
 
+def test_int8_quantization_error_bound():
+    rng = np.random.default_rng(0)
+    batch = {"feat": (rng.standard_normal((4, 8, 6)) * 50).astype(np.float32),
+             "x_mask": (rng.random((4, 8)) > 0.3).astype(np.float32),
+             "label": rng.integers(0, 2, (4, 9)).astype(np.int32)}
+    wired = cast_for_transfer(batch, resolve_transfer_dtype("int8"))
+    assert wired["feat"].dtype == np.int8
+    assert wired["feat__wire_scale"].shape == (4,)
+    assert wired["x_mask"].dtype == np.float16    # exact path
+    assert wired["label"].dtype == np.int32
+
+    out = upcast_wire({k: jnp.asarray(v) for k, v in wired.items()})
+    assert set(out) == {"feat", "x_mask", "label"}  # scale keys consumed
+    deq = np.asarray(out["feat"])
+    # symmetric per-row quantization: worst-case error is scale/2
+    bound = wired["feat__wire_scale"][:, None, None] / 2 + 1e-6
+    assert np.all(np.abs(deq - batch["feat"]) <= bound)
+    np.testing.assert_array_equal(np.asarray(out["x_mask"]),
+                                  batch["x_mask"])
+
+
+def test_int8_trainer_close_and_scan_composes():
+    exp = _exp()
+    samples = synthetic_dataset("rencecps", exp.model, n=32, seed=8)
+    model = build_model(exp)
+    train, valid = samples[:24], samples[24:]
+
+    def fit(**kw):
+        return Trainer(model, exp.train, **kw).fit(
+            lambda: Batcher(train, 8, seed=2)(),
+            lambda: Batcher(valid, 8, shuffle=False)(), epochs=2)[1]
+
+    h0 = fit()
+    h8 = fit(transfer_dtype="int8")
+    for a, b in zip(h0, h8):
+        # int8 quantization noise (~0.4% of per-row max-abs) perturbs the
+        # trajectory slightly — the lossy contract, not exactness
+        np.testing.assert_allclose(b.train_loss, a.train_loss, rtol=0.05)
+        np.testing.assert_allclose(b.valid_loss, a.valid_loss, rtol=0.05)
+    h8s = fit(transfer_dtype="int8", scan_steps=2)
+    assert all(np.isfinite([e.train_loss for e in h8s]))
+    for a, b in zip(h8, h8s):
+        # scan stacks before casting -> coarser (per-group) scales; close,
+        # not equal (documented in cast_for_transfer)
+        np.testing.assert_allclose(b.valid_loss, a.valid_loss, rtol=0.05)
+
+
+def test_int8_guards():
+    exp = _exp()
+    model = build_model(exp)
+    samples = synthetic_dataset("rencecps", exp.model, n=32, seed=9)
+
+    with pytest.raises(ValueError, match="int8"):
+        run_kfold_vmapped(samples, _loaders(exp), model, exp.train,
+                          epochs=1, transfer_dtype="int8")
+    from multimodal_emotion_processing_tpu.train.device_epochs import (
+        stage_dataset)
+    with pytest.raises(ValueError, match="int8"):
+        stage_dataset(samples, transfer_dtype="int8")
+    from multimodal_emotion_processing_tpu.parallel.mesh import make_mesh
+    with pytest.raises(ValueError, match="int8"):
+        Trainer(model, exp.train, mesh=make_mesh(n_data=2),
+                transfer_dtype="int8")
+
+
+def test_int8_accum_and_ensemble():
+    from multimodal_emotion_processing_tpu.eval.ensemble import Ensemble
+
+    exp = _exp()
+    model = build_model(exp)
+    samples = synthetic_dataset("rencecps", exp.model, n=8, seed=10)
+    batch = next(iter(Batcher(samples, 8, shuffle=False)()))
+    tx, step2 = eng.make_train_step(model, exp.train, accum_steps=2,
+                                    donate=False)
+    state = eng.init_state(model, tx, seed=0)
+    _, loss_f32 = step2(state, batch)
+    _, loss_i8 = step2(state, cast_for_transfer(
+        batch, resolve_transfer_dtype("int8")))
+    np.testing.assert_allclose(float(loss_i8), float(loss_f32), rtol=0.05)
+
+    ens = Ensemble(model, [model.init(jax.random.PRNGKey(0))])
+    lg0 = ens.predict_all(lambda: Batcher(samples, 8, shuffle=False)())
+    lg8 = ens.predict_all(lambda: Batcher(samples, 8, shuffle=False)(),
+                          transfer_dtype="int8")
+    np.testing.assert_allclose(lg8, lg0, rtol=0.1, atol=0.05)
+
+
+def test_run_experiment_int8_falls_back_to_sequential(capsys):
+    from multimodal_emotion_processing_tpu.pipelines import run_experiment
+
+    res = run_experiment(
+        "rencecps", synthetic_data=True, n_train=48, n_test=12, epochs=1,
+        transfer_dtype="int8",
+        overrides={"train.n_folds": 2, "train.batch_size": 8,
+                   "model.dim": 16})
+    assert res.report is not None
+    assert "sequential k-fold driver" in capsys.readouterr().err
+
+
 def test_cli_parses_transfer_dtype():
     from multimodal_emotion_processing_tpu.cli import build_parser
 
