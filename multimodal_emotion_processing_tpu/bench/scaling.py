@@ -30,12 +30,16 @@ import time
 # (name, dim, n_heads, l_len, v_len, a_len, batch): the flagship mosei_trans
 # architecture scaled.  Feature dims (l_dim/v_dim/a_dim) stay at the
 # reference's raw-modality sizes — scaling the LEARNED dims is the realistic
-# axis (a bigger encoder over the same features).
+# axis (a bigger encoder over the same features).  The scaled points are
+# first-class presets (configs.SCALE_POINTS -> 'mosei_trans_s256' etc.); this
+# table just adds the reference point for the sweep.
+from multimodal_emotion_processing_tpu import configs as _configs
+
 POINTS = {
     "ref": dict(dim=96, n_heads=6, l_len=20, v_len=100, a_len=200, batch=64),
-    "s256": dict(dim=256, n_heads=8, l_len=64, v_len=128, a_len=256, batch=64),
-    "s512": dict(dim=512, n_heads=8, l_len=128, v_len=256, a_len=512, batch=32),
-    "s1024": dict(dim=1024, n_heads=16, l_len=128, v_len=256, a_len=512, batch=16),
+    **{p: dict(dim=s["dim"], n_heads=s["n_heads"], l_len=s["l_len"],
+               v_len=s["v_len"], a_len=s["a_len"], batch=s["batch_size"])
+       for p, s in _configs.SCALE_POINTS.items()},
 }
 
 

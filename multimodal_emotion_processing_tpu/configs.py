@@ -210,12 +210,57 @@ def robot_demo() -> ExperimentConfig:
     )
 
 
+# Scaled production presets — the flagship architecture grown to dims that
+# actually feed the v5e's 128x128 MXU.  The reference operates at ONE size
+# (dim 96, cmu-mosei/run.py:37-42) where ANY framework is small-matmul-bound
+# (~2% MFU measured); these points are the measured scaling ladder from
+# bench/scaling.py (docs/ENGINEERING_NOTES.md "MFU scaling sweep": 20.8% of
+# bf16 peak at s1024 with zero code changes).  Feature dims stay at the raw
+# modality sizes — the realistic axis is a bigger encoder over the same
+# features.  Beyond-reference: these presets default to bfloat16 compute
+# (measured +9-19% at these dims; fp32 master weights either way) — pass
+# --set train.compute_dtype=float32 for exact-f32 semantics.
+SCALE_POINTS = {
+    "s256": dict(dim=256, n_heads=8, l_len=64, v_len=128, a_len=256,
+                 batch_size=64),
+    "s512": dict(dim=512, n_heads=8, l_len=128, v_len=256, a_len=512,
+                 batch_size=32),
+    "s1024": dict(dim=1024, n_heads=16, l_len=128, v_len=256, a_len=512,
+                  batch_size=16),
+}
+
+
+def family(name: str) -> str:
+    """Resolve a config name to its data/model family: scaled presets
+    ('mosei_trans_s256') share the base config's samplers, corpus adapters,
+    and eval semantics."""
+    import re
+
+    return re.sub(r"_s\d+$", "", name)
+
+
+def _mosei_trans_scaled(point: str) -> ExperimentConfig:
+    spec = SCALE_POINTS[point]
+    base = mosei_trans()
+    return dataclasses.replace(
+        base,
+        name=f"mosei_trans_{point}",
+        model=dataclasses.replace(
+            base.model, dim=spec["dim"], n_heads=spec["n_heads"],
+            l_len=spec["l_len"], v_len=spec["v_len"], a_len=spec["a_len"]),
+        train=dataclasses.replace(
+            base.train, batch_size=spec["batch_size"],
+            compute_dtype="bfloat16"))
+
+
 REGISTRY = {
     "mosei_trans": mosei_trans,
     "mosei_realformer": mosei_realformer,
     "rencecps": rencecps,
     "ren_mme": ren_mme,
     "robot_demo": robot_demo,
+    **{f"mosei_trans_{p}": (lambda p=p: _mosei_trans_scaled(p))
+       for p in SCALE_POINTS},
 }
 
 

@@ -145,5 +145,9 @@ SAMPLERS = {
 
 def synthetic_dataset(config_name: str, m, n: int, seed: int = 0) -> List[Dict]:
     rng = np.random.default_rng(seed)
-    sampler = SAMPLERS[config_name]
+    sampler = SAMPLERS.get(config_name)
+    if sampler is None:  # scaled presets ride their family's sampler
+        from ..configs import family
+
+        sampler = SAMPLERS[family(config_name)]
     return [sampler(rng, m) for _ in range(n)]

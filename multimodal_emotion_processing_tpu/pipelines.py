@@ -57,7 +57,9 @@ def load_real_data(exp, data_root: str):
     per config is documented in README.md (mirrors the reference's paths).
     Returns (train, test, ctx); ctx is config-specific loader context
     (robot_demo: assembler/table/names for per-epoch substitution)."""
-    name = exp.name
+    from . import configs as _cfg
+
+    name = _cfg.family(exp.name)  # scaled presets read their family's corpus
     m = exp.model
     if name in ("mosei_trans", "mosei_realformer"):
         from .data import mosei
