@@ -82,8 +82,9 @@ def build_parser():
                              "batch leaves are cast before the transfer and "
                              "restored to f32 in-graph — float16/bfloat16 "
                              "halve the data-fed path's H2D bytes (~1e-3 "
-                             "feature rounding), int8 quantizes features "
-                             "4x (sequential driver only; masks/labels stay "
+                             "feature rounding), int8 quantizes features 4x "
+                             "(sequential, --device-resident, and "
+                             "--one-dispatch drivers; masks/labels stay "
                              "exact); default keeps bit-exact numerics)")
         sp.add_argument("--dp", type=int, default=None,
                         help="data-parallel over N mesh devices: batches "

@@ -272,9 +272,17 @@ def get(name: str) -> ExperimentConfig:
 
 def with_overrides(exp: ExperimentConfig, overrides) -> ExperimentConfig:
     """Apply a {'model': {...}, 'train': {...}} override dict (the CLI's
-    --set K=V pairs, cli.parse_overrides) to a config."""
+    --set K=V pairs, cli.parse_overrides) to a config.  Unknown top-level
+    keys (e.g. a flat 'train.batch_size' instead of the nested form) raise
+    instead of being silently ignored."""
     if not overrides:
         return exp
+    unknown = set(overrides) - {"model", "train"}
+    if unknown:
+        raise KeyError(
+            f"unknown override section(s) {sorted(unknown)}; expected "
+            "{'model': {...}, 'train': {...}} (the CLI's --set "
+            "model.K=V / train.K=V form)")
     import dataclasses
 
     return dataclasses.replace(

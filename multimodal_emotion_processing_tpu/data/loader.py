@@ -88,7 +88,9 @@ def cast_for_transfer(batch: Dict[str, np.ndarray], dtype) -> Dict:
     assert dtype == "int8", dtype
     out = {}
     for k, v in batch.items():
-        if v.dtype != np.float32:
+        if k.endswith(WIRE_SCALE_SUFFIX):
+            out[k] = v  # already-cast dict: scales pass through untouched
+        elif v.dtype != np.float32:
             out[k] = v
         elif any(t in k for t in EXACT_KEY_SUBSTRINGS):
             out[k] = v.astype(np.float16)  # 0/1 values: exact

@@ -215,13 +215,18 @@ def _run_experiment(
     R-Drop) divisible by dp.  dp=None, tp=1 = single-device (the reference's
     mode, cmu-mosei/run.py:18).
 
-    `transfer_dtype` ("float16"/"bfloat16"): half-width host->device wire
-    format — float32 batch leaves are cast before the transfer (and the
-    device-resident staged dataset is stored half-width in HBM), then
-    restored to f32 in-graph before any math.  Halves the data-fed path's
-    transfer bytes; lossy ~1e-3 on features (exact on 0/1 masks/labels/
-    weights), so default None keeps bit-exact numerics.  Supported by every
-    driver (data/loader.cast_for_transfer)."""
+    `transfer_dtype` ("float16"/"bfloat16"/"int8"): compressed host->device
+    wire format — float32 batch leaves are cast before the transfer (and the
+    device-resident staged dataset is stored compressed in HBM), then
+    restored to f32 in-graph before any math.  Half-floats halve the bytes
+    everywhere; int8 quarters the FEATURE bytes (per-sample symmetric
+    quantization) on the host-fed sequential driver AND the
+    device-resident/one-dispatch drivers (per-sample staging scales ride
+    the HBM gathers) — only the host-fed vmapped driver demotes to
+    sequential (its (k, B, ...) stacks would quantize per fold).  Lossy
+    ~1e-3 (f16) / ~0.4% of per-sample max (int8) on features, exact on 0/1
+    masks/labels/weights; default None keeps bit-exact numerics
+    (data/loader.cast_for_transfer)."""
     exp = configs.with_overrides(configs.get(config_name), overrides)
     model = build_model(exp)
 
@@ -307,12 +312,6 @@ def _run_experiment(
         _log(f"[{config_name}] accum_steps > 1 uses the sequential k-fold "
              "driver; disabling vmap_folds", quiet)
         vmap_folds = False
-    if transfer_dtype == "int8" and vmap_folds:
-        # per-batch int8 scales cannot ride the model-axis vmap/scan
-        # (train/vmap_kfold.py guard); the sequential driver carries them
-        _log(f"[{config_name}] int8 wire uses the sequential k-fold driver; "
-             "disabling vmap_folds", quiet)
-        vmap_folds = False
     if mesh is not None and tp > 1 and vmap_folds:
         # TP shards per-leaf params/optimizer state; the vmapped drivers run
         # a fused flat-vector optimizer that cannot carry those shardings —
@@ -382,6 +381,16 @@ def _run_experiment(
              "(single-model whole-run API: train/device_epochs."
              "fit_fully_compiled)", quiet)
         one_dispatch = False
+    if transfer_dtype == "int8" and vmap_folds and not device_resident:
+        # RESOLVED-mode check (device_resident gates above may have fallen
+        # back): host-fed vmapped batches stack to (k, B, ...) where int8's
+        # leading-axis quantization would mis-granulate to per-fold scales
+        # (train/vmap_kfold.py guard).  Device-resident/one-dispatch stage
+        # per-SAMPLE scales and carry int8 fine; the sequential driver
+        # carries the host-fed case.
+        _log(f"[{config_name}] host-fed int8 wire uses the sequential "
+             "k-fold driver; disabling vmap_folds", quiet)
+        vmap_folds = False
     if vmap_folds and exp.train.n_folds > 1:
         # all folds train in one vmapped step (honest A/B: 1.3x host-fed vs
         # sequential; the fold axis on vmap is what enables the

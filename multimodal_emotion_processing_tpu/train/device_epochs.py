@@ -49,13 +49,14 @@ def stage_dataset(samples, *, pad_to_multiple: Optional[int] = None,
     padded final batch).  `transfer_dtype` ("float16"/"bfloat16") stages
     float32 leaves half-width — halves the one-time staging H2D AND the
     per-step HBM gather bytes; the steps upcast in-graph
-    (engine.upcast_wire).  Returns (device data dict, n_real)."""
+    (engine.upcast_wire).  "int8" stages FEATURE leaves quarter-width: the
+    SoA leading axis is the sample axis, so cast_for_transfer's per-row
+    quantization is per-SAMPLE here (same granularity as the host-fed int8
+    wire), and the '<key>__wire_scale' (N,) vectors ride the data dict
+    through gather_rows like any other leaf — upcast_wire broadcasts them
+    back over the gathered batch's leading axes.  Returns
+    (device data dict, n_real)."""
     from ..data.loader import cast_for_transfer, resolve_transfer_dtype
-
-    if resolve_transfer_dtype(transfer_dtype) == "int8":
-        raise ValueError(
-            "int8 wire is host-fed only (its per-row scales do not compose "
-            "with HBM staging + gathers); use float16/bfloat16 here")
     samples = list(samples)
     if not samples:
         raise ValueError("empty sample list")

@@ -160,15 +160,22 @@ def run_kfold_vmapped(
 
     `transfer_dtype` ("float16"/"bfloat16"): half-width wire format — host-fed
     batches (and the device-resident staged dataset) move/store float32
-    leaves half-width; the steps upcast in-graph (engine.upcast_wire).  See
-    data/loader.cast_for_transfer for the precision contract."""
+    leaves half-width; the steps upcast in-graph (engine.upcast_wire).
+    "int8" additionally works in DEVICE-RESIDENT mode (quarter-width staged
+    features with per-sample scales riding the data dict through the HBM
+    gathers — device_epochs.stage_dataset); it stays rejected host-fed,
+    where batches stack to (k, B, ...) / (s, k, B, ...) on the host and
+    cast_for_transfer's leading-axis quantization would mis-granulate to
+    per-fold scales.  See data/loader.cast_for_transfer for the precision
+    contract."""
     from ..data.loader import cast_for_transfer, resolve_transfer_dtype
 
     wire = resolve_transfer_dtype(transfer_dtype)
-    if wire == "int8":
+    if wire == "int8" and not device_resident:
         raise ValueError(
-            "int8 wire does not compose with the vmapped drivers (scalar "
-            "per-batch scales cannot ride the model-axis vmap/scan); use "
+            "int8 wire composes with the vmapped driver only in "
+            "device_resident mode (per-sample staging scales); host-fed "
+            "(k, B, ...) stacks would quantize per fold — use "
             "float16/bfloat16 here or the sequential driver for int8")
     k = tcfg.n_folds
     samples = list(samples)

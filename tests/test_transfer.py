@@ -293,17 +293,97 @@ def test_int8_guards():
     model = build_model(exp)
     samples = synthetic_dataset("rencecps", exp.model, n=32, seed=9)
 
+    # HOST-FED vmapped driver: (k, B, ...) stacks would quantize per fold
     with pytest.raises(ValueError, match="int8"):
         run_kfold_vmapped(samples, _loaders(exp), model, exp.train,
                           epochs=1, transfer_dtype="int8")
-    from multimodal_emotion_processing_tpu.train.device_epochs import (
-        stage_dataset)
-    with pytest.raises(ValueError, match="int8"):
-        stage_dataset(samples, transfer_dtype="int8")
     from multimodal_emotion_processing_tpu.parallel.mesh import make_mesh
     with pytest.raises(ValueError, match="int8"):
         Trainer(model, exp.train, mesh=make_mesh(n_data=2),
                 transfer_dtype="int8")
+
+
+def test_int8_staging_gather_upcast_exact():
+    """Device-resident int8: staging quantizes per SAMPLE (the SoA leading
+    axis), so gather+upcast must reproduce the host-fed wire's dequantized
+    values exactly for the same samples."""
+    from multimodal_emotion_processing_tpu.train.device_epochs import (
+        gather_rows, stage_dataset)
+
+    exp = _exp()
+    samples = synthetic_dataset("rencecps", exp.model, n=16, seed=12)
+    data, n = stage_dataset(samples, transfer_dtype="int8")
+    assert n == 16
+    feat_keys = [k for k in data if k.endswith("__wire_scale")]
+    assert feat_keys, "int8 staging must emit per-sample scale leaves"
+
+    idx = jnp.asarray([3, 0, 15, 7], dtype=jnp.int32)
+    got = upcast_wire(gather_rows(data, idx))
+    # host-side oracle: cast each picked sample alone, dequantize in numpy
+    for k in got:
+        if got[k].dtype != jnp.float32 or any(
+                t in k for t in ("mask", "weight", "label")):
+            continue
+        for row, i in enumerate([3, 0, 15, 7]):
+            wired = cast_for_transfer(
+                {k: samples[i][k][None]}, resolve_transfer_dtype("int8"))
+            want = (wired[k].astype(np.float32)
+                    * wired[k + "__wire_scale"].reshape(
+                        (-1,) + (1,) * (wired[k].ndim - 1)))[0]
+            np.testing.assert_array_equal(np.asarray(got[k])[row], want)
+
+
+def test_int8_device_resident_and_one_dispatch():
+    """int8-staged device-resident k-fold runs close to f32, and the
+    one-dispatch driver (same staging, same RNG chain) matches it exactly."""
+    exp = _exp()
+    model = build_model(exp)
+    samples = synthetic_dataset("rencecps", exp.model, n=64, seed=13)
+
+    kw = dict(epochs=2, shuffle_seed=0)
+    _, h0, _, l0 = run_kfold_vmapped(samples, _loaders(exp), model, exp.train,
+                                     device_resident=True, **kw)
+    _, h8, _, l8 = run_kfold_vmapped(samples, _loaders(exp), model, exp.train,
+                                     device_resident=True,
+                                     transfer_dtype="int8", **kw)
+    for hist0, hist8 in zip(h0, h8):
+        for a, b in zip(hist0, hist8):
+            np.testing.assert_allclose(b.train_loss, a.train_loss, rtol=0.05)
+            np.testing.assert_allclose(b.valid_loss, a.valid_loss, rtol=0.05)
+
+    _, hf, _, lf = run_kfold_fully_compiled(samples, model, exp.train,
+                                            transfer_dtype="int8", **kw)
+    for hist8, histf in zip(h8, hf):
+        for a, b in zip(hist8, histf):
+            np.testing.assert_allclose(b.valid_loss, a.valid_loss,
+                                       rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(lf, l8, rtol=1e-6, atol=1e-7)
+
+
+def test_run_experiment_int8_device_resident_keeps_vmapped(capsys):
+    from multimodal_emotion_processing_tpu.pipelines import run_experiment
+
+    res = run_experiment(
+        "rencecps", synthetic_data=True, n_train=48, n_test=12, epochs=1,
+        transfer_dtype="int8", device_resident=True,
+        overrides={"train": {"n_folds": 2, "batch_size": 8},
+                   "model": {"dim": 16}})
+    assert res.report is not None
+    assert "sequential k-fold driver" not in capsys.readouterr().err
+
+
+def test_cast_for_transfer_is_idempotent_on_cast_dicts():
+    """Re-casting an already-cast batch (e.g. a pre-cast loader feeding
+    prefetch_to_device(transfer_dtype=...)) must not re-quantize the f32
+    '__wire_scale' leaves as features."""
+    rng = np.random.default_rng(3)
+    batch = {"feat": rng.standard_normal((4, 6)).astype(np.float32)}
+    once = cast_for_transfer(batch, resolve_transfer_dtype("int8"))
+    twice = cast_for_transfer(once, resolve_transfer_dtype("int8"))
+    assert set(twice) == set(once)
+    np.testing.assert_array_equal(twice["feat"], once["feat"])
+    np.testing.assert_array_equal(twice["feat__wire_scale"],
+                                  once["feat__wire_scale"])
 
 
 def test_int8_accum_and_ensemble():
@@ -334,8 +414,8 @@ def test_run_experiment_int8_falls_back_to_sequential(capsys):
     res = run_experiment(
         "rencecps", synthetic_data=True, n_train=48, n_test=12, epochs=1,
         transfer_dtype="int8",
-        overrides={"train.n_folds": 2, "train.batch_size": 8,
-                   "model.dim": 16})
+        overrides={"train": {"n_folds": 2, "batch_size": 8},
+                   "model": {"dim": 16}})
     assert res.report is not None
     assert "sequential k-fold driver" in capsys.readouterr().err
 
@@ -357,8 +437,8 @@ def test_run_experiment_transfer_dtype_smoke():
     res = run_experiment(
         "rencecps", synthetic_data=True, n_train=48, n_test=12, epochs=1,
         quiet=True, transfer_dtype="float16",
-        overrides={"train.n_folds": 2, "train.batch_size": 8,
-                   "model.dim": 16})
+        overrides={"train": {"n_folds": 2, "batch_size": 8},
+                   "model": {"dim": 16}})
     assert res.report is not None
     assert all(np.isfinite([h.valid_loss for hist in res.fold_histories
                             for h in hist]).tolist())
