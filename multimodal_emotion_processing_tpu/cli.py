@@ -37,6 +37,11 @@ def build_parser():
         sp.add_argument("--n-test", type=int, default=64)
         sp.add_argument("--log-dir", default=None)
         sp.add_argument("--checkpoint-dir", default=None)
+        sp.add_argument("--profile-dir", default=None, metavar="DIR",
+                        help="capture a jax.profiler trace (Perfetto/"
+                             "TensorBoard viewable) of the first post-"
+                             "compile epoch (one-dispatch runs trace their "
+                             "single dispatch) into DIR")
         sp.add_argument("--impl", choices=["xla", "pallas", "cp"], default="xla")
         sp.add_argument("--sweep-thresholds", action="store_true")
         sp.add_argument("--quiet", action="store_true")
@@ -254,7 +259,8 @@ def cmd_train(args, eval_only=False):
         dp=getattr(args, "dp", None), tp=getattr(args, "tp", 1),
         seeds_per_fold=getattr(args, "seeds_per_fold", 1),
         accum_steps=getattr(args, "accum_steps", 1),
-        transfer_dtype=getattr(args, "transfer_dtype", None))
+        transfer_dtype=getattr(args, "transfer_dtype", None),
+        profile_dir=getattr(args, "profile_dir", None))
     if result.report is not None:
         print(json.dumps(result.report, indent=2))
     if result.sweep is not None:

@@ -180,6 +180,7 @@ def _run_experiment(
     seeds_per_fold: int = 1,
     accum_steps: int = 1,
     transfer_dtype: Optional[str] = None,
+    profile_dir: Optional[str] = None,
 ) -> PipelineResult:
     """`scan_steps`: chain this many train/eval steps into one dispatch
     (lax.scan over host-stacked batch groups) — identical math; honest win
@@ -409,7 +410,8 @@ def _run_experiment(
                     log_cb=log_cb, fold_size=exp.train.fold_size,
                     duplicate=duplicate, mesh=mesh,
                     seeds_per_fold=seeds_per_fold,
-                    transfer_dtype=transfer_dtype)
+                    transfer_dtype=transfer_dtype,
+                    profile_dir=profile_dir)
         else:
             states, hists, best_member_params, best_member_losses = \
                 run_kfold_vmapped(
@@ -419,7 +421,8 @@ def _run_experiment(
                     scan_steps=scan_steps, device_resident=device_resident,
                     duplicate=duplicate, mesh=mesh,
                     seeds_per_fold=seeds_per_fold, resume=resume,
-                    transfer_dtype=transfer_dtype)
+                    transfer_dtype=transfer_dtype,
+                    profile_dir=profile_dir)
         results = [(None, hists[i]) for i in range(len(hists))]
     else:
         results = run_kfold(train_samples, make_loaders, model, exp.train,
@@ -429,7 +432,8 @@ def _run_experiment(
                             scan_steps=scan_steps, mesh=mesh, tp=(tp > 1),
                             seeds_per_fold=seeds_per_fold,
                             accum_steps=accum_steps,
-                            transfer_dtype=transfer_dtype)
+                            transfer_dtype=transfer_dtype,
+                            profile_dir=profile_dir)
 
     report = sweep = None
     if test_samples:

@@ -56,6 +56,7 @@ def run_kfold(
     seeds_per_fold: int = 1,
     accum_steps: int = 1,
     transfer_dtype=None,
+    profile_dir: Optional[str] = None,
 ):
     """Train tcfg.n_folds * seeds_per_fold models.
     `make_loaders(train_samples, valid_samples)` -> (train_loader,
@@ -98,6 +99,7 @@ def run_kfold(
     trainer = Trainer(
         model, tcfg, impl=impl, scan_steps=scan_steps, mesh=mesh, tp=tp,
         accum_steps=accum_steps, transfer_dtype=transfer_dtype,
+        profile_dir=profile_dir,
         checkpoint_cb=(lambda state, epoch, vl:
                        store.save_best(current["name"], state, epoch, vl))
         if store is not None else None,

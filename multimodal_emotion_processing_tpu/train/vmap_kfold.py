@@ -105,11 +105,16 @@ def run_kfold_vmapped(
     seeds_per_fold: int = 1,
     resume: bool = False,
     transfer_dtype=None,
+    profile_dir: Optional[str] = None,
 ):
     """Drop-in alternative to kfold.run_kfold with the same fold carving and
     checkpoint contract; returns (stacked final TrainState, histories[m],
     best_params[m], best_losses[m]) — best_* captured at each model's own
     save/stop time.
+
+    `profile_dir`: capture a jax.profiler trace (Perfetto/TensorBoard
+    viewable) of the first post-compile epoch — all folds' train + eval
+    dispatches — mirroring Trainer(profile_dir=).
 
     `seeds_per_fold` (beyond-reference): train S independently-initialized
     models per fold — m = k*S bagged members from the SAME vmapped step (the
@@ -380,7 +385,16 @@ def run_kfold_vmapped(
                           for h in histories],
         })
 
+    from ..utils.logging import profile_trace
+
+    # profile the first post-compile epoch relative to where the run starts
+    # (Trainer.fit's rule); a single-epoch run profiles epoch 0, compile
+    # included, rather than silently producing nothing
+    profile_epoch = (start_epoch + 1 if n_epochs - start_epoch > 1
+                     else start_epoch)
     for epoch in range(start_epoch, n_epochs):
+        _prof = profile_trace(profile_dir if epoch == profile_epoch else None)
+        _prof.__enter__()
         t0 = time.perf_counter()
         if device_resident:
             states, tr_losses = train_epoch(
@@ -424,6 +438,7 @@ def run_kfold_vmapped(
             va = np.mean(np.concatenate([np.atleast_2d(x) for x in
                                          jax.device_get(va_losses)]), axis=0)
             dt = time.perf_counter() - t0
+        _prof.__exit__(None, None, None)  # trace covers the compute above
 
         lrs = []
         for i in range(m):
@@ -483,6 +498,7 @@ def run_kfold_fully_compiled(
     mesh=None,
     seeds_per_fold: int = 1,
     transfer_dtype=None,
+    profile_dir: Optional[str] = None,
 ):
     """The ENTIRE k-fold bagging experiment — every fold x every epoch — as
     ONE jitted dispatch: the fold axis rides vmap (run_kfold_vmapped), the
@@ -647,7 +663,12 @@ def run_kfold_fully_compiled(
         jnp.arange(tcfg.seed, tcfg.seed + m))
     if mesh is not None:
         states0 = jax.device_put(states0, rep)
-    final, (tr, va, fold_active) = run(states0)
+    from ..utils.logging import profile_trace
+
+    with profile_trace(profile_dir):  # one dispatch = one trace (no epochs)
+        final, (tr, va, fold_active) = run(states0)
+        if profile_dir is not None:
+            fetch_scalar(va)  # keep device execution inside the trace window
     # apply the carried (post-last-epoch) LR vector like the host driver does
     states = _set_fold_lrs(final[0], final[1][0])
     bp, bl, bep, savedany, last_va = final[3:8]

@@ -114,6 +114,35 @@ def test_trainer_profile_dir(tmp_path):
     assert any((tmp_path / "prof").rglob("*")), "no profiler output written"
 
 
+def test_profile_dir_through_pipelines(tmp_path):
+    """--profile-dir reaches all three drivers from the front door: the
+    vmapped (default), sequential, and one-dispatch k-fold paths each write
+    a jax.profiler trace."""
+    from multimodal_emotion_processing_tpu.pipelines import run_experiment
+
+    ov = {"train": {"n_folds": 2, "batch_size": 8}, "model": {"dim": 16}}
+    cases = {
+        "vmapped": dict(),
+        "sequential": dict(vmap_folds=False),
+        "one_dispatch": dict(one_dispatch=True),
+    }
+    for name, kw in cases.items():
+        d = tmp_path / name
+        run_experiment("rencecps", synthetic_data=True, n_train=32, n_test=8,
+                       epochs=2, quiet=True, overrides=ov,
+                       profile_dir=str(d), **kw)
+        assert any(d.rglob("*.pb")) or any(d.rglob("*")), \
+            f"{name}: no profiler output written"
+
+
+def test_cli_profile_dir_flag():
+    from multimodal_emotion_processing_tpu.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["train", "rencecps", "--profile-dir", "/tmp/prof"])
+    assert args.profile_dir == "/tmp/prof"
+
+
 def test_process_batch_slice():
     from multimodal_emotion_processing_tpu.parallel.mesh import process_batch_slice
 
