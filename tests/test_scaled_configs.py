@@ -54,6 +54,24 @@ def test_scaled_synthetic_sampler_rides_family():
     assert s[0]["a"].shape == (2, exp.model.a_len, exp.model.a_dim)
 
 
+def test_scaled_preset_trains_dp_tp_on_mesh():
+    """mosei_trans_s256 composes with dp=4 x tp=2 on the CPU mesh: the
+    preset's 8 heads TP-shard (the interesting part at scale), batches shard
+    on 'data', and an end-to-end mini experiment (folds + ensemble eval)
+    finishes finite in the preset's bf16 compute.  Sequence lengths are
+    shortened for CPU time — dim/heads stay the preset's."""
+    from multimodal_emotion_processing_tpu.pipelines import run_experiment
+
+    res = run_experiment(
+        "mosei_trans_s256", synthetic_data=True, n_train=24, n_test=8,
+        epochs=1, quiet=True, dp=4, tp=2,
+        overrides={"model": {"l_len": 4, "v_len": 6, "a_len": 8},
+                   "train": {"n_folds": 2, "batch_size": 8}})
+    losses = [e.valid_loss for h in res.fold_histories for e in h]
+    assert losses and all(np.isfinite(losses))
+    assert res.report is not None
+
+
 def test_s256_train_step_runs_and_is_bigger():
     """One real AdamW+ZLPR step at the s256 point (batch shrunk to 2 for CPU
     time): loss finite, params move, and the preset is genuinely a bigger
