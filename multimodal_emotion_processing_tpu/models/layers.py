@@ -148,9 +148,16 @@ def apply_block_minus(
         emit_scores=emit_scores,
     )
     x = dropout(r1, init.apply_linear(p["proj"], ctx), rate, train)
-    q = jnp.concatenate([q, x], axis=-1)
-    q = dropout(r2, init.apply_layer_norm(p["norm"], init.apply_linear(p["minus"], q)),
-                rate, train)
+    # Linear(concat[q, x]) computed as q @ W[:d] + x @ W[d:] — algebraically
+    # identical to the reference's concat form (cmu-mosei/run.py:258-262;
+    # the (2d, d) torch-interop weight layout is unchanged) but skips
+    # materializing the (B, L, 2d) concat and its slice cotangent in the
+    # backward.  Measured on the chip: bit-identical forward, train step
+    # +2-4% every interleaved round (ENGINEERING_NOTES).
+    d = q.shape[-1]
+    w = p["minus"]["w"]
+    pre = q @ w[:d] + x @ w[d:]
+    q = dropout(r2, init.apply_layer_norm(p["norm"], pre), rate, train)
     return q, scores
 
 
