@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.pooling import mean_max_pool
+from ..ops.pooling import grid_mean_max_pool, mean_max_pool
 from ..utils import initializers as init
 from . import layers
 
@@ -116,6 +116,14 @@ MERGED_FAST_PATH = False
 # Off by default everywhere; `stacked=True` stays selectable per call
 # (thread-safe static arg) for shapes where 3 fat chains beat 9 thin ones.
 REALFORMER_STACKED = False
+# Pool the grid tail WITHOUT materializing its sequence/feature concats
+# (ops/pooling.grid_mean_max_pool — algebraically identical; forward
+# bit-identical on the chip).  Measured LOSS, default off: interleaved A/B
+# (scalar-fetch sync, 4 rounds) has split at 0.955-0.978x on the flagship
+# train step and noisy-worse on infer — XLA already fuses the concats, and
+# 2n narrow reductions + the maximum chain cost more than the concat saves
+# (unlike the minus-combine split, which won).  ENGINEERING_NOTES row.
+SPLIT_POOL = False
 
 
 @_contextlib.contextmanager
@@ -385,6 +393,8 @@ def apply_grid(
             # contribute exactly-zero attention weight)
             fast = {m: [y[:, :true_lens[m]] for y in fast[m]] for m in fast}
     if fast is not None:
+        if SPLIT_POOL:
+            return grid_mean_max_pool(fast["l"], fast["a"], fast["v"])
         lc = jnp.concatenate(fast["l"], axis=2)
         vc = jnp.concatenate(fast["v"], axis=2)
         ac = jnp.concatenate(fast["a"], axis=2)
@@ -412,6 +422,9 @@ def apply_grid(
         if collect == "final":
             collected[TARGET[name]].append(finals)
 
+    if SPLIT_POOL:
+        return grid_mean_max_pool(collected["l"], collected["a"],
+                                  collected["v"])
     lc = jnp.concatenate(collected["l"], axis=2)
     vc = jnp.concatenate(collected["v"], axis=2)
     ac = jnp.concatenate(collected["a"], axis=2)

@@ -45,3 +45,38 @@ seq_max.defvjp(_fwd, _bwd)
 def mean_max_pool(x: jnp.ndarray) -> jnp.ndarray:
     """concat[mean_seq, max_seq] — the grid's pooling (cmu-mosei/run.py:318)."""
     return jnp.concatenate([jnp.mean(x, axis=1), seq_max(x)], axis=1)
+
+
+def grid_mean_max_pool(blocks_l, blocks_a, blocks_v) -> jnp.ndarray:
+    """The grid tail's pooling WITHOUT materializing its two concats.
+
+    Algebraically equals
+      mean_max_pool(concat([concat(blocks_l, 2), concat(blocks_a, 2),
+                            concat(blocks_v, 2)], 1))
+    (the reference's [l, a, v] sequence concat + feature concat,
+    cmu-mosei/run.py:314-318): mean over the sequence concat is the
+    length-weighted combination of per-block means, and max is the
+    elementwise maximum of per-block seq_max results — both act per feature
+    column, and column block j of every modality part holds blocks_*[j].
+    Skipping the (B, L_total, 3D) concat (and the feature concats feeding
+    it) removes their forward materialization and the slice cotangents in
+    the backward.
+
+    Tie semantics: within a block, seq_max keeps torch's single-winner
+    routing; ACROSS modality parts jnp.maximum splits an exact float tie's
+    gradient instead of routing it to the earlier part like torch.max on
+    the concat would — a measure-zero event on real features, and the
+    elementwise maximum has no reduction-association hazard (the failure
+    mode seq_max exists for)."""
+    import functools
+
+    ll, la, lv = (blocks_l[0].shape[1], blocks_a[0].shape[1],
+                  blocks_v[0].shape[1])
+    total = ll + la + lv
+    means = [(ll * jnp.mean(l, axis=1) + la * jnp.mean(a, axis=1)
+              + lv * jnp.mean(v, axis=1)) / total
+             for l, a, v in zip(blocks_l, blocks_a, blocks_v)]
+    maxes = [functools.reduce(jnp.maximum,
+                              (seq_max(l), seq_max(a), seq_max(v)))
+             for l, a, v in zip(blocks_l, blocks_a, blocks_v)]
+    return jnp.concatenate(means + maxes, axis=1)

@@ -116,3 +116,71 @@ def test_scored_attention_grad_flows_through_score_chain():
     g = jax.grad(f)(q)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_grid_mean_max_pool_matches_concat_form():
+    """ops/pooling.grid_mean_max_pool (the selectable grid.SPLIT_POOL tail)
+    equals mean_max_pool over the reference's [l, a, v] sequence concat of
+    per-modality feature concats — values AND gradients."""
+    from multimodal_emotion_processing_tpu.ops.pooling import (
+        grid_mean_max_pool, mean_max_pool)
+
+    rng = np.random.default_rng(7)
+    b, d, n = 3, 5, 3
+    ll, la, lv = 4, 7, 6
+    bl = [jnp.asarray(rng.standard_normal((b, ll, d)).astype(np.float32))
+          for _ in range(n)]
+    ba = [jnp.asarray(rng.standard_normal((b, la, d)).astype(np.float32))
+          for _ in range(n)]
+    bv = [jnp.asarray(rng.standard_normal((b, lv, d)).astype(np.float32))
+          for _ in range(n)]
+
+    def concat_form(bl, ba, bv):
+        lc = jnp.concatenate(bl, axis=2)
+        ac = jnp.concatenate(ba, axis=2)
+        vc = jnp.concatenate(bv, axis=2)
+        return mean_max_pool(jnp.concatenate([lc, ac, vc], axis=1))
+
+    want = concat_form(bl, ba, bv)
+    got = grid_mean_max_pool(bl, ba, bv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+    w = jnp.asarray(rng.standard_normal(want.shape).astype(np.float32))
+    g0 = jax.grad(lambda *xs: jnp.sum(concat_form(xs[:n], xs[n:2*n],
+                                                  xs[2*n:]) * w))(*bl, *ba, *bv)
+    g1 = jax.grad(lambda *xs: jnp.sum(grid_mean_max_pool(
+        xs[:n], xs[n:2*n], xs[2*n:]) * w))(*bl, *ba, *bv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_grid_split_pool_flag_path_parity():
+    """grid.SPLIT_POOL=True traces the split tail with identical model
+    output (flagship-shaped tiny grid, unjitted apply per the flag's
+    trace-time note)."""
+    import dataclasses
+
+    from multimodal_emotion_processing_tpu import configs
+    from multimodal_emotion_processing_tpu.data.loader import Batcher
+    from multimodal_emotion_processing_tpu.data.synthetic import (
+        synthetic_dataset)
+    from multimodal_emotion_processing_tpu.models import build_model, grid
+
+    exp = configs.get("mosei_trans")
+    exp = dataclasses.replace(exp, model=dataclasses.replace(
+        exp.model, l_len=4, v_len=6, a_len=8, dim=12, n_heads=2,
+        l_dim=5, v_dim=4, a_dim=3))
+    model = build_model(exp)
+    params = model.init(jax.random.PRNGKey(0))
+    s = synthetic_dataset("mosei_trans", exp.model, 4, 0)
+    batch = next(iter(Batcher(s, 4, shuffle=False, pad_final=False)()))
+    assert grid.SPLIT_POOL is False  # measured default (ENGINEERING_NOTES)
+    o0 = model.apply(params, batch)
+    try:
+        grid.SPLIT_POOL = True
+        o1 = model.apply(params, batch)
+    finally:
+        grid.SPLIT_POOL = False
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                               rtol=1e-5, atol=1e-6)
