@@ -324,20 +324,10 @@ def main():
     # sequentially, so x-vs-x ratios here carry the relay's ~4x weather —
     # the interleaved A/B/C (ENGINEERING_NOTES 2026-08-18) is the honest
     # comparison: int8 ~2x f32 every round, f16 in between
-    datafed_f16 = datafed_f16_med = None
-    if datafed is not None and elapsed() < budget_s * 0.75:
-        try:
-            datafed_f16, datafed_f16_med = measure_jax_datafed(
-                exp, transfer_dtype="float16")
-            log(f"jax[xla] data-fed f16-wire: best {datafed_f16:.1f} / "
-                f"median {datafed_f16_med:.1f} samples/s "
-                f"({datafed_f16 / max(datafed, 1e-9):.2f}x best-vs-best)")
-        except Exception as e:
-            log(f"data-fed f16-wire phase failed: {e!r}")
-    else:
-        log("data-fed f16-wire phase skipped: budget or no f32 reference")
+    # int8 runs BEFORE f16: it is the stronger wire format (interleaved A/B:
+    # ~2x f32 every round) and should survive budget pressure first
     datafed_i8 = datafed_i8_med = None
-    if datafed is not None and elapsed() < budget_s * 0.78:
+    if datafed is not None and elapsed() < budget_s * 0.75:
         try:
             datafed_i8, datafed_i8_med = measure_jax_datafed(
                 exp, transfer_dtype="int8")
@@ -348,6 +338,18 @@ def main():
             log(f"data-fed int8-wire phase failed: {e!r}")
     else:
         log("data-fed int8-wire phase skipped: budget or no f32 reference")
+    datafed_f16 = datafed_f16_med = None
+    if datafed is not None and elapsed() < budget_s * 0.78:
+        try:
+            datafed_f16, datafed_f16_med = measure_jax_datafed(
+                exp, transfer_dtype="float16")
+            log(f"jax[xla] data-fed f16-wire: best {datafed_f16:.1f} / "
+                f"median {datafed_f16_med:.1f} samples/s "
+                f"({datafed_f16 / max(datafed, 1e-9):.2f}x best-vs-best)")
+        except Exception as e:
+            log(f"data-fed f16-wire phase failed: {e!r}")
+    else:
+        log("data-fed f16-wire phase skipped: budget or no f32 reference")
 
     # bf16 compute (f32 master weights): diagnostics-only — the headline
     # stays on the f32 torch-parity path, but the knob's honest value on
