@@ -249,6 +249,7 @@ def prefetch_to_device(
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
     wire = resolve_transfer_dtype(transfer_dtype)
+    stop = threading.Event()  # consumer abandoned the generator early
 
     def put(batch):
         batch = cast_for_transfer(batch, wire)
@@ -265,20 +266,36 @@ def prefetch_to_device(
         jax.block_until_ready(out)
         return out
 
+    def _offer(item) -> bool:
+        """q.put that gives up when the consumer is gone — a plain put would
+        park this thread forever on a full queue, pinning its device buffers
+        for the life of the process."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def worker():
         try:
             for batch in iterator:
-                q.put(put(batch))
-            q.put(_END)
+                if stop.is_set() or not _offer(put(batch)):
+                    return
+            _offer(_END)
         except BaseException as e:  # propagate assembly/transfer failures
-            q.put(e)
+            _offer(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()  # early close (break / exception / GC): release the worker

@@ -103,6 +103,10 @@ class BatchingServer:
             raise RuntimeError("server is closed")
         fut: Future = Future()
         self._q.put((sample, fut))
+        if self._closed.is_set():
+            # lost the race with close(): its drain may already have run, so
+            # nothing would ever resolve this future — fail leftovers here
+            self._fail_pending()
         return fut
 
     def predict(self, sample: Dict[str, np.ndarray]):
@@ -121,19 +125,28 @@ class BatchingServer:
         return {**{k: v for k, v in self._stats.items() if k != "by_bucket"},
                 "by_bucket": by}
 
+    def _fail_pending(self) -> None:
+        """Fail every still-enqueued request (post-close) instead of letting
+        its caller hang; tolerant of futures the collector already resolved
+        in the shutdown race."""
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None:
+                try:
+                    item[1].set_exception(RuntimeError("server closed"))
+                except Exception:   # already resolved: nothing to do
+                    pass
+
     def close(self) -> None:
         self._closed.set()
         self._q.put(None)                   # wake the collector
         self._thread.join(timeout=10)
         # a submit that raced close may have left requests enqueued after
         # the collector exited — fail their futures rather than hang callers
-        while True:
-            try:
-                item = self._q.get_nowait()
-            except queue.Empty:
-                break
-            if item is not None:
-                item[1].set_exception(RuntimeError("server closed"))
+        self._fail_pending()
 
     def __enter__(self):
         return self

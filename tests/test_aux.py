@@ -333,3 +333,25 @@ def test_doctor_cli_parser():
 
     args = build_parser().parse_args(["doctor", "--json-only"])
     assert args.cmd == "doctor" and args.json_only
+
+
+def test_prefetch_worker_exits_on_abandoned_consumer():
+    """Breaking out of a prefetch_to_device loop (or GC'ing the generator)
+    must release the worker thread — a plain q.put would park it forever on
+    the full queue, pinning its device buffers."""
+    import threading
+    import time
+
+    from multimodal_emotion_processing_tpu.data.loader import (
+        prefetch_to_device)
+
+    before = threading.active_count()
+    batches = [{"x": np.full((4,), i, np.float32)} for i in range(50)]
+    gen = prefetch_to_device(iter(batches), size=1)
+    first = next(gen)
+    np.testing.assert_array_equal(np.asarray(first["x"]), batches[0]["x"])
+    gen.close()  # what `break` in a for-loop does on GC
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "prefetch worker leaked"
