@@ -371,20 +371,28 @@ class Trainer:
         The optimizer runs per-leaf (fused flat-vector state cannot carry
         per-leaf shardings).
 
-        `transfer_dtype` ("float16"/"bfloat16"): half-width H2D wire format —
-        float32 batch leaves are cast in the loader/prefetch worker and
-        restored to f32 in-graph (upcast_wire) before any math.  Halves the
-        per-batch transfer bytes (the data-fed bottleneck on relay/PCIe-bound
-        hosts); lossy ~1e-3 on features, exact on 0/1 masks/labels/weights;
-        default None keeps bit-exact torch-parity numerics."""
+        `transfer_dtype` ("float16"/"bfloat16"/"int8"): compressed H2D wire
+        format — float32 batch leaves are cast in the loader/prefetch worker
+        and restored to f32 in-graph (upcast_wire) before any math.
+        Half-floats halve the per-batch transfer bytes (the data-fed
+        bottleneck on relay/PCIe-bound hosts); int8 quarters the feature
+        bytes with per-sample scales (composes with a mesh — the (B,) scale
+        leaves shard on 'data' — but not with scan_steps > 1 under a mesh);
+        lossy ~1e-3 (f16) / ~0.4% of per-sample max (int8) on features,
+        exact on 0/1 masks/labels/weights; default None keeps bit-exact
+        torch-parity numerics."""
         from ..data.loader import resolve_transfer_dtype
 
         self.transfer_dtype = resolve_transfer_dtype(transfer_dtype)
-        if self.transfer_dtype == "int8" and mesh is not None:
+        if self.transfer_dtype == "int8" and mesh is not None and scan_steps > 1:
+            # per-batch int8 composes with a mesh (the (B,) scale leaves
+            # shard on 'data' like any other leaf), but scan chunks cast
+            # AFTER stacking — (s,)-shaped group scales have no data axis to
+            # slice and per-group granularity degrades precision anyway
             raise ValueError(
-                "int8 wire does not compose with a mesh (the per-row scale "
-                "vectors cannot be sliced along the scan axis by "
-                "put_global_batch); use float16/bfloat16 with dp/tp")
+                "int8 wire does not compose with mesh + scan_steps > 1 "
+                "(group-level scales cannot slice the 'data' axis); drop "
+                "scan_steps or use float16/bfloat16")
         self.model = model
         self.tcfg = tcfg
         self.mesh = mesh

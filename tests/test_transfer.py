@@ -297,10 +297,32 @@ def test_int8_guards():
     with pytest.raises(ValueError, match="int8"):
         run_kfold_vmapped(samples, _loaders(exp), model, exp.train,
                           epochs=1, transfer_dtype="int8")
+    # mesh + scan chunks: (s,)-group scales have no data axis to slice
     from multimodal_emotion_processing_tpu.parallel.mesh import make_mesh
     with pytest.raises(ValueError, match="int8"):
         Trainer(model, exp.train, mesh=make_mesh(n_data=2),
-                transfer_dtype="int8")
+                transfer_dtype="int8", scan_steps=2)
+
+
+def test_int8_composes_with_dp_mesh():
+    """--transfer-dtype int8 --dp N (the sequential driver the pipeline
+    demotes host-fed int8 runs to) must RUN — this path used to raise — and
+    match the single-device int8 trajectory: the (B,) scale leaves shard on
+    'data' like every other batch leaf."""
+    from multimodal_emotion_processing_tpu.pipelines import run_experiment
+
+    ov = {"train": {"n_folds": 2, "batch_size": 8}, "model": {"dim": 16}}
+    kw = dict(synthetic_data=True, n_train=32, n_test=8, epochs=2,
+              quiet=True, overrides=ov)
+    r_dp = run_experiment("rencecps", dp=4, transfer_dtype="int8", **kw)
+    r_1d = run_experiment("rencecps", transfer_dtype="int8",
+                          vmap_folds=False, **kw)
+    t_dp = np.asarray([(e.train_loss, e.valid_loss)
+                       for h in r_dp.fold_histories for e in h])
+    t_1d = np.asarray([(e.train_loss, e.valid_loss)
+                       for h in r_1d.fold_histories for e in h])
+    assert r_dp.report is not None
+    np.testing.assert_allclose(t_dp, t_1d, rtol=2e-4, atol=2e-5)
 
 
 def test_int8_staging_gather_upcast_exact():
