@@ -276,3 +276,22 @@ def test_run_experiment_resume_vmapped_driver(tmp_path):
     # resumed histories cover all 4 epochs (2 restored + 2 new)
     assert all(len(h) == 4 for h in resumed.fold_histories)
     assert resumed.report is not None
+
+
+def test_mesh_scan_steps_compositions():
+    """dp + scan_steps through BOTH drivers: the vmapped host-fed path's
+    (s, k, B, ...) sharded chunks (bsh_scan) and the sequential Trainer's
+    data_axis=1 stacks — bit-equal to scan_steps=1 on the CPU mesh (scan
+    chaining is identical math; the composition itself is what's pinned)."""
+    ov = {"train": {"n_folds": 2, "batch_size": 8}, "model": {"dim": 16}}
+    kw = dict(synthetic_data=True, n_train=32, n_test=8, epochs=2,
+              quiet=True, overrides=ov)
+    base = run_experiment("rencecps", dp=4, **kw)
+    tb = np.asarray([(e.train_loss, e.valid_loss)
+                     for h in base.fold_histories for e in h])
+    for extra in (dict(scan_steps=2), dict(scan_steps=2, vmap_folds=False)):
+        r = run_experiment("rencecps", dp=4, **extra, **kw)
+        t = np.asarray([(e.train_loss, e.valid_loss)
+                        for h in r.fold_histories for e in h])
+        np.testing.assert_allclose(t, tb, rtol=2e-6, atol=2e-7)
+        assert r.report is not None
