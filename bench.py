@@ -195,6 +195,56 @@ def measure_jax_datafed(exp, *, n_samples=512, epochs=8, impl="xla",
     return float(max(window_sps)), float(np.median(window_sps))
 
 
+def measure_jax_datafed_scan(exp, *, n_samples=512, epochs=8, k=8,
+                             impl="xla", transfer_dtype=None):
+    """Data-fed throughput with BOTH amortizations the framework offers
+    stacked: `stack_batches` groups k host batches into one (k, B, ...)
+    pytree (ONE device_put per group — amortizing the relay's per-put
+    latency floor k x) and `make_scan_train_step` runs the k optimizer
+    steps in ONE dispatch.  Same host assembly + prefetch worker as
+    measure_jax_datafed; identical math/RNG to k per-dispatch steps
+    (engine guarantees, tested in test_train_eval).
+
+    MEASURED LOSER on this image (interleaved A/B, 3 rounds, 2026-08-18):
+    0.55x / 0.61x / 0.95x the per-dispatch data-fed path.  Grouping k
+    batches into one put removes the prefetch worker's put/compute
+    overlap (one epoch-sized put has nothing to pipeline against), and
+    the relay's effective H2D bandwidth does not improve with buffer
+    size, so the k-fold fewer round-trips never pay back.  Kept as a
+    recorded knob (ENGINEERING_NOTES row); the phase runs last in main()
+    so budget pressure drops it first."""
+    import jax
+
+    from multimodal_emotion_processing_tpu.data.loader import (
+        Batcher, prefetch_to_device, stack_batches)
+    from multimodal_emotion_processing_tpu.data.synthetic import synthetic_dataset
+    from multimodal_emotion_processing_tpu.models import build_model
+    from multimodal_emotion_processing_tpu.train import engine as eng
+
+    samples = synthetic_dataset(exp.name, exp.model, n_samples, 0)
+    batcher = Batcher(samples, exp.train.batch_size, shuffle=True, seed=0)
+    model = build_model(exp)
+    tx, scan_step = eng.make_scan_train_step(model, exp.train, impl=impl)
+    state = eng.init_state(model, tx, seed=0)
+
+    def stream():
+        return prefetch_to_device(stack_batches(iter(batcher()), k),
+                                  transfer_dtype=transfer_dtype)
+
+    for group in stream():  # warmup epoch compiles full + tail stack shapes
+        state, losses = scan_step(state, group)
+    _sync(losses)
+
+    window_sps = []
+    for _ in range(epochs):
+        t0 = time.perf_counter()
+        for group in stream():
+            state, losses = scan_step(state, group)
+        _sync(losses)
+        window_sps.append(len(samples) / (time.perf_counter() - t0))
+    return float(max(window_sps)), float(np.median(window_sps))
+
+
 def pallas_parity(exp, batch):
     """Forward parity of the fused Pallas kernel vs the XLA einsum path on
     THIS device — on TPU this is the compiled-kernel correctness check the
@@ -351,6 +401,22 @@ def main():
     else:
         log("data-fed f16-wire phase skipped: budget or no f32 reference")
 
+    # scan-chained data-fed (one put + one dispatch per k=8 batches — the
+    # --scan-steps composition): a MEASURED LOSER (see the function
+    # docstring) recorded for the knob ledger when budget allows; last of
+    # the data-fed phases so budget pressure drops it first.
+    datafed_scan = datafed_scan_med = None
+    if datafed is not None and elapsed() < budget_s * 0.8:
+        try:
+            datafed_scan, datafed_scan_med = measure_jax_datafed_scan(exp)
+            log(f"jax[xla] data-fed scan k=8: best {datafed_scan:.1f} / "
+                f"median {datafed_scan_med:.1f} samples/s "
+                f"({datafed_scan / max(datafed, 1e-9):.2f}x best-vs-best)")
+        except Exception as e:
+            log(f"data-fed scan phase failed: {e!r}")
+    else:
+        log("data-fed scan phase skipped: budget or no f32 reference")
+
     # bf16 compute (f32 master weights): diagnostics-only — the headline
     # stays on the f32 torch-parity path, but the knob's honest value on
     # this chip is worth recording every run (scaling sweep: +7% at these
@@ -496,6 +562,8 @@ def main():
                        "forward_parity_relative": parity_rel},
             "datafed_train_sps": {"best": r1(datafed),
                                   "median": r1(datafed_med)},
+            "datafed_train_sps_scan_k8": {"best": r1(datafed_scan),
+                                          "median": r1(datafed_scan_med)},
             "datafed_train_sps_f16_wire": {"best": r1(datafed_f16),
                                            "median": r1(datafed_f16_med)},
             "datafed_train_sps_int8_wire": {"best": r1(datafed_i8),
