@@ -91,6 +91,12 @@ def build_parser():
                              "(sequential, --device-resident, and "
                              "--one-dispatch drivers; masks/labels stay "
                              "exact); default keeps bit-exact numerics)")
+        sp.add_argument("--async-checkpoint", action="store_true",
+                        help="save checkpoints through an async Orbax "
+                             "checkpointer: the device->host copy is inline "
+                             "but serialization/fsync overlaps the next "
+                             "epoch's compute (the standard TPU-pod "
+                             "practice); restores join any in-flight save")
         sp.add_argument("--dp", type=int, default=None,
                         help="data-parallel over N mesh devices: batches "
                              "sharded on the 'data' axis, gradients "
@@ -260,7 +266,8 @@ def cmd_train(args, eval_only=False):
         seeds_per_fold=getattr(args, "seeds_per_fold", 1),
         accum_steps=getattr(args, "accum_steps", 1),
         transfer_dtype=getattr(args, "transfer_dtype", None),
-        profile_dir=getattr(args, "profile_dir", None))
+        profile_dir=getattr(args, "profile_dir", None),
+        async_checkpoint=getattr(args, "async_checkpoint", False))
     if result.report is not None:
         print(json.dumps(result.report, indent=2))
     if result.sweep is not None:

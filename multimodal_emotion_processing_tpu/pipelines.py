@@ -181,6 +181,7 @@ def _run_experiment(
     accum_steps: int = 1,
     transfer_dtype: Optional[str] = None,
     profile_dir: Optional[str] = None,
+    async_checkpoint: bool = False,
 ) -> PipelineResult:
     """`scan_steps`: chain this many train/eval steps into one dispatch
     (lax.scan over host-stacked batch groups) — identical math; honest win
@@ -244,7 +245,12 @@ def _run_experiment(
     _log(f"[{config_name}] {_count(train_samples)} train / "
          f"{_count(test_samples)} test samples; devices={jax.devices()}", quiet)
 
-    store = CheckpointStore(checkpoint_dir) if checkpoint_dir else None
+    # async_checkpoint: per-epoch resume points and best-member saves go
+    # through ocp.AsyncCheckpointer — serialization overlaps the next
+    # epoch's compute (SURVEY §5 "Orbax async checkpointing"); every
+    # restore path joins in-flight saves (CheckpointStore.wait)
+    store = (CheckpointStore(checkpoint_dir, use_async=async_checkpoint)
+             if checkpoint_dir else None)
     loggers: Dict[str, RunLogger] = {}
 
     def log_cb(name, epoch, stats):
@@ -517,6 +523,8 @@ def _run_experiment(
         _log(format_report(report, title=config_name), quiet)
     for lg in loggers.values():
         lg.close()
+    if store is not None:
+        store.wait()  # join any in-flight async save before handing back
     return PipelineResult(config_name, [h for _, h in results], report, sweep, store)
 
 

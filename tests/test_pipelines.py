@@ -129,6 +129,24 @@ def test_cli_eval_from_checkpoints(tmp_path, capsys):
     assert _json.loads(train_out) == _json.loads(eval_out)
 
 
+def test_cli_async_checkpoint_experiment(tmp_path, capsys):
+    """`train --async-checkpoint` (per-epoch saves through Orbax's async
+    checkpointer) produces a store that a plain `eval` reloads to the same
+    report — in-flight saves are joined before any restore/return."""
+    import json as _json
+
+    from multimodal_emotion_processing_tpu.cli import main
+
+    common = ["rencecps", "--n-train", "48", "--n-test", "16", "--quiet",
+              "--checkpoint-dir", str(tmp_path / "ck"),
+              "--set", "train.n_folds=2", "--set", "train.batch_size=8"]
+    main(["train", "--epochs", "2", "--async-checkpoint"] + common)
+    train_out = capsys.readouterr().out
+    main(["eval"] + common)
+    eval_out = capsys.readouterr().out
+    assert _json.loads(train_out) == _json.loads(eval_out)
+
+
 def test_run_experiment_deterministic():
     """Two identical runs produce identical loss trajectories — the
     deterministic-data-order check standing in for a race detector on this
