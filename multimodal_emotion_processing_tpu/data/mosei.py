@@ -67,16 +67,6 @@ def parse_labels(
     return train_pairs, test_pairs, label_dict
 
 
-def split_videos(sentence_names: Sequence[str], test_fold: set):
-    """Video-level train/test split by the standard test fold
-    (cmu-mosei/run.py:48-54)."""
-    train, test = set(), set()
-    for name in sentence_names:
-        video = name.split("[")[0]
-        (test if video in test_fold else train).add(video)
-    return train, test
-
-
 def paragraph_windows(videos: Sequence[str], present, p_len: int,
                       max_clips: int = 98) -> List[List[str]]:
     """Fixed windows of p_len clip ids per video; absent clips become
