@@ -161,6 +161,13 @@ def build_parser():
     sv.add_argument("--max-delay-ms", type=float, default=3.0,
                     help="micro-batching window: how long the server waits "
                          "for followers after the first queued request")
+    sv.add_argument("--http-port", type=int, default=None, metavar="PORT",
+                    help="serve the ensemble over HTTP (stdlib, no extra "
+                         "deps): GET /healthz, GET /spec (feature shapes + "
+                         "emotion names), POST /predict (one JSON sample); "
+                         "concurrent requests micro-batch into bucketed "
+                         "TPU dispatches; blocks until Ctrl-C")
+    sv.add_argument("--http-host", default="127.0.0.1")
     sv.add_argument("--stacked-grid", action="store_true",
                     help="stacked realformer grid for the inference program "
                          "(measured SLOWER at reference shapes under honest "
@@ -334,6 +341,31 @@ def cmd_serve(args):
     from .ops.context_parallel import ensure_cp
 
     import time
+
+    http_port = getattr(args, "http_port", None)
+    if http_port is not None:
+        from .serve import BatchingServer, HttpFrontend
+
+        sample = synthetic_dataset(args.config, exp.model, 1, seed=7)[0]
+        spec = {k: v.shape for k, v in sample.items() if k != "label"}
+        with ensure_cp(args.impl), BatchingServer(
+                model, members, offsets=exp.thresholds, impl=args.impl,
+                stacked_grid=getattr(args, "stacked_grid", False),
+                max_delay_ms=getattr(args, "max_delay_ms", 3.0)) as srv:
+            srv.warmup(sample)
+            off = len(exp.thresholds)
+            fe = HttpFrontend(srv, spec, exp.emotion_names[:off],
+                              host=getattr(args, "http_host", "127.0.0.1"),
+                              port=http_port)
+            print(f"serving {args.config} ({len(members)}-member "
+                  f"ensemble) on http://{fe.host}:{fe.port} — "
+                  f"GET /spec for the feature contract; Ctrl-C stops",
+                  file=sys.stderr)
+            try:
+                fe.serve_forever()  # blocking; Ctrl-C returns
+            finally:
+                fe.close()
+        return
 
     n_conc = getattr(args, "concurrent", 0)
     if n_conc > 0:
