@@ -44,6 +44,24 @@ def main():
         results = [f.result(timeout=120) for f in futs]
         print(f"{len(results)} concurrent requests -> stats:", srv.stats())
 
+        # --- the same server over HTTP (CLI: serve --http-port N) ---
+        import json
+        import urllib.request
+
+        import numpy as np
+
+        from multimodal_emotion_processing_tpu.serve import HttpFrontend
+
+        spec = {k: v.shape for k, v in samples[0].items() if k != "label"}
+        with HttpFrontend(srv, spec, exp.emotion_names[:6], port=0) as fe:
+            payload = {k: np.asarray(samples[0][k]).tolist() for k in spec}
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{fe.port}/predict",
+                data=json.dumps(payload).encode(), method="POST")
+            out = json.loads(urllib.request.urlopen(req, timeout=120).read())
+            print("HTTP /predict emotions:",
+                  {k: round(v, 2) for k, v in out["emotions"].items()})
+
 
 if __name__ == "__main__":
     main()
