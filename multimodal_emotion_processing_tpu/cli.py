@@ -207,6 +207,14 @@ def build_parser():
     et.add_argument("--checkpoint-dir", required=True)
     et.add_argument("--out", default=".", help="output directory")
 
+    cd = sub.add_parser(
+        "check-data",
+        help="validate a real corpus tree for a config BEFORE training: "
+             "reports every required file/dir, corpus counts, and feature "
+             "coverage as one JSON document (exit 1 on problems)")
+    cd.add_argument("config")
+    cd.add_argument("--data-root", required=True)
+
     sub.add_parser("bench", help="train+infer throughput benchmark")
     dr = sub.add_parser(
         "doctor", help="environment diagnostics: dispatch floor, H2D "
@@ -515,6 +523,13 @@ def main(argv=None):
         if args.json_only:
             argv.append("--json-only")
         doctor_main(argv)
+    elif args.cmd == "check-data":
+        from .data.validate import validate_tree
+
+        report = validate_tree(args.config, args.data_root)
+        print(json.dumps(report, indent=2))
+        if not report["ok"]:
+            raise SystemExit(1)
     elif args.cmd == "serve":
         cmd_serve(args)
     elif args.cmd == "export":

@@ -22,10 +22,19 @@ Endpoints:
                   ensemble-mean logits, calibrated per-emotion
                   probabilities (sigmoid(logit - offset),
                   robot_demo.py:609), and the named emotion map.
+                  With `Content-Type: application/octet-stream` the
+                  body is instead the raw little-endian float32
+                  buffers of every feature, concatenated in /spec's
+                  `binary_order`.  Measured (robot_demo ~2 MB/sample,
+                  16 concurrent, on-chip, 3 interleaved rounds):
+                  JSON 12-13 req/s vs binary 44-47 req/s vs direct
+                  in-process submit 57-63 req/s — the JSON parse
+                  dominates the JSON wire; binary is within 1.2-1.4x
+                  of direct.
 
 Shape errors are 400s carrying the expected spec; prediction failures
 are 500s; the JSON wire format is float32-exact (numpy tolist round-
-trips the values).
+trips the values) and the binary format is bit-exact by construction.
 """
 
 from __future__ import annotations
@@ -86,6 +95,27 @@ class HttpFrontend:
         self.close()
 
     # -- request handling ----------------------------------------------------
+    def _parse_binary(self, body: bytes) -> Dict[str, np.ndarray]:
+        """Raw little-endian float32 buffers concatenated in spec order
+        (sorted keys — published as /spec 'binary_order')."""
+        order = sorted(self.spec)
+        counts = {k: int(np.prod(self.spec[k], dtype=np.int64))
+                  for k in order}
+        expected = 4 * sum(counts.values())
+        if len(body) != expected:
+            raise _BadRequest(
+                f"binary body is {len(body)} bytes, expected {expected} "
+                f"(float32 x {sum(counts.values())} values, keys in order "
+                f"{order} with shapes "
+                f"{ {k: list(self.spec[k]) for k in order} })")
+        flat = np.frombuffer(body, dtype="<f4")
+        sample, pos = {}, 0
+        for k in order:
+            n = counts[k]
+            sample[k] = flat[pos:pos + n].reshape(self.spec[k])
+            pos += n
+        return sample
+
     def _parse_sample(self, body: bytes) -> Dict[str, np.ndarray]:
         try:
             obj = json.loads(body)
@@ -148,10 +178,17 @@ class HttpFrontend:
                         "stats": frontend.server.stats(),
                     })
                 elif self.path == "/spec":
+                    order = sorted(frontend.spec)
                     self._send(200, {
                         "features": {k: list(v) for k, v in frontend.spec.items()},
                         "dtype": "float32",
                         "emotions": frontend.emotion_names,
+                        # application/octet-stream contract: little-endian
+                        # float32 buffers concatenated in this key order
+                        "binary_order": order,
+                        "binary_bytes": 4 * int(sum(
+                            np.prod(frontend.spec[k], dtype=np.int64)
+                            for k in order)),
                     })
                 else:
                     self._send(404, {"error": f"unknown path {self.path!r}; "
@@ -164,8 +201,12 @@ class HttpFrontend:
                     return
                 length = int(self.headers.get("Content-Length") or 0)
                 body = self.rfile.read(length)
+                ctype = (self.headers.get("Content-Type") or "").split(";")[0]
                 try:
-                    sample = frontend._parse_sample(body)
+                    if ctype == "application/octet-stream":
+                        sample = frontend._parse_binary(body)
+                    else:
+                        sample = frontend._parse_sample(body)
                 except _BadRequest as e:
                     self._send(400, {"error": str(e)})
                     return

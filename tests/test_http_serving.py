@@ -110,6 +110,42 @@ def test_http_concurrent_clients_micro_batch():
     assert stats["batches"] == 1 and stats["by_bucket"][8] == 1
 
 
+def test_http_binary_predict_matches_json():
+    """application/octet-stream: raw float32 buffers in /spec binary_order
+    — bit-exact same sample as the JSON wire, so identical outputs."""
+    exp = tiny_exp()
+    fe, srv, _, _, sample = _frontend(exp, max_delay_ms=1.0)
+    with srv, fe:
+        code, spec = _get(fe.port, "/spec")
+        assert code == 200
+        order = spec["binary_order"]
+        assert order == sorted(spec["features"])
+        body = b"".join(np.ascontiguousarray(
+            np.asarray(sample[k], np.float32)).tobytes() for k in order)
+        assert len(body) == spec["binary_bytes"]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{fe.port}/predict", data=body,
+            headers={"Content-Type": "application/octet-stream"},
+            method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out_bin = json.loads(r.read())
+        payload = {k: np.asarray(sample[k]).tolist()
+                   for k in spec["features"]}
+        code, out_json = _post(fe.port, "/predict", payload)
+        assert code == 200
+        # wrong byte count -> 400 naming the expected size
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{fe.port}/predict", data=body[:-4],
+            headers={"Content-Type": "application/octet-stream"},
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 400
+        assert str(spec["binary_bytes"]) in json.loads(ei.value.read())["error"]
+    np.testing.assert_array_equal(out_bin["logits"], out_json["logits"])
+    np.testing.assert_array_equal(out_bin["probs"], out_json["probs"])
+
+
 def test_http_error_paths():
     exp = tiny_exp()
     fe, srv, _, _, sample = _frontend(exp, max_delay_ms=1.0)
