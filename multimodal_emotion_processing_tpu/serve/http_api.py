@@ -26,11 +26,11 @@ Endpoints:
                   body is instead the raw little-endian float32
                   buffers of every feature, concatenated in /spec's
                   `binary_order`.  Measured (robot_demo ~2 MB/sample,
-                  16 concurrent, on-chip, 3 interleaved rounds):
-                  JSON 12-13 req/s vs binary 44-47 req/s vs direct
-                  in-process submit 57-63 req/s — the JSON parse
-                  dominates the JSON wire; binary is within 1.2-1.4x
-                  of direct.
+                  16 concurrent, reproducible via bench/serving.py):
+                  binary 20-23 req/s ≈ 1.8-2.3x the JSON wire's
+                  10-13 — the Python json decode dominates JSON; both
+                  trail direct in-process submits (26-83 req/s, chip
+                  weather), whose path skips sockets entirely.
 
 Shape errors are 400s carrying the expected spec; prediction failures
 are 500s; the JSON wire format is float32-exact (numpy tolist round-
@@ -62,7 +62,7 @@ class HttpFrontend:
         self.server = server
         self.spec = {k: tuple(int(d) for d in v) for k, v in sample_spec.items()}
         self.emotion_names = list(emotion_names)
-        self._httpd = ThreadingHTTPServer((host, port), self._handler_class())
+        self._httpd = _Server((host, port), self._handler_class())
         self.host = host
         self.port = self._httpd.server_port
         self._thread: threading.Thread | None = None
@@ -222,6 +222,16 @@ def jax_tree_leaves(tree):
     import jax
 
     return jax.tree_util.tree_leaves(tree)
+
+
+class _Server(ThreadingHTTPServer):
+    # socketserver's default listen backlog is 5: a burst of concurrent
+    # clients (the whole point of the micro-batching server) overflows it
+    # and the dropped SYNs retry on kernel timers (~1 s stalls — measured
+    # 13 vs 45+ req/s at 16 concurrent connects).  Deep backlog + daemon
+    # handler threads so close() never hangs on a stuck client.
+    request_queue_size = 128
+    daemon_threads = True
 
 
 class _BadRequest(Exception):
