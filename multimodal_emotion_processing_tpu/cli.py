@@ -223,6 +223,15 @@ def build_parser():
                        "on (one JSON line to stdout)")
     dr.add_argument("--json-only", action="store_true")
     dr.add_argument("--scan-k", type=int, default=64)
+    sm = sub.add_parser(
+        "summary", help="model summary for a config: per-module parameter "
+                        "counts, total (== the torch replica's), and "
+                        "analytic per-sample FLOPs")
+    sm.add_argument("config")
+    sm.add_argument("--set", action="append", default=[], metavar="K=V")
+    sm.add_argument("--depth", type=int, default=2,
+                    help="pytree path depth to group parameters by")
+
     sub.add_parser("configs", help="list configs")
     return p
 
@@ -523,6 +532,26 @@ def main(argv=None):
         if args.json_only:
             argv.append("--json-only")
         doctor_main(argv)
+    elif args.cmd == "summary":
+        import jax
+
+        from . import configs as _cfg
+        from .bench import flops as _fl
+        from .models import build_model
+        from .utils import parameter_breakdown, parameter_count
+
+        exp = _cfg.with_overrides(_cfg.get(args.config),
+                                  parse_overrides(args.set))
+        params = build_model(exp).init(jax.random.PRNGKey(0))
+        print(json.dumps({
+            "config": args.config,
+            "parameters": parameter_breakdown(params, depth=args.depth),
+            "total": parameter_count(params)["Total"],
+            "flops_per_sample": {
+                "forward": _fl.forward_flops_per_sample(exp.model),
+                "train_step": _fl.train_flops_per_sample(exp.model),
+            },
+        }, indent=2))
     elif args.cmd == "check-data":
         from .data.validate import validate_tree
 

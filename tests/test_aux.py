@@ -83,6 +83,31 @@ def test_plot_transition_matrix(tmp_path):
     assert os.path.getsize(out) > 1000
 
 
+def test_parameter_breakdown_sums_to_total_and_cli(capsys):
+    """parameter_breakdown groups by pytree path and sums to the exact
+    total; the `summary` CLI emits it with analytic FLOPs."""
+    import json as _json
+
+    from multimodal_emotion_processing_tpu import configs
+    from multimodal_emotion_processing_tpu.cli import main
+    from multimodal_emotion_processing_tpu.models import build_model
+    from multimodal_emotion_processing_tpu.utils import (parameter_breakdown,
+                                                         parameter_count)
+
+    exp = configs.get("rencecps")
+    params = build_model(exp).init(jax.random.PRNGKey(0))
+    bd = parameter_breakdown(params)
+    assert sum(bd.values()) == parameter_count(params)["Total"]
+    assert all("/" in k or k for k in bd)
+
+    main(["summary", "rencecps"])
+    out = _json.loads(capsys.readouterr().out)
+    assert out["total"] == parameter_count(params)["Total"]
+    assert out["parameters"] == bd
+    assert out["flops_per_sample"]["train_step"] > \
+        out["flops_per_sample"]["forward"]
+
+
 def test_parameter_count_matches_torch_replica():
     """Our flagship parameter count equals the torch-CPU replica's — same
     architecture, same parameterization."""
