@@ -145,6 +145,32 @@ def build_parser():
     ev = sub.add_parser("eval", help="ensemble eval from checkpoints")
     common(ev)
 
+    pd = sub.add_parser(
+        "predict", help="offline batch inference: per-sample ensemble "
+                        "logits, calibrated probs, and threshold decisions "
+                        "to .npz/.csv/.jsonl (the artifact between `eval`'s "
+                        "metrics and `serve`'s one-sample loop)")
+    pd.add_argument("config")
+    pd.add_argument("--output", "-o", required=True,
+                    help="output path; format by extension: .npz/.csv/.jsonl")
+    pd.add_argument("--checkpoint-dir", default=None)
+    pd.add_argument("--init-random", action="store_true",
+                    help="smoke mode: one fresh-init member instead of "
+                         "trained checkpoints")
+    pd.add_argument("--data-root", default=None,
+                    help="real corpus root (default: synthetic test split)")
+    pd.add_argument("--n-test", type=int, default=64,
+                    help="synthetic test-split size")
+    pd.add_argument("--impl", choices=["xla", "pallas", "cp"], default="xla")
+    pd.add_argument("--set", action="append", default=[], metavar="K=V")
+    pd.add_argument("--thresholds", default=None, metavar="T1,T2,...",
+                    help="comma-separated per-emotion decision thresholds "
+                         "(default: the config's tuned ones)")
+    pd.add_argument("--transfer-dtype", choices=["float16", "bfloat16"],
+                    default=None)
+    pd.add_argument("--stacked-grid", action="store_true")
+    pd.add_argument("--quiet", action="store_true")
+
     sv = sub.add_parser("serve", help="streaming single-sample inference demo")
     sv.add_argument("config", nargs="?", default="robot_demo")
     sv.add_argument("--checkpoint-dir", default=None)
@@ -523,6 +549,32 @@ def main(argv=None):
         cmd_train(args)
     elif args.cmd == "eval":
         cmd_train(args, eval_only=True)
+    elif args.cmd == "predict":
+        from .pipelines import run_predict
+
+        if not args.checkpoint_dir and not args.init_random:
+            raise SystemExit(
+                "predict requires --checkpoint-dir (trained members) or "
+                "--init-random (untrained smoke run)")
+        table = run_predict(
+            args.config,
+            checkpoint_dir=args.checkpoint_dir,
+            init_random=args.init_random,
+            synthetic_data=args.data_root is None,
+            data_root=args.data_root, n_test=args.n_test,
+            impl=args.impl, overrides=parse_overrides(args.set),
+            thresholds=([float(t) for t in args.thresholds.split(",")]
+                        if args.thresholds else None),
+            transfer_dtype=args.transfer_dtype,
+            stacked=args.stacked_grid,
+            output=args.output, quiet=args.quiet)
+        print(json.dumps({
+            "config": args.config, "output": args.output,
+            "rows": table["rows"], "members": table["members"],
+            "emotions": table["emotions"],
+            "positives": {n: int(table["pred"][:, j].sum())
+                          for j, n in enumerate(table["emotions"])},
+        }, indent=2))
     elif args.cmd == "sweep":
         cmd_sweep(args)
     elif args.cmd == "doctor":

@@ -52,6 +52,64 @@ def _synthetic_data(exp, n_train: int, n_test: int, seed: int = 0):
     return train, test
 
 
+def _restore_members(config_name, model, store):
+    """Trained ensemble members from a checkpoint store: the per-fold best
+    checkpoints (the reference always reloads BEST, cmu-mosei/run.py:447-453)
+    plus their recorded valid losses (realformer member selection needs them)."""
+    params_like = model.init(jax.random.PRNGKey(0))
+    names = store.best_members(config_name)
+    if not names:
+        raise ValueError(
+            f"no trained members named {config_name!r} in the checkpoint "
+            f"store (manifest has {sorted(store.manifest)}) — run `train` "
+            "with --checkpoint-dir first")
+    members = [store.restore_params(n, params_like) for n in names]
+    member_losses = [store.manifest[n]["valid_loss"] for n in names]
+    return members, member_losses
+
+
+def _make_ensemble(config_name, model, members, member_losses, *,
+                   impl: str = "xla", stacked=None):
+    """Config-faithful ensemble combination: Ren-MME SUMS member logits
+    (Ren-MME/run.py:560-575), the realformer config keeps only its two
+    best folds at 0.6/0.4 (others/realformer.py:420,482-485), everything
+    else averages."""
+    combine = "sum" if configs.family(config_name) == "ren_mme" else "mean"
+    weights = None
+    if configs.family(config_name) == "mosei_realformer" \
+            and member_losses is not None and len(members) >= 2:
+        order = np.argsort(member_losses)[:2]
+        members = [members[i] for i in order]
+        weights = [0.6, 0.4]
+    return Ensemble(model, members, weights=weights, combine=combine,
+                    impl=impl, stacked=stacked)
+
+
+def _collapse_test_outputs(logits, test_samples):
+    """Reduce raw per-row ensemble logits to the reference's test units:
+    two-crop pairs average to one prediction per pair (cmu-mosei/
+    run.py:462,477-480); paragraph logits flatten to valid clips, keeping
+    only the prefix before the first invalid clip (others/
+    realformer.py:427-441 BREAKS there rather than skipping holes)."""
+    from .eval.ensemble import group_average
+
+    labels = (np.stack([s["label"] for s in test_samples])
+              if "label" in test_samples[0] else None)
+    if "group" in test_samples[0]:
+        gids = [int(s["group"]) for s in test_samples]
+        if labels is None:
+            logits = group_average(logits, gids)
+        else:
+            logits, labels = group_average(logits, gids, labels)
+    if logits.ndim == 3:  # paragraph model: flatten valid clips
+        clip_mask = np.stack([s["clip_mask"] for s in test_samples])
+        keep = np.cumprod(clip_mask, axis=1).reshape(-1) > 0
+        logits = logits.reshape(-1, logits.shape[-1])[keep]
+        if labels is not None:
+            labels = labels.reshape(-1, labels.shape[-1])[keep]
+    return logits, labels
+
+
 def load_real_data(exp, data_root: str):
     """Build train/test sample lists from a real corpus tree.  Expected layout
     per config is documented in README.md (mirrors the reference's paths).
@@ -443,12 +501,10 @@ def _run_experiment(
 
     report = sweep = None
     if test_samples:
-        params_like = model.init(jax.random.PRNGKey(0))
         member_losses = None
         if store is not None:
-            names = store.best_members(config_name)
-            members = [store.restore_params(n, params_like) for n in names]
-            member_losses = [store.manifest[n]["valid_loss"] for n in names]
+            members, member_losses = _restore_members(config_name, model,
+                                                      store)
         elif best_member_params is not None:
             members = best_member_params
             member_losses = best_member_losses
@@ -457,41 +513,17 @@ def _run_experiment(
             # reference always reloads BEST checkpoints — pass checkpoint_dir
             # or use the default vmapped path for that behavior)
             members = [state.params for state, _ in results]
-        combine = "sum" if config_name == "ren_mme" else "mean"
-        weights = None
-        if config_name == "mosei_realformer" and member_losses is not None \
-                and len(members) >= 2:
-            # the reference ensembles only its two best folds at 0.6/0.4,
-            # better fold first (others/realformer.py:420,482-485)
-            order = np.argsort(member_losses)[:2]
-            members = [members[i] for i in order]
-            weights = [0.6, 0.4]
         # NOTE round 3: an early block_until_ready-timed measurement showed
         # stacked-grid inference "+21%" and it was briefly defaulted here;
         # honest scalar-fetch sync shows stacked is SLOWER at batch
         # inference (robot B=64 -26%, realformer B=16 -4%) — default stays
         # the unrolled path, `Ensemble(stacked=True)` remains selectable
-        ens = Ensemble(model, members, weights=weights, combine=combine,
-                       impl=impl)
+        ens = _make_ensemble(config_name, model, members, member_losses,
+                             impl=impl)
         # eval loaders: no shuffle, no R-Drop duplication (Ren-MME/run.py:427-449)
         test_loader = Batcher(test_samples, exp.train.batch_size, shuffle=False)
         logits = ens.predict_all(test_loader, transfer_dtype=transfer_dtype)
-        labels = np.stack([s["label"] for s in test_samples])
-        if "group" in test_samples[0]:
-            # two-crop pairs: one prediction per pair (crop-averaged logits,
-            # label counted once — the reference's batch-1 test protocol)
-            from .eval.ensemble import group_average
-
-            gids = [int(s["group"]) for s in test_samples]
-            logits, labels = group_average(logits, gids, labels)
-        if logits.ndim == 3:  # paragraph model: flatten valid clips
-            clip_mask = np.stack([s["clip_mask"] for s in test_samples])
-            # reference BREAKS at the first invalid clip of a window rather
-            # than skipping holes (others/realformer.py:427-441) — cumprod
-            # reproduces that prefix-only selection
-            keep = np.cumprod(clip_mask, axis=1).reshape(-1) > 0
-            logits = logits.reshape(-1, logits.shape[-1])[keep]
-            labels = labels.reshape(-1, labels.shape[-1])[keep]
+        logits, labels = _collapse_test_outputs(logits, test_samples)
         if sweep_thresholds or not exp.thresholds:
             # reference sweep grids: 400-point t/200-1 (others/realformer.py:412)
             # or the robot demo's 13-point i/10-1 (robot_demo.py:533);
@@ -619,6 +651,95 @@ def run_lr_sweep_experiment(
          f"seed={win.seed} best_valid_loss={win.best_valid_loss:.4f} "
          f"({result.seconds:.1f}s total)", quiet)
     return out
+
+
+def _run_predict(
+    config_name: str,
+    *,
+    checkpoint_dir: Optional[str] = None,
+    init_random: bool = False,
+    synthetic_data: bool = True,
+    data_root: Optional[str] = None,
+    n_test: int = 64,
+    impl: str = "xla",
+    overrides: Optional[Dict] = None,
+    thresholds: Optional[List[float]] = None,
+    transfer_dtype: Optional[str] = None,
+    stacked: bool = False,
+    output: Optional[str] = None,
+    quiet: bool = False,
+) -> Dict:
+    """Offline batch inference: run the trained ensemble over a dataset once
+    and keep every sample's outputs (eval/predictions.py) — the artifact
+    between `eval` (metrics only, predictions discarded — the reference's
+    shape, e.g. cmu-mosei/run.py:456-487) and `serve` (one sample at a time).
+
+    Data: the test split (synthetic, or the real corpus at `data_root`);
+    robot_demo's corpus has no held-out split (robot_demo.py trains on
+    everything and demos live), so real-data prediction there covers the
+    full sample list.  Members: the per-fold best checkpoints from
+    `checkpoint_dir` with the config's ensemble combination (_make_ensemble),
+    or one fresh-init member with `init_random=True` (pipeline smoke runs).
+    Decisions use `thresholds` (default: the config's tuned ones; zeros for
+    configs that sweep at eval time).  `output` writes .npz/.csv/.jsonl.
+    Returns the prediction table plus a "rows" count."""
+    exp = configs.with_overrides(configs.get(config_name), overrides)
+    model = build_model(exp)
+
+    if synthetic_data:
+        samples = synthetic.synthetic_dataset(exp.name, exp.model, n_test, 1)
+    else:
+        if data_root is None:
+            raise ValueError("data_root required when synthetic_data=False")
+        train_samples, samples, _ = load_real_data(exp, data_root)
+        if not samples:
+            _log(f"[{config_name}] corpus has no held-out split; predicting "
+                 f"over all {len(train_samples)} samples", quiet)
+            samples = train_samples
+    if not samples:
+        raise ValueError("no samples to predict on")
+
+    if checkpoint_dir:
+        store = CheckpointStore(checkpoint_dir)
+        members, member_losses = _restore_members(config_name, model, store)
+    elif init_random:
+        members = [model.init(jax.random.PRNGKey(exp.train.seed))]
+        member_losses = None
+    else:
+        raise ValueError("checkpoint_dir required (or init_random=True for "
+                         "an untrained smoke run)")
+    ens = _make_ensemble(config_name, model, members, member_losses,
+                         impl=impl, stacked=True if stacked else None)
+    loader = Batcher(samples, exp.train.batch_size, shuffle=False)
+    logits = ens.predict_all(loader, transfer_dtype=transfer_dtype)
+    logits, labels = _collapse_test_outputs(logits, samples)
+
+    from .eval.predictions import prediction_table, write_predictions
+
+    if thresholds is None:
+        thresholds = (list(exp.thresholds) if exp.thresholds
+                      else [0.0] * len(exp.emotion_names))
+    table = prediction_table(logits, thresholds, exp.emotion_index,
+                             exp.emotion_names, labels=labels)
+    table["rows"] = int(table["pred"].shape[0])
+    table["members"] = ens.k
+    if output:
+        write_predictions(output, table)
+        _log(f"[{config_name}] wrote {table['rows']} predictions "
+             f"({ens.k} members) to {output}", quiet)
+    return table
+
+
+@functools.wraps(_run_predict)
+def run_predict(config_name: str, **kwargs) -> Dict:
+    from .ops.context_parallel import ensure_cp
+
+    with ensure_cp(kwargs.get("impl", "xla")):
+        return _run_predict(config_name, **kwargs)
+
+
+run_predict.__name__ = "run_predict"
+run_predict.__qualname__ = "run_predict"
 
 
 @functools.wraps(_run_experiment)

@@ -1,0 +1,141 @@
+"""Offline batch-prediction front door (pipelines.run_predict, CLI
+`predict`, eval/predictions.py).
+
+The reference keeps no per-sample prediction artifact — its eval loops
+reduce straight to metrics (cmu-mosei/run.py:456-487) and its only
+per-sample output is the demo print (robot_demo.py:594-649).  These tests
+pin the table math (calibrated probs = the serving rule
+sigmoid(logit - threshold), decisions = eval's logit > threshold), the
+three writers, and the checkpoint-restoring pipeline path.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from multimodal_emotion_processing_tpu.eval.ensemble import apply_thresholds
+from multimodal_emotion_processing_tpu.eval.predictions import (
+    prediction_table, write_predictions)
+
+TINY_MOSEI = {"model": {"l_len": 4, "v_len": 6, "a_len": 8, "dim": 12,
+                        "n_heads": 2, "l_dim": 5, "v_dim": 4, "a_dim": 3},
+              "train": {"n_folds": 2, "batch_size": 8}}
+
+
+def test_prediction_table_math():
+    rng = np.random.RandomState(0)
+    logits = rng.randn(10, 7).astype(np.float32)
+    labels = (rng.rand(10, 7) > 0.5).astype(np.float32)
+    th = [0.1, -0.3, 0.0]
+    idx = [2, 0, 5]
+    names = ["a", "b", "c"]
+    t = prediction_table(logits, th, idx, names, labels=labels)
+    assert t["named_logits"].shape == t["probs"].shape == (10, 3)
+    np.testing.assert_allclose(
+        t["probs"],
+        1 / (1 + np.exp(-(logits[:, idx] - np.asarray(th)))), rtol=1e-6)
+    np.testing.assert_array_equal(t["pred"], apply_thresholds(logits, th, idx))
+    np.testing.assert_array_equal(t["labels"], labels[:, idx].astype(np.int32))
+    # decisions agree with probs > 0.5 (same threshold, sigmoid monotone)
+    np.testing.assert_array_equal(t["pred"], (t["probs"] > 0.5).astype(np.int32))
+
+
+def test_prediction_table_validates_lengths():
+    with pytest.raises(ValueError, match="thresholds"):
+        prediction_table(np.zeros((2, 4)), [0.0], [0, 1], ["x", "y"])
+
+
+def test_writers_round_trip(tmp_path):
+    rng = np.random.RandomState(1)
+    logits = rng.randn(6, 4).astype(np.float32)
+    t = prediction_table(logits, [0.0, 0.5], [1, 3], ["joy", "fear"],
+                         labels=(rng.rand(6, 4) > 0.5).astype(np.float32))
+
+    npz = str(tmp_path / "p.npz")
+    write_predictions(npz, t)
+    z = np.load(npz)
+    np.testing.assert_array_equal(z["pred"], t["pred"])
+    np.testing.assert_allclose(z["probs"], t["probs"], rtol=1e-6)
+    assert list(z["emotions"]) == ["joy", "fear"]
+
+    csv = str(tmp_path / "p.csv")
+    write_predictions(csv, t)
+    lines = open(csv).read().strip().split("\n")
+    assert lines[0] == ("index,joy_logit,fear_logit,joy_prob,fear_prob,"
+                        "joy_pred,fear_pred,joy_label,fear_label")
+    assert len(lines) == 7
+    row0 = lines[1].split(",")
+    assert int(row0[5]) == int(t["pred"][0, 0])
+
+    jsonl = str(tmp_path / "p.jsonl")
+    write_predictions(jsonl, t)
+    objs = [json.loads(x) for x in open(jsonl)]
+    assert len(objs) == 6
+    assert objs[2]["pred"]["fear"] == int(t["pred"][2, 1])
+    assert abs(objs[2]["probs"]["joy"] - float(t["probs"][2, 0])) < 1e-6
+
+    with pytest.raises(ValueError, match="format"):
+        write_predictions(str(tmp_path / "p.txt"), t)
+
+
+def test_run_predict_from_checkpoints(tmp_path):
+    """Train a tiny 2-fold run, then predict offline from its checkpoints:
+    decisions must be exactly apply_thresholds over the table's own logits,
+    and the two-crop test pairs must collapse to one row per pair."""
+    from multimodal_emotion_processing_tpu.pipelines import (run_experiment,
+                                                             run_predict)
+
+    ck = str(tmp_path / "ck")
+    run_experiment("mosei_trans", synthetic_data=True, n_train=24, n_test=8,
+                   epochs=1, checkpoint_dir=ck, quiet=True,
+                   overrides=TINY_MOSEI)
+    out = str(tmp_path / "preds.npz")
+    t = run_predict("mosei_trans", checkpoint_dir=ck, n_test=8, output=out,
+                    overrides=TINY_MOSEI, quiet=True)
+    assert t["members"] == 2
+    # synthetic mosei_trans test samples are two-crop pairs: rows == pairs
+    assert t["rows"] == t["logits"].shape[0]
+    from multimodal_emotion_processing_tpu import configs
+
+    exp = configs.get("mosei_trans")
+    np.testing.assert_array_equal(
+        t["pred"],
+        apply_thresholds(t["logits"], t["thresholds"], exp.emotion_index))
+    assert t["thresholds"] == [pytest.approx(x) for x in exp.thresholds]
+    z = np.load(out)
+    np.testing.assert_array_equal(z["pred"], t["pred"])
+    assert "labels" in z.files  # synthetic split carries labels
+
+
+def test_run_predict_requires_members(tmp_path):
+    from multimodal_emotion_processing_tpu.pipelines import run_predict
+
+    with pytest.raises(ValueError, match="checkpoint_dir required"):
+        run_predict("rencecps", n_test=8, quiet=True)
+    # a store with no members of this config name fails with a named error
+    (tmp_path / "empty").mkdir()
+    with pytest.raises(ValueError, match="no trained members"):
+        run_predict("rencecps", checkpoint_dir=str(tmp_path / "empty"),
+                    n_test=8, quiet=True)
+
+
+def test_cli_predict_init_random(tmp_path, capsys):
+    """`predict --init-random` smoke: writes the file, prints the summary."""
+    from multimodal_emotion_processing_tpu.cli import main
+
+    out = str(tmp_path / "p.jsonl")
+    main(["predict", "rencecps", "--init-random", "--n-test", "8",
+          "--output", out, "--quiet"])
+    summary = json.loads(capsys.readouterr().out)
+    assert summary["rows"] == 8
+    assert summary["members"] == 1
+    assert set(summary["positives"]) == set(summary["emotions"])
+    assert len(open(out).readlines()) == 8
+
+
+def test_cli_predict_requires_member_source(tmp_path):
+    from multimodal_emotion_processing_tpu.cli import main
+
+    with pytest.raises(SystemExit, match="checkpoint-dir"):
+        main(["predict", "rencecps", "--output", str(tmp_path / "p.npz")])
