@@ -169,6 +169,10 @@ def build_parser():
     pd.add_argument("--transfer-dtype", choices=["float16", "bfloat16"],
                     default=None)
     pd.add_argument("--stacked-grid", action="store_true")
+    pd.add_argument("--dp", type=int, default=None, metavar="N",
+                    help="shard batch inference over N devices on a mesh "
+                         "'data' axis (members replicate; logits identical "
+                         "to single-device)")
     pd.add_argument("--quiet", action="store_true")
 
     sv = sub.add_parser("serve", help="streaming single-sample inference demo")
@@ -566,7 +570,7 @@ def main(argv=None):
             thresholds=([float(t) for t in args.thresholds.split(",")]
                         if args.thresholds else None),
             transfer_dtype=args.transfer_dtype,
-            stacked=args.stacked_grid,
+            stacked=args.stacked_grid, dp=args.dp,
             output=args.output, quiet=args.quiet)
         print(json.dumps({
             "config": args.config, "output": args.output,

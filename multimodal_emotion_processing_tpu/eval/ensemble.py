@@ -24,10 +24,24 @@ class Ensemble:
     """k same-architecture members, evaluated in one vmapped forward."""
 
     def __init__(self, model, params_list: Sequence, weights: Optional[Sequence[float]] = None,
-                 *, combine: str = "mean", impl: str = "xla", stacked=None):
+                 *, combine: str = "mean", impl: str = "xla", stacked=None,
+                 mesh=None):
         self.model = model
         self.k = len(params_list)
         self.stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+        # `mesh`: shard batch inference over the 'data' axis of a
+        # jax.sharding.Mesh — members replicate, every batch leaf shards on
+        # its leading (batch) axis, and GSPMD partitions the vmapped
+        # forward; identical logits to single-device (no cross-sample op in
+        # any model family).  The inference-side counterpart of
+        # run_experiment(dp=); multi-process meshes transfer only each
+        # host's slice (parallel.mesh.put_global_batch).
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import replicated_sharding
+
+            self.stacked = jax.device_put(self.stacked,
+                                          replicated_sharding(mesh))
         if weights is not None:
             self.weights = jnp.asarray(weights, jnp.float32)
         elif combine == "mean":
@@ -50,6 +64,18 @@ class Ensemble:
 
     def logits(self, batch) -> jnp.ndarray:
         """Weighted-combined ensemble logits for one batch."""
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding, put_global_batch
+
+            n_data = self.mesh.shape["data"]
+            b = next(iter(
+                v.shape[0] for v in jax.tree_util.tree_leaves(batch)))
+            if b % n_data:
+                raise ValueError(
+                    f"batch size {b} must divide the mesh 'data' axis "
+                    f"({n_data}) for sharded inference — pick a batch_size "
+                    f"divisible by dp")
+            batch = put_global_batch(batch, batch_sharding(self.mesh, batch))
         per_member = self._vmapped(self.stacked, batch)  # (k, B, ...)
         w = self.weights.reshape((self.k,) + (1,) * (per_member.ndim - 1))
         return jnp.sum(per_member * w, axis=0)

@@ -69,7 +69,7 @@ def _restore_members(config_name, model, store):
 
 
 def _make_ensemble(config_name, model, members, member_losses, *,
-                   impl: str = "xla", stacked=None):
+                   impl: str = "xla", stacked=None, mesh=None):
     """Config-faithful ensemble combination: Ren-MME SUMS member logits
     (Ren-MME/run.py:560-575), the realformer config keeps only its two
     best folds at 0.6/0.4 (others/realformer.py:420,482-485), everything
@@ -82,7 +82,7 @@ def _make_ensemble(config_name, model, members, member_losses, *,
         members = [members[i] for i in order]
         weights = [0.6, 0.4]
     return Ensemble(model, members, weights=weights, combine=combine,
-                    impl=impl, stacked=stacked)
+                    impl=impl, stacked=stacked, mesh=mesh)
 
 
 def _collapse_test_outputs(logits, test_samples):
@@ -518,8 +518,16 @@ def _run_experiment(
         # honest scalar-fetch sync shows stacked is SLOWER at batch
         # inference (robot B=64 -26%, realformer B=16 -4%) — default stays
         # the unrolled path, `Ensemble(stacked=True)` remains selectable
+        # mesh: inference shards the test batches over the 'data' axis too
+        # (members replicate) — eval scales with the same mesh training used;
+        # logits identical to single-device.  Eval batches are NOT R-Drop
+        # duplicated, so their row count is batch_size (not 2x) — only shard
+        # when that divides the data axis
+        eval_mesh = (mesh if mesh is not None
+                     and exp.train.batch_size % mesh.shape["data"] == 0
+                     else None)
         ens = _make_ensemble(config_name, model, members, member_losses,
-                             impl=impl)
+                             impl=impl, mesh=eval_mesh)
         # eval loaders: no shuffle, no R-Drop duplication (Ren-MME/run.py:427-449)
         test_loader = Batcher(test_samples, exp.train.batch_size, shuffle=False)
         logits = ens.predict_all(test_loader, transfer_dtype=transfer_dtype)
@@ -668,6 +676,7 @@ def _run_predict(
     stacked: bool = False,
     output: Optional[str] = None,
     quiet: bool = False,
+    dp: Optional[int] = None,
 ) -> Dict:
     """Offline batch inference: run the trained ensemble over a dataset once
     and keep every sample's outputs (eval/predictions.py) — the artifact
@@ -708,8 +717,19 @@ def _run_predict(
     else:
         raise ValueError("checkpoint_dir required (or init_random=True for "
                          "an untrained smoke run)")
+    mesh = None
+    if dp and dp > 1:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(n_data=dp, n_model=1)
+        if exp.train.batch_size % mesh.shape["data"]:
+            raise ValueError(
+                f"batch_size ({exp.train.batch_size}) must be divisible by "
+                f"dp ({mesh.shape['data']}) for sharded inference")
+        _log(f"[{config_name}] predict mesh: dp={mesh.shape['data']}", quiet)
     ens = _make_ensemble(config_name, model, members, member_losses,
-                         impl=impl, stacked=True if stacked else None)
+                         impl=impl, stacked=True if stacked else None,
+                         mesh=mesh)
     loader = Batcher(samples, exp.train.batch_size, shuffle=False)
     logits = ens.predict_all(loader, transfer_dtype=transfer_dtype)
     logits, labels = _collapse_test_outputs(logits, samples)

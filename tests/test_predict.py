@@ -108,6 +108,37 @@ def test_run_predict_from_checkpoints(tmp_path):
     assert "labels" in z.files  # synthetic split carries labels
 
 
+def test_run_predict_real_corpus_tree(tmp_path):
+    """Train on a miniature real-layout MOSEI tree, then predict offline
+    over its test split: the two-crop pairs must collapse to one row per
+    pair (group_average), outputs finite, file written."""
+    import dataclasses
+
+    from corpus_fixtures import build_mosei_tree
+    from multimodal_emotion_processing_tpu import configs, pipelines
+
+    ov = {"model": {"l_dim": 12, "v_dim": 7, "a_dim": 9, "l_len": 8,
+                    "v_len": 10, "a_len": 12, "dim": 24, "n_heads": 2},
+          "train": {"batch_size": 8, "n_folds": 2, "fold_size": None}}
+    exp = configs.get("mosei_trans")
+    build_mosei_tree(tmp_path, dataclasses.replace(exp.model, **ov["model"]),
+                     seed=0)
+    ck = str(tmp_path / "ck")
+    pipelines.run_experiment("mosei_trans", synthetic_data=False,
+                             data_root=str(tmp_path), epochs=1, quiet=True,
+                             overrides=ov, checkpoint_dir=ck)
+    out = str(tmp_path / "p.npz")
+    t = pipelines.run_predict("mosei_trans", checkpoint_dir=ck,
+                              synthetic_data=False, data_root=str(tmp_path),
+                              overrides=ov, output=out, quiet=True)
+    assert t["rows"] > 0
+    assert np.isfinite(t["logits"]).all()
+    _, test_units, _ = pipelines.load_real_data(
+        configs.with_overrides(exp, ov), str(tmp_path))
+    assert t["rows"] == len({int(s["group"]) for s in test_units})
+    assert np.load(out)["pred"].shape == (t["rows"], 6)
+
+
 def test_run_predict_requires_members(tmp_path):
     from multimodal_emotion_processing_tpu.pipelines import run_predict
 
@@ -118,6 +149,28 @@ def test_run_predict_requires_members(tmp_path):
     with pytest.raises(ValueError, match="no trained members"):
         run_predict("rencecps", checkpoint_dir=str(tmp_path / "empty"),
                     n_test=8, quiet=True)
+
+
+def test_run_predict_mesh_dp_matches_single_device():
+    """Sharded batch inference (Ensemble(mesh=), predict --dp N): logits over
+    an 8-device CPU mesh 'data' axis equal the single-device run — members
+    replicate, batches shard, GSPMD partitions the vmapped forward."""
+    from multimodal_emotion_processing_tpu.pipelines import run_predict
+
+    kw = dict(n_test=16, init_random=True, quiet=True)
+    t1 = run_predict("rencecps", **kw)
+    t8 = run_predict("rencecps", dp=8, **kw)
+    np.testing.assert_allclose(t8["logits"], t1["logits"],
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_array_equal(t8["pred"], t1["pred"])
+
+
+def test_run_predict_mesh_dp_rejects_indivisible_batch():
+    from multimodal_emotion_processing_tpu.pipelines import run_predict
+
+    with pytest.raises(ValueError, match="divisible"):
+        run_predict("rencecps", dp=8, n_test=16, init_random=True,
+                    quiet=True, overrides={"train": {"batch_size": 12}})
 
 
 def test_cli_predict_init_random(tmp_path, capsys):
