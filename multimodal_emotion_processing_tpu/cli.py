@@ -166,9 +166,14 @@ def build_parser():
     pd.add_argument("--thresholds", default=None, metavar="T1,T2,...",
                     help="comma-separated per-emotion decision thresholds "
                          "(default: the config's tuned ones)")
-    pd.add_argument("--transfer-dtype", choices=["float16", "bfloat16"],
+    pd.add_argument("--transfer-dtype",
+                    choices=["float16", "bfloat16", "int8"],
                     default=None)
     pd.add_argument("--stacked-grid", action="store_true")
+    pd.add_argument("--device-resident", action="store_true",
+                    help="stage the dataset in HBM once and score every "
+                         "batch in ONE dispatch (bulk offline scoring; "
+                         "identical logits to the per-batch path)")
     pd.add_argument("--dp", type=int, default=None, metavar="N",
                     help="shard batch inference over N devices on a mesh "
                          "'data' axis (members replicate; logits identical "
@@ -571,6 +576,7 @@ def main(argv=None):
                         if args.thresholds else None),
             transfer_dtype=args.transfer_dtype,
             stacked=args.stacked_grid, dp=args.dp,
+            device_resident=args.device_resident,
             output=args.output, quiet=args.quiet)
         print(json.dumps({
             "config": args.config, "output": args.output,

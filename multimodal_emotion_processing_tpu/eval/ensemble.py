@@ -60,6 +60,7 @@ class Ensemble:
             return model.apply(params, upcast_wire(batch), train=False,
                                impl=impl, stacked=stacked)
 
+        self._member_logits = member_logits
         self._vmapped = jax.jit(jax.vmap(member_logits, in_axes=(0, None)))
 
     def logits(self, batch) -> jnp.ndarray:
@@ -97,6 +98,49 @@ class Ensemble:
                 lg = lg[np.asarray(w) > 0]
             outs.append(lg)
         return np.concatenate(outs, axis=0)
+
+
+    def predict_all_staged(self, samples: Sequence, batch_size: int, *,
+                           transfer_dtype=None) -> np.ndarray:
+        """Device-resident bulk scoring: stage the WHOLE dataset in HBM once
+        (train/device_epochs.stage_dataset — optionally f16/bf16/int8
+        compressed), then compute every batch's combined ensemble logits in
+        ONE dispatch (`lax.scan` over contiguous static-shape slices).
+        Removes both per-batch costs of `predict_all` — the H2D put and the
+        dispatch round-trip — the inference-side analogue of the
+        device-resident training drivers (honest A/B there: 2.3×).  Returns
+        exactly `predict_all`'s concatenated logits (padding rows dropped
+        via the staged sample_weight); same math, same member forward."""
+        if self.mesh is not None:
+            raise ValueError(
+                "staged prediction does not compose with mesh= sharding — "
+                "use the per-batch path (predict_all) on a mesh")
+        from ..train.device_epochs import stage_dataset
+
+        data, _ = stage_dataset(list(samples), pad_to_multiple=batch_size,
+                                transfer_dtype=transfer_dtype)
+        n_rows = int(data["sample_weight"].shape[0])
+        n_ev = n_rows // batch_size
+        member_fn = self._member_logits
+        w = self.weights
+
+        def run(d):
+            def body(c, j):
+                batch = jax.tree.map(
+                    lambda x: jax.lax.dynamic_slice_in_dim(
+                        x, j * batch_size, batch_size), d)
+                per = jax.vmap(member_fn, in_axes=(0, None))(self.stacked,
+                                                             batch)
+                return c, jnp.sum(
+                    per * w.reshape((self.k,) + (1,) * (per.ndim - 1)),
+                    axis=0)
+
+            return jax.lax.scan(body, None, jnp.arange(n_ev))[1]
+
+        lg = np.asarray(jax.jit(run)(data))        # (n_ev, B, ...)
+        lg = lg.reshape((n_rows,) + lg.shape[2:])
+        keep = np.asarray(jax.device_get(data["sample_weight"])) > 0
+        return lg[keep]
 
 
 def group_average(logits: np.ndarray, group_ids: Sequence[int],

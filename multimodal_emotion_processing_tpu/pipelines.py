@@ -677,6 +677,7 @@ def _run_predict(
     output: Optional[str] = None,
     quiet: bool = False,
     dp: Optional[int] = None,
+    device_resident: bool = False,
 ) -> Dict:
     """Offline batch inference: run the trained ensemble over a dataset once
     and keep every sample's outputs (eval/predictions.py) — the artifact
@@ -730,8 +731,19 @@ def _run_predict(
     ens = _make_ensemble(config_name, model, members, member_losses,
                          impl=impl, stacked=True if stacked else None,
                          mesh=mesh)
-    loader = Batcher(samples, exp.train.batch_size, shuffle=False)
-    logits = ens.predict_all(loader, transfer_dtype=transfer_dtype)
+    if device_resident:
+        if mesh is not None:
+            raise ValueError("device_resident does not compose with dp — "
+                             "pick one (staged HBM scoring vs sharded "
+                             "per-batch inference)")
+        # stage the dataset in HBM once, score every batch in ONE dispatch
+        # (Ensemble.predict_all_staged) — identical logits, no per-batch
+        # put/dispatch round-trips
+        logits = ens.predict_all_staged(samples, exp.train.batch_size,
+                                        transfer_dtype=transfer_dtype)
+    else:
+        loader = Batcher(samples, exp.train.batch_size, shuffle=False)
+        logits = ens.predict_all(loader, transfer_dtype=transfer_dtype)
     logits, labels = _collapse_test_outputs(logits, samples)
 
     from .eval.predictions import prediction_table, write_predictions

@@ -173,6 +173,40 @@ def test_run_predict_mesh_dp_rejects_indivisible_batch():
                     quiet=True, overrides={"train": {"batch_size": 12}})
 
 
+def test_run_predict_device_resident_matches_host_fed(tmp_path):
+    """Staged bulk scoring (Ensemble.predict_all_staged, predict
+    --device-resident): one HBM staging + one scan dispatch must reproduce
+    the per-batch host-fed logits exactly — including a non-divisible
+    sample count exercising the padded tail."""
+    from multimodal_emotion_processing_tpu.pipelines import (run_experiment,
+                                                             run_predict)
+
+    ck = str(tmp_path / "ck")
+    run_experiment("mosei_trans", synthetic_data=True, n_train=24, n_test=8,
+                   epochs=1, checkpoint_dir=ck, quiet=True,
+                   overrides=TINY_MOSEI)
+    kw = dict(checkpoint_dir=ck, n_test=11, overrides=TINY_MOSEI, quiet=True)
+    host = run_predict("mosei_trans", **kw)
+    staged = run_predict("mosei_trans", device_resident=True, **kw)
+    assert staged["rows"] == host["rows"]
+    np.testing.assert_allclose(staged["logits"], host["logits"],
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(staged["pred"], host["pred"])
+    # int8 staging composes: per-sample scales ride the staged dict
+    staged_i8 = run_predict("mosei_trans", device_resident=True,
+                            transfer_dtype="int8", **kw)
+    np.testing.assert_allclose(staged_i8["logits"], host["logits"],
+                               rtol=0.3, atol=0.15)
+
+
+def test_run_predict_device_resident_rejects_dp():
+    from multimodal_emotion_processing_tpu.pipelines import run_predict
+
+    with pytest.raises(ValueError, match="does not compose"):
+        run_predict("rencecps", init_random=True, n_test=8, dp=8,
+                    device_resident=True, quiet=True)
+
+
 def test_cli_predict_init_random(tmp_path, capsys):
     """`predict --init-random` smoke: writes the file, prints the summary."""
     from multimodal_emotion_processing_tpu.cli import main
