@@ -267,6 +267,17 @@ def build_parser():
     sm.add_argument("--depth", type=int, default=2,
                     help="pytree path depth to group parameters by")
 
+    cp = sub.add_parser(
+        "checkpoints", help="inspect a checkpoint store: members, valid "
+                            "losses, best epochs, resume points, artifact "
+                            "kinds, disk usage (reads manifest.json — the "
+                            "replacement for the reference's loss-tagged "
+                            ".pt filenames)")
+    cp.add_argument("checkpoint_dir")
+    cp.add_argument("--prefix", default="",
+                    help="only members whose name starts with this "
+                         "(e.g. a config name)")
+
     sub.add_parser("configs", help="list configs")
     return p
 
@@ -613,6 +624,49 @@ def main(argv=None):
                 "forward": _fl.forward_flops_per_sample(exp.model),
                 "train_step": _fl.train_flops_per_sample(exp.model),
             },
+        }, indent=2))
+    elif args.cmd == "checkpoints":
+        import os
+
+        from .train.checkpoint import CheckpointStore
+
+        def _dir_bytes(path):
+            total = 0
+            for root, _, files in os.walk(path):
+                total += sum(os.path.getsize(os.path.join(root, f))
+                             for f in files)
+            return total
+
+        store = CheckpointStore(args.checkpoint_dir)
+        members = {}
+        for name, e in sorted(store.manifest.items()):
+            if not name.startswith(args.prefix):
+                continue
+            kinds = [k for k in ("params", "full") if k in e]
+            resume = e.get("last") or e.get("last_prev")
+            size = sum(_dir_bytes(e[k]) for k in kinds
+                       if isinstance(e.get(k), str) and os.path.isdir(e[k]))
+            for slot in ("last", "last_prev"):
+                s = e.get(slot)
+                if s and os.path.isdir(s.get("path", "")):
+                    size += _dir_bytes(s["path"])
+            members[name] = {
+                "valid_loss": e.get("valid_loss"),
+                "best_epoch": e.get("epoch"),
+                "kinds": kinds + (["resume"] if resume else []),
+                "resume_epoch": resume["epoch"] if resume else None,
+                "done": bool(e.get("done", False)),
+                "imported": bool(e.get("imported", False)),
+                "bytes": size,
+            }
+        ranked = sorted((n for n in members
+                         if members[n]["valid_loss"] is not None),
+                        key=lambda n: members[n]["valid_loss"])
+        print(json.dumps({
+            "checkpoint_dir": args.checkpoint_dir,
+            "members": members,
+            "ranked_by_valid_loss": ranked,
+            "total_bytes": sum(m["bytes"] for m in members.values()),
         }, indent=2))
     elif args.cmd == "check-data":
         from .data.validate import validate_tree

@@ -221,6 +221,33 @@ def test_cli_predict_init_random(tmp_path, capsys):
     assert len(open(out).readlines()) == 8
 
 
+def test_cli_checkpoints_inspection(tmp_path, capsys):
+    """`checkpoints <dir>`: manifest-driven store summary — members ranked
+    by valid loss, artifact kinds, resume points, disk usage."""
+    from multimodal_emotion_processing_tpu.cli import main
+    from multimodal_emotion_processing_tpu.pipelines import run_experiment
+
+    ck = str(tmp_path / "ck")
+    run_experiment("rencecps", synthetic_data=True, n_train=32, n_test=8,
+                   epochs=1, checkpoint_dir=ck, quiet=True,
+                   overrides={"train": {"n_folds": 2, "batch_size": 8,
+                                        "fold_size": None}})
+    main(["checkpoints", ck])
+    out = json.loads(capsys.readouterr().out)
+    assert len(out["members"]) >= 2
+    ranked = out["ranked_by_valid_loss"]
+    losses = [out["members"][n]["valid_loss"] for n in ranked]
+    assert losses == sorted(losses)
+    first = out["members"][ranked[0]]
+    assert "params" in first["kinds"]
+    assert first["bytes"] > 0 and out["total_bytes"] > 0
+    # prefix filter narrows to matching member names
+    main(["checkpoints", ck, "--prefix", "rencecps_1"])
+    narrowed = json.loads(capsys.readouterr().out)
+    assert set(narrowed["members"]) == {
+        n for n in out["members"] if n.startswith("rencecps_1")}
+
+
 def test_cli_predict_requires_member_source(tmp_path):
     from multimodal_emotion_processing_tpu.cli import main
 
