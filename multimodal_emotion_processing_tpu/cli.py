@@ -220,6 +220,12 @@ def build_parser():
     ex.add_argument("--out", default="predictor.shlo")
     ex.add_argument("--platforms", default="tpu,cpu",
                     help="comma-separated export platforms")
+    ex.add_argument("--batch", type=int, default=1,
+                    help="static batch size of the exported program: 1 = "
+                         "the live batch-1 predictor; >1 = the micro-"
+                         "batching server's bucket program (export one "
+                         "blob per bucket size for a model-code-free "
+                         "serving host)")
 
     it = sub.add_parser(
         "import-torch",
@@ -486,11 +492,13 @@ def cmd_export(args):
     members = _load_members(args, model, "exporting")
     sample = synthetic_dataset(args.config, exp.model, 1, seed=0)[0]
     blob = export_predictor(model, members, exp.thresholds, sample,
-                            platforms=tuple(args.platforms.split(",")))
+                            platforms=tuple(args.platforms.split(",")),
+                            batch_size=args.batch)
     with open(args.out, "wb") as f:
         f.write(blob)
     print(f"wrote {args.out} ({len(blob) / 1e6:.1f} MB, "
-          f"platforms={args.platforms}, {len(members)}-member ensemble)")
+          f"platforms={args.platforms}, batch={args.batch}, "
+          f"{len(members)}-member ensemble)")
 
 
 def cmd_import_torch(args):

@@ -29,27 +29,42 @@ import numpy as np
 from jax import export as jexport
 
 
-def _batch1_spec(sample: Dict[str, np.ndarray]) -> Dict[str, jax.ShapeDtypeStruct]:
-    return {k: jax.ShapeDtypeStruct((1,) + np.asarray(v).shape,
+def _batch_spec(sample: Dict[str, np.ndarray],
+                batch_size: int) -> Dict[str, jax.ShapeDtypeStruct]:
+    return {k: jax.ShapeDtypeStruct((batch_size,) + np.asarray(v).shape,
                                     np.asarray(v).dtype)
             for k, v in sample.items() if k != "label"}
 
 
 def export_predictor(model, params_list: Sequence, offsets: Sequence[float],
                      example_sample: Dict[str, np.ndarray], *,
-                     platforms: Sequence[str] = ("tpu", "cpu")) -> bytes:
+                     platforms: Sequence[str] = ("tpu", "cpu"),
+                     batch_size: int = 1) -> bytes:
     """Serialize the ensemble serving function (weights embedded) for the
-    given platforms.  `example_sample` fixes the batch-1 input shapes."""
-    from .stream import ensemble_serve_fn  # ONE serving computation
-
+    given platforms.  `example_sample` fixes the per-sample input shapes;
+    `batch_size` fixes the (static) batch axis.  batch_size=1 exports the
+    live predictor's computation (serve/stream.ensemble_serve_fn —
+    outputs (E,)/(E',)); batch_size>1 exports the micro-batching server's
+    bucket program (serve/server.batched_ensemble_fn — outputs (B, E)/
+    (B, E')), so a model-code-free serving host can run the same bucketed
+    dispatch `BatchingServer` runs (export one blob per bucket size)."""
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
-    run = ensemble_serve_fn(model, offsets)
+    if batch_size == 1:
+        from .stream import ensemble_serve_fn  # ONE serving computation
+
+        run = ensemble_serve_fn(model, offsets)
+    else:
+        from .server import batched_ensemble_fn  # the bucket program
+
+        run = batched_ensemble_fn(model, offsets)
 
     def serve_fn(batch):
         return run(stacked, batch)
 
     exported = jexport.export(jax.jit(serve_fn), platforms=tuple(platforms))(
-        _batch1_spec(example_sample))
+        _batch_spec(example_sample, batch_size))
     return exported.serialize()
 
 

@@ -221,6 +221,27 @@ def test_cli_predict_init_random(tmp_path, capsys):
     assert len(open(out).readlines()) == 8
 
 
+def test_eval_under_dp_mesh_matches_single_device(tmp_path):
+    """`eval --dp 8`: run_experiment(epochs=0) restoring the same trained
+    members must produce the identical metric report whether ensemble
+    inference runs single-device or sharded over the 8-device CPU mesh."""
+    from multimodal_emotion_processing_tpu.pipelines import run_experiment
+
+    ov = {"train": {"n_folds": 2, "batch_size": 8, "fold_size": None}}
+    ck = str(tmp_path / "ck")
+    run_experiment("rencecps", synthetic_data=True, n_train=32, n_test=16,
+                   epochs=1, checkpoint_dir=ck, quiet=True, overrides=ov)
+    kw = dict(synthetic_data=True, n_train=32, n_test=16, epochs=0,
+              checkpoint_dir=ck, quiet=True, overrides=ov)
+    single = run_experiment("rencecps", **kw).report
+    sharded = run_experiment("rencecps", dp=8, **kw).report
+    assert sharded["macro_f1"] == pytest.approx(single["macro_f1"])
+    assert sharded["micro_f1"] == pytest.approx(single["micro_f1"])
+    np.testing.assert_allclose(
+        [sharded["per_emotion"][e]["f1"] for e in sharded["per_emotion"]],
+        [single["per_emotion"][e]["f1"] for e in single["per_emotion"]])
+
+
 def test_cli_checkpoints_inspection(tmp_path, capsys):
     """`checkpoints <dir>`: manifest-driven store summary — members ranked
     by valid loss, artifact kinds, resume points, disk usage."""

@@ -298,6 +298,42 @@ def test_export_predictor_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(probs), probs_ref, rtol=1e-5, atol=1e-5)
 
 
+def test_export_predictor_bucket_batch(tmp_path):
+    """`export --batch N` (N>1): the exported blob runs the micro-batching
+    server's bucket program — per-row outputs equal the batch-1 export's
+    on the same samples (no cross-sample op in the model family)."""
+    from multimodal_emotion_processing_tpu.serve import (
+        export_predictor, load_predictor)
+    from multimodal_emotion_processing_tpu.serve.server import \
+        batched_ensemble_fn
+
+    exp = tiny_exp("robot_demo")
+    model = build_model(exp)
+    ps = [model.init(jax.random.PRNGKey(i)) for i in range(2)]
+    samples = synthetic_dataset("robot_demo", exp.model, 4, seed=7)
+    batch = {k: np.stack([np.asarray(s[k]) for s in samples])
+             for k in samples[0] if k != "label"}
+
+    blob = export_predictor(model, ps, exp.thresholds, samples[0],
+                            platforms=("cpu",), batch_size=4)
+    fn = load_predictor(blob)
+    pred, probs = fn(batch)
+    assert np.asarray(pred).shape[0] == 4
+
+    # oracle: the live bucket program on the same stacked members
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *ps)
+    want_pred, want_probs = batched_ensemble_fn(
+        model, exp.thresholds)(stacked, batch)
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(want_pred),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(want_probs),
+                               rtol=1e-5, atol=1e-5)
+
+    with pytest.raises(ValueError, match="batch_size"):
+        export_predictor(model, ps, exp.thresholds, samples[0],
+                         platforms=("cpu",), batch_size=0)
+
+
 def test_bfloat16_compute_trains():
     import jax.numpy as jnp
     from multimodal_emotion_processing_tpu.data.loader import Batcher
