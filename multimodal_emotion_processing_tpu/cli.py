@@ -165,7 +165,9 @@ def build_parser():
     pd.add_argument("--set", action="append", default=[], metavar="K=V")
     pd.add_argument("--thresholds", default=None, metavar="T1,T2,...",
                     help="comma-separated per-emotion decision thresholds "
-                         "(default: the config's tuned ones)")
+                         "(default: the config's tuned ones); use the "
+                         "--thresholds=-0.3,-0.5,... form for negative "
+                         "values")
     pd.add_argument("--transfer-dtype",
                     choices=["float16", "bfloat16", "int8"],
                     default=None)
@@ -670,11 +672,13 @@ def main(argv=None):
         ranked = sorted((n for n in members
                          if members[n]["valid_loss"] is not None),
                         key=lambda n: members[n]["valid_loss"])
+        meta_path = os.path.join(args.checkpoint_dir, "run_meta.json")
         print(json.dumps({
             "checkpoint_dir": args.checkpoint_dir,
             "members": members,
             "ranked_by_valid_loss": ranked,
             "total_bytes": sum(m["bytes"] for m in members.values()),
+            "run_meta": meta_path if os.path.isfile(meta_path) else None,
         }, indent=2))
     elif args.cmd == "check-data":
         from .data.validate import validate_tree

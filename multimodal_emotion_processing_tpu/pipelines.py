@@ -52,6 +52,37 @@ def _synthetic_data(exp, n_train: int, n_test: int, seed: int = 0):
     return train, test
 
 
+def _write_run_meta(dirs, *, config_name, overrides, exp, drivers, data):
+    """Write `run_meta.json` into every artifact directory of a run: the
+    resolved config (every hyperparameter, post-overrides), the driver
+    knobs, the data mode, and the environment (jax version, devices) —
+    enough to reproduce or audit the run from its artifacts alone."""
+    if not dirs:
+        return
+    import json
+    import platform
+    import time
+
+    meta = {
+        "config": config_name,
+        "overrides": overrides or {},
+        "resolved_config": dataclasses.asdict(exp),
+        "drivers": drivers,
+        "data": data,
+        "env": {
+            "jax": jax.__version__,
+            "devices": [str(d) for d in jax.devices()],
+            "platform": jax.devices()[0].platform,
+            "python": platform.python_version(),
+        },
+        "started_unix": time.time(),
+    }
+    for d in dirs:
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "run_meta.json"), "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+
+
 def _restore_members(config_name, model, store):
     """Trained ensemble members from a checkpoint store: the per-fold best
     checkpoints (the reference always reloads BEST, cmu-mosei/run.py:447-453)
@@ -310,6 +341,22 @@ def _run_experiment(
     store = (CheckpointStore(checkpoint_dir, use_async=async_checkpoint)
              if checkpoint_dir else None)
     loggers: Dict[str, RunLogger] = {}
+    # reproducibility manifest: the reference's runs are unrecorded (module
+    # constants, no argparse — SURVEY §5 Config); every run here that keeps
+    # artifacts also keeps the exact resolved config + driver knobs + env
+    # that produced them, written BEFORE training so crashed runs have it too
+    _write_run_meta(
+        [d for d in (log_dir, checkpoint_dir) if d],
+        config_name=config_name, overrides=overrides, exp=exp,
+        drivers={"epochs": epochs, "impl": impl, "dp": dp, "tp": tp,
+                 "scan_steps": scan_steps, "device_resident": device_resident,
+                 "one_dispatch": one_dispatch, "vmap_folds": vmap_folds,
+                 "seeds_per_fold": seeds_per_fold, "accum_steps": accum_steps,
+                 "transfer_dtype": transfer_dtype,
+                 "async_checkpoint": async_checkpoint, "resume": resume,
+                 "sweep_thresholds": sweep_thresholds},
+        data={"synthetic": synthetic_data, "data_root": data_root,
+              "n_train": n_train, "n_test": n_test})
 
     def log_cb(name, epoch, stats):
         if log_dir:

@@ -269,6 +269,35 @@ def test_cli_checkpoints_inspection(tmp_path, capsys):
         n for n in out["members"] if n.startswith("rencecps_1")}
 
 
+def test_run_meta_written_to_artifact_dirs(tmp_path):
+    """Every run keeping artifacts records its reproducibility manifest:
+    resolved config (post-overrides), driver knobs, data mode, env."""
+    from multimodal_emotion_processing_tpu.pipelines import run_experiment
+
+    ck, lg = str(tmp_path / "ck"), str(tmp_path / "logs")
+    run_experiment("rencecps", synthetic_data=True, n_train=16, n_test=8,
+                   epochs=1, checkpoint_dir=ck, log_dir=lg, quiet=True,
+                   scan_steps=2,
+                   overrides={"train": {"n_folds": 2, "batch_size": 4,
+                                        "fold_size": None}})
+    for d in (ck, lg):
+        meta = json.load(open(f"{d}/run_meta.json"))
+        assert meta["config"] == "rencecps"
+        assert meta["resolved_config"]["train"]["batch_size"] == 4
+        assert meta["drivers"]["scan_steps"] == 2
+        assert meta["data"]["synthetic"] is True
+        assert meta["env"]["jax"] and meta["env"]["devices"]
+    # the checkpoints CLI surfaces it
+    from multimodal_emotion_processing_tpu.cli import main
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["checkpoints", ck])
+    assert json.loads(buf.getvalue())["run_meta"] == f"{ck}/run_meta.json"
+
+
 def test_cli_predict_requires_member_source(tmp_path):
     from multimodal_emotion_processing_tpu.cli import main
 
