@@ -161,6 +161,11 @@ def build_parser():
                     help="real corpus root (default: synthetic test split)")
     pd.add_argument("--n-test", type=int, default=64,
                     help="synthetic test-split size")
+    pd.add_argument("--split", choices=["test", "train", "all"],
+                    default="test",
+                    help="which samples to score (train-split prediction is "
+                         "the standard error-analysis workflow; 'all' "
+                         "covers corpora without a held-out split)")
     pd.add_argument("--impl", choices=["xla", "pallas", "cp"], default="xla")
     pd.add_argument("--set", action="append", default=[], metavar="K=V")
     pd.add_argument("--thresholds", default=None, metavar="T1,T2,...",
@@ -597,7 +602,7 @@ def main(argv=None):
                         if args.thresholds else None),
             transfer_dtype=args.transfer_dtype,
             stacked=args.stacked_grid, dp=args.dp,
-            device_resident=args.device_resident,
+            device_resident=args.device_resident, split=args.split,
             output=args.output, quiet=args.quiet)
         print(json.dumps({
             "config": args.config, "output": args.output,

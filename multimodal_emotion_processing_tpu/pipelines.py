@@ -725,6 +725,7 @@ def _run_predict(
     quiet: bool = False,
     dp: Optional[int] = None,
     device_resident: bool = False,
+    split: str = "test",
 ) -> Dict:
     """Offline batch inference: run the trained ensemble over a dataset once
     and keep every sample's outputs (eval/predictions.py) — the artifact
@@ -743,16 +744,49 @@ def _run_predict(
     exp = configs.with_overrides(configs.get(config_name), overrides)
     model = build_model(exp)
 
+    if split not in ("test", "train", "all"):
+        raise ValueError(f"split must be test/train/all, got {split!r}")
+
+    def _flat(units):
+        # train-side units can be pair-level LISTS of crop samples (fold
+        # carving counts pairs, load_real_data mosei_trans) — flatten,
+        # assigning each unit a crop-group id exactly like the assembler's
+        # test-side materialize does (one prediction per pair)
+        out = []
+        for i, u in enumerate(units):
+            if isinstance(u, list):
+                for s in u:
+                    out.append({**s, "group": np.asarray(i, np.int32)})
+            else:
+                out.append(u)
+        return out
+
     if synthetic_data:
-        samples = synthetic.synthetic_dataset(exp.name, exp.model, n_test, 1)
+        train_samples = synthetic.synthetic_dataset(exp.name, exp.model,
+                                                    n_test, 0)
+        test_samples = synthetic.synthetic_dataset(exp.name, exp.model,
+                                                   n_test, 1)
     else:
         if data_root is None:
             raise ValueError("data_root required when synthetic_data=False")
-        train_samples, samples, _ = load_real_data(exp, data_root)
-        if not samples:
+        train_samples, test_samples, _ = load_real_data(exp, data_root)
+        train_samples = _flat(train_samples)
+        if not test_samples and split == "test":
             _log(f"[{config_name}] corpus has no held-out split; predicting "
                  f"over all {len(train_samples)} samples", quiet)
-            samples = train_samples
+            test_samples = train_samples
+    if split == "all" and test_samples is not train_samples \
+            and test_samples and "group" in test_samples[0]:
+        # group ids are per-split sequences — rebase the test split's above
+        # the train split's so crop averaging never merges across splits
+        off = 1 + max(int(s["group"]) for s in train_samples) \
+            if train_samples and "group" in train_samples[0] else 0
+        test_samples = [{**s, "group": np.asarray(int(s["group"]) + off,
+                                                  np.int32)}
+                        for s in test_samples]
+    samples = {"test": test_samples, "train": train_samples,
+               "all": (train_samples if test_samples is train_samples
+                       else train_samples + test_samples)}[split]
     if not samples:
         raise ValueError("no samples to predict on")
 

@@ -139,6 +139,44 @@ def test_run_predict_real_corpus_tree(tmp_path):
     assert np.load(out)["pred"].shape == (t["rows"], 6)
 
 
+def test_run_predict_split_selection(tmp_path):
+    """--split train/test/all: synthetic splits differ (different seeds);
+    on a real mosei tree, the train split's pair-level units flatten with
+    fresh crop-group ids (rows == train pairs) and 'all' rebases test
+    groups above train's so crop averaging never merges across splits."""
+    import dataclasses
+
+    from corpus_fixtures import build_mosei_tree
+    from multimodal_emotion_processing_tpu import configs, pipelines
+
+    kw = dict(init_random=True, n_test=8, quiet=True)
+    t_test = pipelines.run_predict("rencecps", split="test", **kw)
+    t_train = pipelines.run_predict("rencecps", split="train", **kw)
+    t_all = pipelines.run_predict("rencecps", split="all", **kw)
+    assert not np.allclose(t_test["logits"], t_train["logits"])
+    assert t_all["rows"] == t_test["rows"] + t_train["rows"]
+    np.testing.assert_allclose(t_all["logits"][:t_train["rows"]],
+                               t_train["logits"], rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="split"):
+        pipelines.run_predict("rencecps", split="valid", **kw)
+
+    ov = {"model": {"l_dim": 12, "v_dim": 7, "a_dim": 9, "l_len": 8,
+                    "v_len": 10, "a_len": 12, "dim": 24, "n_heads": 2},
+          "train": {"batch_size": 8, "n_folds": 2, "fold_size": None}}
+    exp = configs.get("mosei_trans")
+    build_mosei_tree(tmp_path, dataclasses.replace(exp.model, **ov["model"]),
+                     seed=0)
+    rkw = dict(init_random=True, synthetic_data=False,
+               data_root=str(tmp_path), overrides=ov, quiet=True)
+    train_units, test_units, _ = pipelines.load_real_data(
+        configs.with_overrides(exp, ov), str(tmp_path))
+    tr = pipelines.run_predict("mosei_trans", split="train", **rkw)
+    assert tr["rows"] == len(train_units)  # one row per PAIR unit
+    al = pipelines.run_predict("mosei_trans", split="all", **rkw)
+    n_test_pairs = len({int(s["group"]) for s in test_units})
+    assert al["rows"] == len(train_units) + n_test_pairs
+
+
 def test_run_predict_requires_members(tmp_path):
     from multimodal_emotion_processing_tpu.pipelines import run_predict
 
