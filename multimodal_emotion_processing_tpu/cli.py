@@ -161,6 +161,10 @@ def build_parser():
                     help="real corpus root (default: synthetic test split)")
     pd.add_argument("--n-test", type=int, default=64,
                     help="synthetic test-split size")
+    pd.add_argument("--n-train", type=int, default=None,
+                    help="synthetic train-split size for --split train/all "
+                         "(default: --n-test); match the size the model "
+                         "actually trained on for error analysis")
     pd.add_argument("--split", choices=["test", "train", "all"],
                     default="test",
                     help="which samples to score (train-split prediction is "
@@ -597,6 +601,7 @@ def main(argv=None):
             init_random=args.init_random,
             synthetic_data=args.data_root is None,
             data_root=args.data_root, n_test=args.n_test,
+            n_train=args.n_train,
             impl=args.impl, overrides=parse_overrides(args.set),
             thresholds=([float(t) for t in args.thresholds.split(",")]
                         if args.thresholds else None),

@@ -116,6 +116,23 @@ def _make_ensemble(config_name, model, members, member_losses, *,
                     impl=impl, stacked=stacked, mesh=mesh)
 
 
+def _flatten_units(units, with_groups: bool = False):
+    """Flatten pair-level LIST units (fold carving counts pairs —
+    load_real_data mosei_trans) to samples.  `with_groups` assigns each
+    unit a crop-group id exactly like PairSampleAssembler.materialize
+    (data/mosei.py:136-147), so downstream crop averaging keeps one
+    prediction per pair."""
+    out = []
+    for i, u in enumerate(units):
+        if isinstance(u, list):
+            for s in u:
+                out.append({**s, "group": np.asarray(i, np.int32)}
+                           if with_groups else s)
+        else:
+            out.append(u)
+    return out
+
+
 def _collapse_test_outputs(logits, test_samples):
     """Reduce raw per-row ensemble logits to the reference's test units:
     two-crop pairs average to one prediction per pair (cmu-mosei/
@@ -344,9 +361,13 @@ def _run_experiment(
     # reproducibility manifest: the reference's runs are unrecorded (module
     # constants, no argparse — SURVEY §5 Config); every run here that keeps
     # artifacts also keeps the exact resolved config + driver knobs + env
-    # that produced them, written BEFORE training so crashed runs have it too
+    # that produced them, written BEFORE training so crashed runs have it
+    # too.  Eval-only invocations (epochs=0 — the `eval` CLI reuses this
+    # path and REQUIRES the same checkpoint_dir) must not clobber the
+    # training run's provenance
+    trains = (epochs if epochs is not None else exp.train.epochs) != 0
     _write_run_meta(
-        [d for d in (log_dir, checkpoint_dir) if d],
+        [d for d in (log_dir, checkpoint_dir) if d] if trains else [],
         config_name=config_name, overrides=overrides, exp=exp,
         drivers={"epochs": epochs, "impl": impl, "dp": dp, "tp": tp,
                  "scan_steps": scan_steps, "device_resident": device_resident,
@@ -397,8 +418,7 @@ def _run_experiment(
 
         return resample
 
-    def _flatten(units):
-        return [s for u in units for s in (u if isinstance(u, list) else [u])]
+    _flatten = _flatten_units
 
     fold_counter = {"i": 0}
 
@@ -716,6 +736,7 @@ def _run_predict(
     synthetic_data: bool = True,
     data_root: Optional[str] = None,
     n_test: int = 64,
+    n_train: Optional[int] = None,
     impl: str = "xla",
     overrides: Optional[Dict] = None,
     thresholds: Optional[List[float]] = None,
@@ -746,47 +767,48 @@ def _run_predict(
 
     if split not in ("test", "train", "all"):
         raise ValueError(f"split must be test/train/all, got {split!r}")
-
-    def _flat(units):
-        # train-side units can be pair-level LISTS of crop samples (fold
-        # carving counts pairs, load_real_data mosei_trans) — flatten,
-        # assigning each unit a crop-group id exactly like the assembler's
-        # test-side materialize does (one prediction per pair)
-        out = []
-        for i, u in enumerate(units):
-            if isinstance(u, list):
-                for s in u:
-                    out.append({**s, "group": np.asarray(i, np.int32)})
-            else:
-                out.append(u)
-        return out
+    n_tr = n_train if n_train is not None else n_test
 
     if synthetic_data:
-        train_samples = synthetic.synthetic_dataset(exp.name, exp.model,
-                                                    n_test, 0)
-        test_samples = synthetic.synthetic_dataset(exp.name, exp.model,
-                                                   n_test, 1)
+        # built lazily: only the requested split pays its generation cost
+        def _train():
+            return synthetic.synthetic_dataset(exp.name, exp.model, n_tr, 0)
+
+        def _test():
+            return synthetic.synthetic_dataset(exp.name, exp.model, n_test, 1)
+
+        if split == "train":
+            samples = _train()
+        elif split == "test":
+            samples = _test()
+        else:
+            samples = _train() + _test()  # no crop groups in synthetic data
     else:
         if data_root is None:
             raise ValueError("data_root required when synthetic_data=False")
-        train_samples, test_samples, _ = load_real_data(exp, data_root)
-        train_samples = _flat(train_samples)
-        if not test_samples and split == "test":
-            _log(f"[{config_name}] corpus has no held-out split; predicting "
-                 f"over all {len(train_samples)} samples", quiet)
-            test_samples = train_samples
-    if split == "all" and test_samples is not train_samples \
-            and test_samples and "group" in test_samples[0]:
-        # group ids are per-split sequences — rebase the test split's above
-        # the train split's so crop averaging never merges across splits
-        off = 1 + max(int(s["group"]) for s in train_samples) \
-            if train_samples and "group" in train_samples[0] else 0
-        test_samples = [{**s, "group": np.asarray(int(s["group"]) + off,
-                                                  np.int32)}
-                        for s in test_samples]
-    samples = {"test": test_samples, "train": train_samples,
-               "all": (train_samples if test_samples is train_samples
-                       else train_samples + test_samples)}[split]
+        train_units, test_samples, _ = load_real_data(exp, data_root)
+        if split == "train":
+            samples = _flatten_units(train_units, with_groups=True)
+        elif split == "test":
+            samples = test_samples
+            if not samples:
+                samples = _flatten_units(train_units, with_groups=True)
+                _log(f"[{config_name}] corpus has no held-out split; "
+                     f"predicting over all {len(samples)} samples", quiet)
+        else:
+            train_samples = _flatten_units(train_units, with_groups=True)
+            if test_samples and "group" in test_samples[0]:
+                # group ids are per-split sequences — rebase the test
+                # split's above the train split's so crop averaging never
+                # merges across splits
+                off = (1 + max(int(s["group"]) for s in train_samples)
+                       if train_samples and "group" in train_samples[0]
+                       else 0)
+                test_samples = [
+                    {**s, "group": np.asarray(int(s["group"]) + off,
+                                              np.int32)}
+                    for s in test_samples]
+            samples = train_samples + test_samples
     if not samples:
         raise ValueError("no samples to predict on")
 

@@ -335,6 +335,15 @@ def test_run_meta_written_to_artifact_dirs(tmp_path):
         main(["checkpoints", ck])
     assert json.loads(buf.getvalue())["run_meta"] == f"{ck}/run_meta.json"
 
+    # an eval-only pass over the same store (the `eval` CLI path: epochs=0,
+    # same --checkpoint-dir) must NOT clobber the training run's provenance
+    before = open(f"{ck}/run_meta.json").read()
+    run_experiment("rencecps", synthetic_data=True, n_train=16, n_test=8,
+                   epochs=0, checkpoint_dir=ck, quiet=True,
+                   overrides={"train": {"n_folds": 2, "batch_size": 4,
+                                        "fold_size": None}})
+    assert open(f"{ck}/run_meta.json").read() == before
+
 
 def test_cli_predict_requires_member_source(tmp_path):
     from multimodal_emotion_processing_tpu.cli import main
