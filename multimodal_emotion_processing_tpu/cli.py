@@ -189,6 +189,10 @@ def build_parser():
                     help="shard batch inference over N devices on a mesh "
                          "'data' axis (members replicate; logits identical "
                          "to single-device)")
+    pd.add_argument("--calibration", action="store_true",
+                    help="append a calibration report (per-emotion ECE + "
+                         "reliability bins of the serving probabilities "
+                         "against the labels) to the printed summary")
     pd.add_argument("--quiet", action="store_true")
 
     sv = sub.add_parser("serve", help="streaming single-sample inference demo")
@@ -609,13 +613,18 @@ def main(argv=None):
             stacked=args.stacked_grid, dp=args.dp,
             device_resident=args.device_resident, split=args.split,
             output=args.output, quiet=args.quiet)
-        print(json.dumps({
+        summary = {
             "config": args.config, "output": args.output,
             "rows": table["rows"], "members": table["members"],
             "emotions": table["emotions"],
             "positives": {n: int(table["pred"][:, j].sum())
                           for j, n in enumerate(table["emotions"])},
-        }, indent=2))
+        }
+        if args.calibration:
+            from .eval.predictions import calibration_report
+
+            summary["calibration"] = calibration_report(table)
+        print(json.dumps(summary, indent=2))
     elif args.cmd == "sweep":
         cmd_sweep(args)
     elif args.cmd == "doctor":

@@ -110,4 +110,48 @@ def write_predictions(path: str, table: Dict) -> None:
                      "use .npz, .csv, or .jsonl")
 
 
-__all__ = ["prediction_table", "write_predictions"]
+def calibration_report(table: Dict, *, n_bins: int = 10) -> Dict:
+    """Per-emotion calibration of the serving probabilities against labels:
+    expected calibration error (ECE — confidence-vs-accuracy gap weighted
+    by bin occupancy, equal-width bins over [0, 1]) plus the reliability
+    table (per bin: count, mean predicted probability, empirical positive
+    rate).  The serving story ships `sigmoid(logit - threshold)` as a
+    probability (robot_demo.py:609 prints them as confidences); this is
+    the artifact that says whether those numbers can be read that way.
+    Requires a `prediction_table` built with labels."""
+    if "labels" not in table:
+        raise ValueError("calibration needs labels — build the prediction "
+                         "table from a labeled split")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    probs = np.asarray(table["probs"], np.float64)
+    labels = np.asarray(table["labels"], np.float64)
+    edges = np.linspace(0.0, 1.0, n_bins + 1)
+    out: Dict = {"n_bins": n_bins, "per_emotion": {}}
+    for j, name in enumerate(table["emotions"]):
+        p, y = probs[:, j], labels[:, j]
+        # right-inclusive last bin so p == 1.0 lands in bin n_bins - 1
+        idx = np.clip(np.digitize(p, edges[1:-1]), 0, n_bins - 1)
+        bins = []
+        ece = 0.0
+        for b in range(n_bins):
+            m = idx == b
+            cnt = int(m.sum())
+            if cnt:
+                conf = float(p[m].mean())
+                rate = float(y[m].mean())
+                ece += cnt / len(p) * abs(conf - rate)
+            else:
+                conf = rate = None
+            bins.append({"lo": float(edges[b]), "hi": float(edges[b + 1]),
+                         "count": cnt, "mean_prob": conf,
+                         "positive_rate": rate})
+        out["per_emotion"][name] = {"ece": float(ece), "bins": bins,
+                                    "positives": int(y.sum()),
+                                    "n": int(len(y))}
+    out["mean_ece"] = float(np.mean(
+        [v["ece"] for v in out["per_emotion"].values()]))
+    return out
+
+
+__all__ = ["prediction_table", "write_predictions", "calibration_report"]

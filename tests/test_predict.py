@@ -139,6 +139,56 @@ def test_run_predict_real_corpus_tree(tmp_path):
     assert np.load(out)["pred"].shape == (t["rows"], 6)
 
 
+def test_calibration_report_matches_bruteforce():
+    """ECE + reliability bins vs a direct numpy loop, including the
+    p == 1.0 edge landing in the last bin and empty-bin handling."""
+    from multimodal_emotion_processing_tpu.eval.predictions import \
+        calibration_report
+
+    rng = np.random.RandomState(3)
+    n, e = 200, 2
+    logits = rng.randn(n, 4).astype(np.float32)
+    labels = (rng.rand(n, 4) > 0.5).astype(np.float32)
+    t = prediction_table(logits, [0.0, 0.2], [0, 2], ["a", "b"],
+                         labels=labels)
+    t["probs"][0, 0] = 1.0  # exact-1.0 edge case
+    rep = calibration_report(t, n_bins=5)
+
+    for j, name in enumerate(["a", "b"]):
+        p, y = t["probs"][:, j].astype(np.float64), t["labels"][:, j]
+        want = 0.0
+        for b in range(5):
+            lo, hi = b / 5, (b + 1) / 5
+            m = (p >= lo) & (p < hi) if b < 4 else (p >= lo) & (p <= hi)
+            if m.sum():
+                want += m.sum() / n * abs(p[m].mean() - y[m].mean())
+        assert rep["per_emotion"][name]["ece"] == pytest.approx(want)
+        counts = [bb["count"] for bb in rep["per_emotion"][name]["bins"]]
+        assert sum(counts) == n
+    assert rep["mean_ece"] == pytest.approx(
+        np.mean([rep["per_emotion"][k]["ece"] for k in ("a", "b")]))
+    # a perfectly-calibrated constant predictor: ECE == |p - base rate|
+    t2 = prediction_table(np.zeros((100, 1), np.float32), [0.0], [0], ["x"],
+                          labels=np.ones((100, 1), np.float32))
+    r2 = calibration_report(t2, n_bins=2)
+    assert r2["per_emotion"]["x"]["ece"] == pytest.approx(0.5)
+
+    with pytest.raises(ValueError, match="labels"):
+        calibration_report(prediction_table(logits, [0.0], [0], ["a"]))
+
+
+def test_cli_predict_calibration_flag(tmp_path, capsys):
+    from multimodal_emotion_processing_tpu.cli import main
+
+    out = str(tmp_path / "p.npz")
+    main(["predict", "rencecps", "--init-random", "--n-test", "16",
+          "--output", out, "--calibration", "--quiet"])
+    summary = json.loads(capsys.readouterr().out)
+    cal = summary["calibration"]
+    assert set(cal["per_emotion"]) == set(summary["emotions"])
+    assert 0.0 <= cal["mean_ece"] <= 1.0
+
+
 def test_run_predict_split_selection(tmp_path):
     """--split train/test/all: synthetic splits differ (different seeds);
     on a real mosei tree, the train split's pair-level units flatten with
