@@ -412,6 +412,22 @@ def _load_members(args, model, verb: str):
     return [model.init(jax.random.PRNGKey(i)) for i in range(4)]
 
 
+def _resolve_offsets(args, exp):
+    """Serving/export calibration offsets: tuned thresholds persisted by a
+    swept eval in the checkpoint store (pipelines.save_tuned_thresholds)
+    win over the config's built-in table — the reference's equivalent step
+    is hand-editing the swept values back into the script."""
+    if getattr(args, "checkpoint_dir", None):
+        from .pipelines import load_tuned_thresholds
+
+        t = load_tuned_thresholds(args.checkpoint_dir, args.config, exp)
+        if t is not None:
+            print(f"(using tuned thresholds from "
+                  f"{args.checkpoint_dir}/thresholds.json)", file=sys.stderr)
+            return tuple(t)
+    return exp.thresholds
+
+
 def cmd_serve(args):
     from . import configs
     from .data.synthetic import synthetic_dataset
@@ -422,6 +438,7 @@ def cmd_serve(args):
                                  parse_overrides(getattr(args, "set", [])))
     model = build_model(exp)
     members = _load_members(args, model, "serving")
+    offsets = _resolve_offsets(args, exp)
     from .ops.context_parallel import ensure_cp
 
     import time
@@ -433,11 +450,11 @@ def cmd_serve(args):
         sample = synthetic_dataset(args.config, exp.model, 1, seed=7)[0]
         spec = {k: v.shape for k, v in sample.items() if k != "label"}
         with ensure_cp(args.impl), BatchingServer(
-                model, members, offsets=exp.thresholds, impl=args.impl,
+                model, members, offsets=offsets, impl=args.impl,
                 stacked_grid=getattr(args, "stacked_grid", False),
                 max_delay_ms=getattr(args, "max_delay_ms", 3.0)) as srv:
             srv.warmup(sample)
-            off = len(exp.thresholds)
+            off = len(offsets)
             fe = HttpFrontend(srv, spec, exp.emotion_names[:off],
                               host=getattr(args, "http_host", "127.0.0.1"),
                               port=http_port)
@@ -457,7 +474,7 @@ def cmd_serve(args):
 
         samples = synthetic_dataset(args.config, exp.model, n_conc, seed=7)
         with ensure_cp(args.impl), BatchingServer(
-                model, members, offsets=exp.thresholds, impl=args.impl,
+                model, members, offsets=offsets, impl=args.impl,
                 stacked_grid=getattr(args, "stacked_grid", False),
                 max_delay_ms=getattr(args, "max_delay_ms", 3.0)) as srv:
             srv.warmup(samples[0])
@@ -466,7 +483,7 @@ def cmd_serve(args):
             results = [f.result(timeout=600) for f in futs]
             elapsed = time.perf_counter() - t0
             stats = srv.stats()
-        off = len(exp.thresholds)
+        off = len(offsets)
         probs = results[0][1]
         print("The emotion(s) is(are)  [request 1 of "
               f"{len(results)} concurrent]")
@@ -478,7 +495,7 @@ def cmd_serve(args):
               file=sys.stderr)
         return
 
-    sp = StreamingPredictor(model, members, offsets=exp.thresholds,
+    sp = StreamingPredictor(model, members, offsets=offsets,
                             impl=args.impl,
                             stacked_grid=getattr(args, "stacked_grid", False))
     sample = synthetic_dataset(args.config, exp.model, 1, seed=7)[0]
@@ -506,7 +523,8 @@ def cmd_export(args):
     model = build_model(exp)
     members = _load_members(args, model, "exporting")
     sample = synthetic_dataset(args.config, exp.model, 1, seed=0)[0]
-    blob = export_predictor(model, members, exp.thresholds, sample,
+    blob = export_predictor(model, members, _resolve_offsets(args, exp),
+                            sample,
                             platforms=tuple(args.platforms.split(",")),
                             batch_size=args.batch)
     with open(args.out, "wb") as f:

@@ -83,6 +83,39 @@ def _write_run_meta(dirs, *, config_name, overrides, exp, drivers, data):
             json.dump(meta, f, indent=2, default=str)
 
 
+def save_tuned_thresholds(checkpoint_dir, config_name, exp, thresholds,
+                          source: str) -> None:
+    """Persist swept per-emotion thresholds next to the checkpoints.  The
+    reference's workflow is to read the sweep output off the logs and
+    hand-edit the tuned values back into the script (the hard-coded tables
+    at cmu-mosei/run.py:481-486, Ren-MME/run.py:735-742); here the sweep
+    result is an artifact that `predict`/`serve`/`export` pick up
+    automatically."""
+    import json
+
+    with open(os.path.join(checkpoint_dir, "thresholds.json"), "w") as f:
+        json.dump({"config": config_name,
+                   "emotion_names": list(exp.emotion_names),
+                   "thresholds": [float(t) for t in thresholds],
+                   "source": source}, f, indent=2)
+
+
+def load_tuned_thresholds(checkpoint_dir, config_name, exp):
+    """Tuned thresholds persisted by a swept eval in this store, or None
+    (missing file, different config, or changed emotion set)."""
+    import json
+
+    path = os.path.join(checkpoint_dir, "thresholds.json")
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    if (configs.family(d.get("config", "")) != configs.family(config_name)
+            or d.get("emotion_names") != list(exp.emotion_names)):
+        return None
+    return [float(t) for t in d["thresholds"]]
+
+
 def _restore_members(config_name, model, store):
     """Trained ensemble members from a checkpoint store: the per-fold best
     checkpoints (the reference always reloads BEST, cmu-mosei/run.py:447-453)
@@ -623,6 +656,12 @@ def _run_experiment(
                 sweep = threshold_sweep(logits, labels, grid,
                                         exp.emotion_index, exp.emotion_names)
                 thresholds = [sweep[e]["t"] for e in exp.emotion_names]
+            if checkpoint_dir:
+                # swept values become a store artifact (the reference
+                # hand-edits them back into the script) — predict/serve/
+                # export pick them up automatically
+                save_tuned_thresholds(checkpoint_dir, config_name, exp,
+                                      thresholds, source="sweep")
         else:
             thresholds = list(exp.thresholds)
         report = evaluate(logits, labels, thresholds, exp.emotion_index,
@@ -851,6 +890,11 @@ def _run_predict(
 
     from .eval.predictions import prediction_table, write_predictions
 
+    if thresholds is None and checkpoint_dir:
+        thresholds = load_tuned_thresholds(checkpoint_dir, config_name, exp)
+        if thresholds is not None:
+            _log(f"[{config_name}] using tuned thresholds from "
+                 f"{checkpoint_dir}/thresholds.json", quiet)
     if thresholds is None:
         thresholds = (list(exp.thresholds) if exp.thresholds
                       else [0.0] * len(exp.emotion_names))

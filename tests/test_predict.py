@@ -357,6 +357,46 @@ def test_cli_checkpoints_inspection(tmp_path, capsys):
         n for n in out["members"] if n.startswith("rencecps_1")}
 
 
+def test_tuned_thresholds_persist_and_flow(tmp_path):
+    """A swept eval persists its tuned thresholds as a store artifact
+    (thresholds.json); predict and the serve/export offset resolution pick
+    them up automatically; explicit thresholds still win; a changed
+    emotion set invalidates the artifact.  (The reference hand-edits swept
+    values back into its scripts.)"""
+    import argparse
+
+    from multimodal_emotion_processing_tpu import configs, pipelines
+    from multimodal_emotion_processing_tpu.cli import _resolve_offsets
+
+    ck = str(tmp_path / "ck")
+    ov = {"train": {"n_folds": 2, "batch_size": 8, "fold_size": None}}
+    res = pipelines.run_experiment(
+        "mosei_trans", synthetic_data=True, n_train=24, n_test=16, epochs=1,
+        checkpoint_dir=ck, quiet=True, sweep_thresholds=True,
+        overrides=TINY_MOSEI)
+    assert res.sweep is not None
+    exp = configs.get("mosei_trans")
+    stored = pipelines.load_tuned_thresholds(ck, "mosei_trans", exp)
+    assert stored == [res.sweep[e]["t"] for e in exp.emotion_names]
+
+    t = pipelines.run_predict("mosei_trans", checkpoint_dir=ck,
+                              overrides=TINY_MOSEI, n_test=8, quiet=True)
+    assert t["thresholds"] == pytest.approx(stored)
+    # explicit thresholds still win
+    t2 = pipelines.run_predict("mosei_trans", checkpoint_dir=ck,
+                               overrides=TINY_MOSEI, n_test=8, quiet=True,
+                               thresholds=[0.5] * 6)
+    assert t2["thresholds"] == [0.5] * 6
+
+    args = argparse.Namespace(checkpoint_dir=ck, config="mosei_trans")
+    assert list(_resolve_offsets(args, exp)) == stored
+    args_none = argparse.Namespace(checkpoint_dir=None, config="mosei_trans")
+    assert _resolve_offsets(args_none, exp) == exp.thresholds
+    # a different config family ignores the artifact
+    assert pipelines.load_tuned_thresholds(
+        ck, "rencecps", configs.get("rencecps")) is None
+
+
 def test_run_meta_written_to_artifact_dirs(tmp_path):
     """Every run keeping artifacts records its reproducibility manifest:
     resolved config (post-overrides), driver knobs, data mode, env."""
