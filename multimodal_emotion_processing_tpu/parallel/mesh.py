@@ -50,6 +50,21 @@ def process_batch_slice(global_batch_size: int) -> slice:
     return slice(lo, lo + per)
 
 
+def sharding_tree(batch, sharding):
+    """Normalize `sharding` to a per-leaf pytree matching `batch`: a single
+    Sharding broadcasts to every leaf; an already-matching pytree (e.g.
+    `batch_sharding`'s dict) passes through."""
+    from jax.sharding import Sharding
+
+    if isinstance(sharding, Sharding):
+        return jax.tree.map(lambda _: sharding, batch)
+    if (jax.tree_util.tree_structure(sharding)
+            != jax.tree_util.tree_structure(batch)):
+        raise ValueError("sharding must be a single Sharding or a pytree "
+                         "matching the batch structure")
+    return sharding
+
+
 def put_global_batch(batch, sharding, *, data_axis: int = 0):
     """Place a host-assembled GLOBAL batch onto a (possibly multi-process)
     mesh.  Single-process: plain sharded device_put.  Multi-process (TPU
@@ -58,18 +73,18 @@ def put_global_batch(batch, sharding, *, data_axis: int = 0):
     ITS slice of the data axis (`process_batch_slice`) and the global array
     is assembled from the per-process local shards — host→device traffic is
     1/process_count per host and no cross-host data exchange happens at all.
-    `data_axis`: which axis the 'data' mesh axis shards (0 for plain batches,
-    1 for scan-stacked (k, B, ...) groups)."""
+    `sharding`: one Sharding for every leaf, or a per-leaf pytree (e.g.
+    `batch_sharding`'s dict).  `data_axis`: which axis the 'data' mesh axis
+    shards (0 for plain batches, 1 for scan-stacked (k, B, ...) groups)."""
     if jax.process_count() == 1:
         return jax.device_put(batch, sharding)
 
-    def put(x):
+    def put(x, sh):
         sl = process_batch_slice(x.shape[data_axis])
         idx = (slice(None),) * data_axis + (sl,)
-        return jax.make_array_from_process_local_data(sharding, x[idx],
-                                                      x.shape)
+        return jax.make_array_from_process_local_data(sh, x[idx], x.shape)
 
-    return jax.tree.map(put, batch)
+    return jax.tree.map(put, batch, sharding_tree(batch, sharding))
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,

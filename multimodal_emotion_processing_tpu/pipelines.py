@@ -730,10 +730,9 @@ def run_lr_sweep_experiment(
     _random.Random(0).shuffle(train_units)  # = the k-fold drivers' carve
     va_slice, tr_ranges = contiguous_folds(
         len(train_units), exp.train.n_folds, exp.train.fold_size)[0]
-    flat = lambda units: [s for u in units
-                          for s in (u if isinstance(u, list) else [u])]
-    valid_samples = flat(train_units[va_slice])
-    train_samples = flat([train_units[j] for r in tr_ranges for j in r])
+    valid_samples = _flatten_units(train_units[va_slice])
+    train_samples = _flatten_units(
+        [train_units[j] for r in tr_ranges for j in r])
     n_members = len(lrs) * (len(wds) if wds else 1) * seeds_per_lr
     _log(f"[{config_name}] sweep: {len(lrs)} lrs x "
          f"{len(wds) if wds else 1} wds x {seeds_per_lr} seeds = "

@@ -201,8 +201,22 @@ class CheckpointStore:
         return TrainState(**restored)
 
     def best_members(self, prefix: str = "") -> List[str]:
-        return sorted(n for n, e in self.manifest.items()
-                      if n.startswith(prefix) and "params" in e)
+        """Member names `<prefix>_<int>` carrying best params, in member
+        order (numeric — 10 sorts after 2).  The exact-suffix match keeps
+        sibling artifacts out of the ensemble: a raw startswith would pull
+        in `<prefix>_sweep_winner` (run_lr_sweep_experiment) and, worse,
+        every `<prefix>_s256_*` scaled-preset member sharing a store with
+        its base config (shape-mismatched restore).  prefix="" lists every
+        params-carrying member of any name."""
+        import re
+
+        if not prefix:
+            return sorted(n for n, e in self.manifest.items()
+                          if "params" in e)
+        pat = re.compile(re.escape(prefix) + r"_(\d+)$")
+        hits = [(int(m.group(1)), n) for n, e in self.manifest.items()
+                if "params" in e and (m := pat.match(n))]
+        return [n for _, n in sorted(hits)]
 
 
 def _state_dict(state) -> Dict:

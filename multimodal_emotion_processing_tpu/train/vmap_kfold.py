@@ -395,50 +395,52 @@ def run_kfold_vmapped(
     for epoch in range(start_epoch, n_epochs):
         _prof = profile_trace(profile_dir if epoch == profile_epoch else None)
         _prof.__enter__()
-        t0 = time.perf_counter()
-        if device_resident:
-            states, tr_losses = train_epoch(
-                states, jax.random.fold_in(shuffle_key, epoch))
-            n_steps = n_steps_tr
-            # `rows` counts the R-Drop duplicates like the host Batcher's
-            # label.shape[0] does — keeps samples/s comparable across modes
-            n_samples = n_steps_tr * rows
-            tr = np.mean(np.asarray(jax.device_get(tr_losses)), axis=0)
-            va = np.mean(np.asarray(jax.device_get(eval_epoch(states))),
-                         axis=0)
-            dt = time.perf_counter() - t0
-        else:
-            train_iters = [tl() for tl, _ in loaders]
-            step_losses, n_steps, n_samples = [], 0, 0
-            if scan_steps > 1:
-                for group in _chunks(_mrep(zip(*train_iters)), scan_steps):
-                    states, losses = vstep_scan(
-                        states, _put(_stack_chunk(group), bsh_scan, 2))
-                    step_losses.append(losses)  # (s, m)
-                    n_steps += len(group)
-                    n_samples += len(group) * int(group[0][0]["label"].shape[0])
+        try:
+            t0 = time.perf_counter()
+            if device_resident:
+                states, tr_losses = train_epoch(
+                    states, jax.random.fold_in(shuffle_key, epoch))
+                n_steps = n_steps_tr
+                # `rows` counts the R-Drop duplicates like the host Batcher's
+                # label.shape[0] does — keeps samples/s comparable across modes
+                n_samples = n_steps_tr * rows
+                tr = np.mean(np.asarray(jax.device_get(tr_losses)), axis=0)
+                va = np.mean(np.asarray(jax.device_get(eval_epoch(states))),
+                             axis=0)
+                dt = time.perf_counter() - t0
             else:
-                for batches in _mrep(zip(*train_iters)):
-                    stacked = _stack_batches(batches)
-                    states, losses = vstep(states, _put(stacked, bsh, 1))
-                    step_losses.append(losses)  # (m,)
-                    n_steps += 1
-                    n_samples += int(batches[0]["label"].shape[0])
-            tr = np.mean(np.concatenate([np.atleast_2d(x) for x in
-                                         jax.device_get(step_losses)]), axis=0)
+                train_iters = [tl() for tl, _ in loaders]
+                step_losses, n_steps, n_samples = [], 0, 0
+                if scan_steps > 1:
+                    for group in _chunks(_mrep(zip(*train_iters)), scan_steps):
+                        states, losses = vstep_scan(
+                            states, _put(_stack_chunk(group), bsh_scan, 2))
+                        step_losses.append(losses)  # (s, m)
+                        n_steps += len(group)
+                        n_samples += len(group) * int(group[0][0]["label"].shape[0])
+                else:
+                    for batches in _mrep(zip(*train_iters)):
+                        stacked = _stack_batches(batches)
+                        states, losses = vstep(states, _put(stacked, bsh, 1))
+                        step_losses.append(losses)  # (m,)
+                        n_steps += 1
+                        n_samples += int(batches[0]["label"].shape[0])
+                tr = np.mean(np.concatenate([np.atleast_2d(x) for x in
+                                             jax.device_get(step_losses)]), axis=0)
 
-            valid_iters = [vl() for _, vl in loaders]
-            if scan_steps > 1:
-                va_losses = [veval_scan(states, _put(_stack_chunk(g), bsh_scan, 2))
-                             for g in _chunks(_mrep(zip(*valid_iters)),
-                                              scan_steps)]
-            else:
-                va_losses = [veval(states, _put(_stack_batches(bs), bsh, 1))
-                             for bs in _mrep(zip(*valid_iters))]
-            va = np.mean(np.concatenate([np.atleast_2d(x) for x in
-                                         jax.device_get(va_losses)]), axis=0)
-            dt = time.perf_counter() - t0
-        _prof.__exit__(None, None, None)  # trace covers the compute above
+                valid_iters = [vl() for _, vl in loaders]
+                if scan_steps > 1:
+                    va_losses = [veval_scan(states, _put(_stack_chunk(g), bsh_scan, 2))
+                                 for g in _chunks(_mrep(zip(*valid_iters)),
+                                                  scan_steps)]
+                else:
+                    va_losses = [veval(states, _put(_stack_batches(bs), bsh, 1))
+                                 for bs in _mrep(zip(*valid_iters))]
+                va = np.mean(np.concatenate([np.atleast_2d(x) for x in
+                                             jax.device_get(va_losses)]), axis=0)
+                dt = time.perf_counter() - t0
+        finally:  # a raising epoch must still stop the profiler
+            _prof.__exit__(None, None, None)  # trace covers the compute above
 
         lrs = []
         for i in range(m):

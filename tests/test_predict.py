@@ -357,6 +357,54 @@ def test_cli_checkpoints_inspection(tmp_path, capsys):
         n for n in out["members"] if n.startswith("rencecps_1")}
 
 
+def test_best_members_exact_name_matching(tmp_path):
+    """best_members must NOT pull sibling artifacts into the ensemble:
+    `<cfg>_sweep_winner` (run_lr_sweep_experiment) and scaled-preset
+    members `<cfg>_s256_*` share a store with `<cfg>_<i>` fold members;
+    a raw startswith would ensemble them (shape-mismatched restore for
+    the presets).  Numeric member order: 10 sorts after 2."""
+    import jax
+
+    from multimodal_emotion_processing_tpu import configs
+    from multimodal_emotion_processing_tpu.models import build_model
+    from multimodal_emotion_processing_tpu.train.checkpoint import \
+        CheckpointStore
+
+    exp = configs.get("rencecps")
+    p = build_model(exp).init(jax.random.PRNGKey(0))
+    store = CheckpointStore(str(tmp_path))
+    for name in ("cfg_1", "cfg_2", "cfg_10", "cfg_sweep_winner",
+                 "cfg_s256_1", "other_1"):
+        store.save_params(name, p, valid_loss=1.0)
+    assert store.best_members("cfg") == ["cfg_1", "cfg_2", "cfg_10"]
+    assert store.best_members("cfg_s256") == ["cfg_s256_1"]
+    assert set(store.best_members()) == {"cfg_1", "cfg_2", "cfg_10",
+                                         "cfg_sweep_winner", "cfg_s256_1",
+                                         "other_1"}
+
+
+def test_sharding_tree_normalization():
+    """put_global_batch's sharding normalization: one Sharding broadcasts
+    per leaf; a matching pytree (batch_sharding's dict — the multi-host
+    Ensemble path) passes through; a mismatched pytree is rejected."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from multimodal_emotion_processing_tpu.parallel.mesh import (
+        batch_sharding, make_mesh, replicated_sharding, sharding_tree)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    batch = {"a": np.zeros((8, 3)), "b": np.zeros((8,))}
+    one = replicated_sharding(mesh)
+    tree = sharding_tree(batch, one)
+    assert set(tree) == {"a", "b"} and tree["a"] is one
+    per_leaf = batch_sharding(mesh, batch)
+    assert sharding_tree(batch, per_leaf) is per_leaf
+    assert per_leaf["a"].spec == P("data")
+    with pytest.raises(ValueError, match="pytree"):
+        sharding_tree(batch, {"a": one})
+
+
 def test_tuned_thresholds_persist_and_flow(tmp_path):
     """A swept eval persists its tuned thresholds as a store artifact
     (thresholds.json); predict and the serve/export offset resolution pick
