@@ -402,6 +402,8 @@ def _load_members(args, model, verb: str):
         store = CheckpointStore(args.checkpoint_dir)
         params_like = model.init(jax.random.PRNGKey(0))
         names = store.best_members(args.config)
+        if not names and f"{args.config}_sweep_winner" in store.manifest:
+            names = [f"{args.config}_sweep_winner"]  # sweep-only store
         if not names:
             raise SystemExit(
                 f"no '{args.config}*' members with best checkpoints in "

@@ -122,6 +122,11 @@ def _restore_members(config_name, model, store):
     plus their recorded valid losses (realformer member selection needs them)."""
     params_like = model.init(jax.random.PRNGKey(0))
     names = store.best_members(config_name)
+    if not names and f"{config_name}_sweep_winner" in store.manifest:
+        # a sweep-only store: its winner is the one servable model (it is
+        # deliberately NOT ensembled alongside numbered fold members —
+        # best_members' exact matching keeps it out when both exist)
+        names = [f"{config_name}_sweep_winner"]
     if not names:
         raise ValueError(
             f"no trained members named {config_name!r} in the checkpoint "

@@ -405,6 +405,32 @@ def test_sharding_tree_normalization():
         sharding_tree(batch, {"a": one})
 
 
+def test_sweep_only_store_serves_its_winner(tmp_path):
+    """A store holding only `<cfg>_sweep_winner` (sweep ran, no k-fold
+    train) still predicts/serves: the winner is the fallback single member
+    — while a store with BOTH keeps the winner out of the fold ensemble."""
+    import jax
+
+    from multimodal_emotion_processing_tpu import configs, pipelines
+    from multimodal_emotion_processing_tpu.models import build_model
+    from multimodal_emotion_processing_tpu.train.checkpoint import \
+        CheckpointStore
+
+    exp = configs.get("rencecps")
+    p = build_model(exp).init(jax.random.PRNGKey(5))
+    store = CheckpointStore(str(tmp_path))
+    store.save_params("rencecps_sweep_winner", p, valid_loss=2.0,
+                      imported=False)
+    t = pipelines.run_predict("rencecps", checkpoint_dir=str(tmp_path),
+                              n_test=8, quiet=True)
+    assert t["members"] == 1
+    store.save_params("rencecps_1", p, valid_loss=2.1)
+    store.save_params("rencecps_2", p, valid_loss=2.2)
+    t2 = pipelines.run_predict("rencecps", checkpoint_dir=str(tmp_path),
+                               n_test=8, quiet=True)
+    assert t2["members"] == 2  # winner excluded once fold members exist
+
+
 def test_tuned_thresholds_persist_and_flow(tmp_path):
     """A swept eval persists its tuned thresholds as a store artifact
     (thresholds.json); predict and the serve/export offset resolution pick
