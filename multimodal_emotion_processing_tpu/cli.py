@@ -4,10 +4,19 @@ become `python -m multimodal_emotion_processing_tpu <cmd> <config>`.
 Commands:
   train        — k-fold bagged training + ensemble evaluation (one reference script)
   eval         — ensemble evaluation from saved checkpoints
-  serve        — streaming single-sample demo (robot_demo.py path)
+  predict      — offline batch inference to .npz/.csv/.jsonl (per-sample
+                 logits / calibrated probs / decisions; --calibration ECE)
+  sweep        — vmapped hyperparameter sweep (every candidate in ONE program)
+  serve        — streaming single-sample demo (robot_demo.py path), dynamic
+                 micro-batching under --concurrent, HTTP via --http-port
   export       — AOT-export the serving predictor to a StableHLO blob
+                 (--batch N exports the micro-batching bucket program)
   import-torch — reference .pt checkpoints -> checkpoint-store members
   export-torch — members -> reference-loadable .pt state dicts
+  check-data   — validate a real corpus tree (all problems in one report)
+  checkpoints  — inspect a checkpoint store (members, losses, disk usage)
+  doctor       — measure the host/device properties perf numbers depend on
+  summary      — per-module parameter counts + analytic per-sample FLOPs
   bench        — train+infer throughput on this chip
   configs      — list available configs with their hyperparameters
 """
