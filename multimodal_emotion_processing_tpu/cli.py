@@ -38,7 +38,9 @@ def build_parser():
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def common(sp):
-        sp.add_argument("config", help="config name (see `configs`)")
+        sp.add_argument("config", help="config name (see `configs`) or a .json config "
+                        "file ({'config': name, 'model'/'train': overrides} "
+                        "— or a run's run_meta.json to reproduce it)")
         sp.add_argument("--data-root", default=None,
                         help="real corpus root; omit for synthetic data")
         sp.add_argument("--epochs", type=int, default=None)
@@ -122,7 +124,9 @@ def build_parser():
         "sweep", help="vmapped hyperparameter sweep: every (lr x seed) "
                       "candidate trains in ONE compiled program on the "
                       "fold-0 split and is ranked by best valid loss")
-    sw.add_argument("config", help="config name (see `configs`)")
+    sw.add_argument("config", help="config name (see `configs`) or a .json config "
+                        "file ({'config': name, 'model'/'train': overrides} "
+                        "— or a run's run_meta.json to reproduce it)")
     sw.add_argument("--lrs", required=True,
                     help="comma-separated learning-rate candidates, e.g. "
                          "1e-3,3e-4,1e-4")
@@ -322,6 +326,42 @@ def cmd_configs():
               f"block={m.block} head={m.head} "
               f"lens=({m.l_len},{m.v_len},{m.a_len}) batch={t.batch_size} "
               f"lr={t.lr} folds={t.n_folds} E={m.n_emotions}")
+
+
+def apply_config_file(args):
+    """If the positional `config` is a path to a .json file, resolve it via
+    configs.load_config_file: the registry name replaces args.config and
+    the file's model/train overrides are prepended to args.set (so explicit
+    --set K=V pairs still win — parse_overrides applies them last).  This
+    makes `train run_meta.json` reproduce a recorded run's config and
+    `train my_experiment.json` a file-driven front door (SURVEY §5)."""
+    import os
+
+    name = getattr(args, "config", None)
+    if not (isinstance(name, str) and name.endswith(".json")):
+        return
+    if not os.path.exists(name):
+        raise SystemExit(f"config file {name!r} does not exist")
+    from . import configs
+
+    try:
+        cfg_name, overrides = configs.load_config_file(name)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    if cfg_name is None:
+        raise SystemExit(
+            f"{name} names no base config — add a top-level "
+            "\"config\": \"<registry name>\" key")
+    pairs = [f"{sec}.{k}={json.dumps(v)}"
+             for sec in ("model", "train")
+             for k, v in overrides.get(sec, {}).items()]
+    if pairs and not hasattr(args, "set"):
+        raise SystemExit(
+            f"`{args.cmd}` takes no config overrides; {name} carries "
+            f"{len(pairs)} — pass the bare config name instead")
+    args.config = cfg_name
+    if hasattr(args, "set"):
+        args.set = pairs + list(args.set)
 
 
 def parse_overrides(pairs):
@@ -609,6 +649,7 @@ def cmd_export_torch(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    apply_config_file(args)
     from .utils.compile_cache import cache_dir_from_env, enable_compilation_cache
 
     cache_dir = args.compile_cache or cache_dir_from_env()

@@ -272,9 +272,12 @@ def get(name: str) -> ExperimentConfig:
 
 def with_overrides(exp: ExperimentConfig, overrides) -> ExperimentConfig:
     """Apply a {'model': {...}, 'train': {...}} override dict (the CLI's
-    --set K=V pairs, cli.parse_overrides) to a config.  Unknown top-level
-    keys (e.g. a flat 'train.batch_size' instead of the nested form) raise
-    instead of being silently ignored."""
+    --set K=V pairs, cli.parse_overrides, or a JSON config file via
+    load_config_file) to a config.  Unknown top-level keys (e.g. a flat
+    'train.batch_size' instead of the nested form) raise instead of being
+    silently ignored.  List values coerce to tuple where the config field
+    is a tuple (JSON has no tuples, so file/--set round-trips of e.g.
+    model.v_dims_multires arrive as lists)."""
     if not overrides:
         return exp
     unknown = set(overrides) - {"model", "train"}
@@ -285,7 +288,52 @@ def with_overrides(exp: ExperimentConfig, overrides) -> ExperimentConfig:
             "model.K=V / train.K=V form)")
     import dataclasses
 
+    def coerce(current, fields):
+        return {k: tuple(v) if isinstance(getattr(current, k, None), tuple)
+                and isinstance(v, list) else v
+                for k, v in fields.items()}
+
     return dataclasses.replace(
         exp,
-        model=dataclasses.replace(exp.model, **overrides.get("model", {})),
-        train=dataclasses.replace(exp.train, **overrides.get("train", {})))
+        model=dataclasses.replace(
+            exp.model, **coerce(exp.model, overrides.get("model", {}))),
+        train=dataclasses.replace(
+            exp.train, **coerce(exp.train, overrides.get("train", {}))))
+
+
+def load_config_file(path):
+    """Resolve a JSON config file to `(config_name_or_None, overrides)`.
+
+    Two accepted shapes (SURVEY §5: configs "resolvable from CLI/JSON"):
+
+    1. A plain override document — optional `"config"` naming the registry
+       base, plus `"model"` / `"train"` sections of field overrides:
+       `{"config": "mosei_trans", "train": {"batch_size": 32}}`.
+    2. A `run_meta.json` written by pipelines into any run's artifact
+       directories: the full post-override `resolved_config` is replayed
+       field-for-field, so `train <dir>/run_meta.json` reproduces that
+       run's exact hyperparameters even if registry defaults moved since.
+
+    Returns overrides in the with_overrides shape; thresholds/emotion
+    tables always come from the named registry config (override decision
+    thresholds at the tool level, e.g. `predict --thresholds`)."""
+    import json
+
+    with open(path) as f:
+        doc = json.load(f)
+    if not isinstance(doc, dict):
+        raise ValueError(f"{path}: expected a JSON object")
+    if "resolved_config" in doc:  # run_meta.json reproduction
+        resolved = doc["resolved_config"]
+        return doc.get("config") or resolved.get("name"), {
+            "model": dict(resolved.get("model", {})),
+            "train": dict(resolved.get("train", {})),
+        }
+    unknown = set(doc) - {"config", "model", "train"}
+    if unknown:
+        raise ValueError(
+            f"{path}: unknown top-level key(s) {sorted(unknown)}; expected "
+            "{'config': name?, 'model': {...}?, 'train': {...}?} or a "
+            "run_meta.json")
+    return doc.get("config"), {k: dict(doc[k])
+                               for k in ("model", "train") if k in doc}

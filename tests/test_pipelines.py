@@ -313,3 +313,118 @@ def test_mesh_scan_steps_compositions():
                         for h in r.fold_histories for e in h])
         np.testing.assert_allclose(t, tb, rtol=2e-6, atol=2e-7)
         assert r.report is not None
+
+
+def test_load_config_file_plain_and_errors(tmp_path):
+    """SURVEY §5: configs "resolvable from CLI/JSON" — a JSON document with
+    a base-config name plus model/train override sections resolves through
+    configs.load_config_file + with_overrides; unknown keys raise."""
+    import json as _json
+
+    import pytest
+
+    from multimodal_emotion_processing_tpu import configs
+
+    f = tmp_path / "exp.json"
+    f.write_text(_json.dumps({"config": "mosei_trans",
+                              "model": {"dim": 12, "n_heads": 2},
+                              "train": {"batch_size": 8}}))
+    name, ov = configs.load_config_file(str(f))
+    assert name == "mosei_trans"
+    exp = configs.with_overrides(configs.get(name), ov)
+    assert (exp.model.dim, exp.model.n_heads, exp.train.batch_size) == (12, 2, 8)
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(_json.dumps({"config": "mosei_trans", "optimizer": "sgd"}))
+    with pytest.raises(ValueError, match="unknown top-level"):
+        configs.load_config_file(str(bad))
+
+
+def test_with_overrides_coerces_list_to_tuple():
+    """JSON has no tuples: list overrides of tuple-typed fields (e.g.
+    model.v_dims_multires from a config file or --set) coerce back so the
+    resolved config round-trips dataclass-equal."""
+    from multimodal_emotion_processing_tpu import configs
+
+    exp = configs.with_overrides(
+        configs.get("robot_demo"),
+        {"model": {"v_dims_multires": [16, 32, 64]}})
+    assert exp.model.v_dims_multires == (16, 32, 64)
+    assert isinstance(exp.model.v_dims_multires, tuple)
+
+
+def test_apply_config_file_namespace_semantics(tmp_path):
+    """apply_config_file: positional .json resolves to (name, prepended
+    --set pairs) so explicit --set still wins; missing file / missing name /
+    override-less commands fail with a clear message."""
+    import argparse
+    import json as _json
+
+    import pytest
+
+    from multimodal_emotion_processing_tpu.cli import (apply_config_file,
+                                                       parse_overrides)
+
+    f = tmp_path / "exp.json"
+    f.write_text(_json.dumps({"config": "rencecps",
+                              "model": {"dim": 16},
+                              "train": {"batch_size": 8}}))
+    args = argparse.Namespace(cmd="train", config=str(f),
+                              set=["model.dim=24"])
+    apply_config_file(args)
+    assert args.config == "rencecps"
+    ov = parse_overrides(args.set)
+    assert ov["model"]["dim"] == 24  # CLI --set beats the file
+    assert ov["train"]["batch_size"] == 8  # file value survives
+
+    # plain registry names (no .json suffix) pass through untouched
+    args2 = argparse.Namespace(cmd="train", config="rencecps", set=[])
+    apply_config_file(args2)
+    assert args2.config == "rencecps" and args2.set == []
+
+    with pytest.raises(SystemExit, match="does not exist"):
+        apply_config_file(argparse.Namespace(
+            cmd="train", config=str(tmp_path / "missing.json"), set=[]))
+    unnamed = tmp_path / "unnamed.json"
+    unnamed.write_text(_json.dumps({"train": {"batch_size": 8}}))
+    with pytest.raises(SystemExit, match="names no base config"):
+        apply_config_file(argparse.Namespace(
+            cmd="train", config=str(unnamed), set=[]))
+    # commands without --set (e.g. check-data) refuse override-carrying files
+    with pytest.raises(SystemExit, match="takes no config overrides"):
+        apply_config_file(argparse.Namespace(cmd="check-data", config=str(f)))
+
+
+def test_cli_config_file_train_and_run_meta_reproduction(tmp_path, capsys):
+    """End-to-end: `train <file>.json` trains the file's config, and the
+    run's recorded run_meta.json feeds back through load_config_file to
+    reproduce the exact resolved ExperimentConfig (field-for-field),
+    closing the record->reproduce loop."""
+    import json as _json
+
+    from multimodal_emotion_processing_tpu import configs
+    from multimodal_emotion_processing_tpu.cli import main
+
+    f = tmp_path / "exp.json"
+    f.write_text(_json.dumps({"config": "rencecps",
+                              "model": {"dim": 12},
+                              "train": {"n_folds": 2, "batch_size": 8,
+                                        "epochs": 1}}))
+    ck = tmp_path / "ck"
+    main(["train", str(f), "--n-train", "24", "--n-test", "8", "--quiet",
+          "--checkpoint-dir", str(ck)])
+    capsys.readouterr()
+
+    meta_path = ck / "run_meta.json"
+    assert meta_path.exists()
+    meta = _json.loads(meta_path.read_text())
+    assert meta["config"] == "rencecps"
+    assert meta["resolved_config"]["model"]["dim"] == 12
+
+    name, ov = configs.load_config_file(str(meta_path))
+    reproduced = configs.with_overrides(configs.get(name), ov)
+    expected = configs.with_overrides(
+        configs.get("rencecps"),
+        {"model": {"dim": 12},
+         "train": {"n_folds": 2, "batch_size": 8, "epochs": 1}})
+    assert reproduced == expected
