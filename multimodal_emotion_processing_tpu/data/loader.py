@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..runtime import quantize_rows as _quantize_rows
+
 #: wire formats for `cast_for_transfer` — "float16" (exact for the 0/1
 #: mask/label/weight vectors, ~1e-3 relative rounding on features, saturates
 #: at ±65504), "bfloat16" (full f32 range, coarser mantissa), and "int8"
@@ -95,14 +97,9 @@ def cast_for_transfer(batch: Dict[str, np.ndarray], dtype) -> Dict:
         elif any(t in k for t in EXACT_KEY_SUBSTRINGS):
             out[k] = v.astype(np.float16)  # 0/1 values: exact
         else:
-            flat = np.abs(v).reshape(v.shape[0], -1) if v.ndim > 1 \
-                else np.abs(v)[:, None]
-            scale = np.maximum(flat.max(axis=1) / 127.0,
-                               1e-12).astype(np.float32)
-            bshape = (-1,) + (1,) * (v.ndim - 1)
-            out[k] = np.clip(np.round(v / scale.reshape(bshape)),
-                             -127, 127).astype(np.int8)
-            out[k + WIRE_SCALE_SUFFIX] = scale
+            # native single-pass row quantizer when built; bit-equal numpy
+            # fallback otherwise (runtime.quantize_rows documents both).
+            out[k], out[k + WIRE_SCALE_SUFFIX] = _quantize_rows(v)
     return out
 
 

@@ -58,6 +58,9 @@ def _build() -> Optional[ctypes.CDLL]:
         lib.mep_summary_rows.argtypes = [
             _c_float_p, ctypes.c_int64, ctypes.c_int64, _c_float_p,
             _c_float_p, _c_float_p]
+        lib.mep_quantize_rows.argtypes = [
+            _c_float_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int8), _c_float_p]
         return lib
     except Exception as e:  # compiler missing, load failure, ...
         print(f"[mep-runtime] native build unavailable ({e}); numpy fallback",
@@ -155,6 +158,38 @@ def stride_subsample(src: np.ndarray, target: int) -> np.ndarray:
     lib.mep_stride_subsample(_fp(src), src.shape[0], src.shape[1], _fp(out),
                              target)
     return out
+
+
+def quantize_rows(v: np.ndarray):
+    """Per-leading-axis-row symmetric int8 quantization for the compressed
+    H2D wire: returns (q int8 like v, scales float32 (n,)) with
+    q = clip(round(v / s), ±127), s = max(row absmax / 127, 1e-12).
+
+    The native path fuses numpy's ~6 full-array passes (abs copy, max,
+    divide, round, clip, astype — each with a temporary) into one
+    absmax+quantize pair per row and is bit-equal to the numpy form
+    (same f32 division, same round-half-to-even).  Measured on this
+    1-core host: 1.28-1.33x numpy on a flagship-sized batch (9.1 ms vs
+    11.6 ms for 64x200x(300+74+35) f32) — a modest cut to the prefetch
+    worker's per-batch host cost under the int8 wire; see
+    ENGINEERING_NOTES."""
+    lib = _get()
+    n = v.shape[0] if v.ndim else 1
+    if (lib is not None and isinstance(v, np.ndarray) and v.ndim >= 1
+            and v.dtype == np.float32 and v.flags["C_CONTIGUOUS"]
+            and v.size > 0):
+        q = np.empty(v.shape, np.int8)
+        scales = np.empty(n, np.float32)
+        lib.mep_quantize_rows(
+            _fp(v), n, v.size // n,
+            q.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), _fp(scales))
+        return q, scales
+    flat = np.abs(v).reshape(n, -1) if v.ndim > 1 else np.abs(v)[:, None]
+    scales = np.maximum(flat.max(axis=1) / 127.0, 1e-12).astype(np.float32)
+    bshape = (-1,) + (1,) * (v.ndim - 1)
+    q = np.clip(np.round(v / scales.reshape(bshape)),
+                -127, 127).astype(np.int8)
+    return q, scales
 
 
 def summary_rows(src: np.ndarray):
