@@ -55,7 +55,7 @@ def _point_config(spec):
 
 
 def measure_point(name, spec, *, dtype="float32", impl="xla",
-                  steps=10, reps=4):
+                  steps=10, reps=4, remat=False, batch=None):
     import jax
     import numpy as np
 
@@ -69,7 +69,11 @@ def measure_point(name, spec, *, dtype="float32", impl="xla",
 
     exp = _point_config(spec)
     exp = dataclasses.replace(
-        exp, train=dataclasses.replace(exp.train, compute_dtype=dtype))
+        exp,
+        model=dataclasses.replace(exp.model, remat=remat),
+        train=dataclasses.replace(
+            exp.train, compute_dtype=dtype,
+            **({"batch_size": batch} if batch else {})))
     b = exp.train.batch_size
     model = build_model(exp)
     samples = synthetic_dataset("mosei_trans", exp.model, b, seed=0)
@@ -90,8 +94,14 @@ def measure_point(name, spec, *, dtype="float32", impl="xla",
     ms = best_window_ms(one, batch, steps=steps, reps=reps)
     best = b * 1e3 / ms
     f_tr = fl.train_flops_per_sample(exp.model)
+    # device peak HBM (the number remat exists to move); absent on some
+    # backends (CPU) — report null there
+    stats = getattr(jax.local_devices()[0], "memory_stats", lambda: None)()
+    peak = (stats or {}).get("peak_bytes_in_use")
     return {
         "point": name, "impl": impl, "dtype": dtype, "batch": b,
+        "remat": bool(remat),
+        "peak_hbm_gb": round(peak / 2**30, 2) if peak else None,
         "dim": spec["dim"], "lens": [spec["l_len"], spec["v_len"], spec["a_len"]],
         "train_sps": round(best, 1),
         "ms_per_step": round(1e3 * b / best, 2),
@@ -105,17 +115,26 @@ def measure_point(name, spec, *, dtype="float32", impl="xla",
 def main():
     names = list(POINTS)
     impls = ["xla"]
+    remat = False
+    batch = None
+    dtypes = ("float32", "bfloat16")
     for arg in sys.argv[1:]:
         if arg.startswith("--points="):
             names = arg.split("=", 1)[1].split(",")
         elif arg.startswith("--impl="):
             impls = arg.split("=", 1)[1].split(",")
+        elif arg == "--remat":
+            remat = True
+        elif arg.startswith("--batch="):
+            batch = int(arg.split("=", 1)[1])
+        elif arg.startswith("--dtypes="):
+            dtypes = tuple(arg.split("=", 1)[1].split(","))
     for name in names:
         for impl in impls:
-            for dtype in ("float32", "bfloat16"):
+            for dtype in dtypes:
                 try:
                     row = measure_point(name, POINTS[name], dtype=dtype,
-                                        impl=impl)
+                                        impl=impl, remat=remat, batch=batch)
                 except Exception as e:  # OOM / relay stall: emit what we have
                     print(f"point {name}/{impl}/{dtype} failed: {e!r}",
                           file=sys.stderr, flush=True)

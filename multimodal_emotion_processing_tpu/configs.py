@@ -46,6 +46,16 @@ class ModelConfig:
     p_len: int = 6
     # robot multi-resolution video input dims
     v_dims_multires: Tuple[int, int, int] = (256, 512, 1024)
+    # rematerialize each attention block in the backward pass
+    # (jax.checkpoint): XLA stores only block boundaries and recomputes the
+    # block internals — softmax probabilities (B,H,Lq,Lkv), projected Q/K/V,
+    # FFN intermediates — during the backward sweep, trading one extra
+    # forward's FLOPs for the activation memory that dominates HBM at the
+    # scaled presets.  Off by default: reference shapes are nowhere near
+    # memory-bound and the recompute is pure cost there.  The merged/stacked
+    # grid fast paths ignore this knob (they are off by default; the scaled
+    # presets run the unrolled grid this applies to).
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

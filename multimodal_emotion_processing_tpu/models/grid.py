@@ -401,20 +401,30 @@ def apply_grid(
         return mean_max_pool(jnp.concatenate([lc, ac, vc], axis=1))
     collected = {"l": [], "v": [], "a": []}
     ridx = 2
+    use_remat = getattr(cfg, "remat", False)
     for name, qm, kvm in STREAMS:
         q = src[qm]
         scores = None
         finals = None
         for i in range(cfg.n_layers):
-            q, scores = layers.apply_block(
-                p["blocks"][name][i], cfg.block,
-                q, src[kvm], src[kvm], masks[kvm], scores,
-                n_heads=cfg.n_heads, rate=rate, rng=rngs[ridx], train=train,
-                impl=impl,
-                # the stream's last block has no consumer for its scores —
-                # lean pallas kernel skips the dead (B,H,Lq,Lkv) HBM write
-                emit_scores=(i < cfg.n_layers - 1),
-            )
+            # the stream's last block has no consumer for its scores —
+            # lean pallas kernel skips the dead (B,H,Lq,Lkv) HBM write
+            emit = i < cfg.n_layers - 1
+
+            def block_call(p_i, q_in, kv_in, mask_in, scores_in, rng_in,
+                           _emit=emit):
+                return layers.apply_block(
+                    p_i, cfg.block, q_in, kv_in, kv_in, mask_in, scores_in,
+                    n_heads=cfg.n_heads, rate=rate, rng=rng_in, train=train,
+                    impl=impl, emit_scores=_emit)
+
+            if use_remat:
+                # cfg.remat: store only block boundaries (q, scores) for the
+                # backward pass; probs/QKV/FFN internals are recomputed.
+                block_call = jax.checkpoint(block_call)
+            q, scores = block_call(
+                p["blocks"][name][i], q, src[kvm], masks[kvm], scores,
+                rngs[ridx])
             ridx += 1
             if collect == "per_layer":
                 collected[TARGET[name]].append(q)

@@ -288,3 +288,53 @@ def test_stacked_flag_is_per_call_not_global():
     assert gridmod.REALFORMER_STACKED is False
     np.testing.assert_allclose(a, b, rtol=3e-5, atol=3e-5)
     np.testing.assert_allclose(a, c, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("cfg_name", ["mosei_trans", "robot_demo"])
+def test_remat_matches_plain_forward_and_grad(cfg_name):
+    """model.remat=True (jax.checkpoint per grid block) is a pure memory
+    knob: identical forward math, gradients equal to recompute tolerance —
+    including the score-residual chain (n_layers=2) and dropout under a
+    fixed rng (robot_demo)."""
+    import dataclasses
+
+    exp = tiny(cfg_name)
+    exp = dataclasses.replace(
+        exp, model=dataclasses.replace(exp.model, n_layers=2))
+    exp_r = dataclasses.replace(
+        exp, model=dataclasses.replace(exp.model, remat=True))
+    model = build_model(exp)
+    model_r = build_model(exp_r)
+    params = model.init(jax.random.PRNGKey(3))
+    if exp.model.head == "grid_only":
+        rng = np.random.default_rng(1)
+        m = exp.model
+        batch = {
+            **{f"v{n}": jnp.asarray(
+                rng.standard_normal((2, m.v_len, d)).astype(np.float32))
+               for n, d in zip((256, 512, 1024), m.v_dims_multires)},
+            "l": jnp.asarray(rng.standard_normal((2, m.l_len, m.l_dim)).astype(np.float32)),
+            "a": jnp.asarray(rng.standard_normal((2, m.a_len, m.a_dim)).astype(np.float32)),
+            "l_mask": jnp.ones((2, m.l_len), np.float32),
+            "v_mask": jnp.ones((2, m.v_len), np.float32),
+            "a_mask": jnp.ones((2, m.a_len), np.float32),
+        }
+    else:
+        batch = make_pair_batch(exp.model)
+    key = jax.random.PRNGKey(7)
+
+    fwd = jax.jit(lambda p: model.apply(p, batch, rng=key, train=True))
+    fwd_r = jax.jit(lambda p: model_r.apply(p, batch, rng=key, train=True))
+    np.testing.assert_allclose(np.asarray(fwd(params)),
+                               np.asarray(fwd_r(params)), rtol=1e-6, atol=1e-6)
+
+    def loss(apply_fn):
+        def f(p):
+            return jnp.sum(apply_fn(p, batch, rng=key, train=True) ** 2)
+        return f
+
+    g = jax.jit(jax.grad(loss(model.apply)))(params)
+    g_r = jax.jit(jax.grad(loss(model_r.apply)))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
