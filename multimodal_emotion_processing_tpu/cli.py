@@ -54,6 +54,10 @@ def build_parser():
                              "compile epoch (one-dispatch runs trace their "
                              "single dispatch) into DIR")
         sp.add_argument("--impl", choices=["xla", "pallas", "cp"], default="xla")
+        sp.add_argument("--tuned", default=None, metavar="TUNED_JSON",
+                        help="apply the measured knob winners from a `tune` "
+                             "run (bench/autotune.py); explicit flags win "
+                             "over the file")
         sp.add_argument("--sweep-thresholds", action="store_true")
         sp.add_argument("--quiet", action="store_true")
         sp.add_argument("--set", action="append", default=[], metavar="K=V",
@@ -202,6 +206,8 @@ def build_parser():
                     help="shard batch inference over N devices on a mesh "
                          "'data' axis (members replicate; logits identical "
                          "to single-device)")
+    pd.add_argument("--tuned", default=None, metavar="TUNED_JSON",
+                    help="apply measured knob winners from a `tune` run")
     pd.add_argument("--calibration", action="store_true",
                     help="append a calibration report (per-emotion ECE + "
                          "reliability bins of the serving probabilities "
@@ -237,6 +243,8 @@ def build_parser():
                          "sync — robot -26%%, realformer -4%%; selectable for "
                          "shapes where 3 fat chains beat 9 thin ones; "
                          "unequal lengths pad to max; no-op for minus blocks)")
+    sv.add_argument("--tuned", default=None, metavar="TUNED_JSON",
+                    help="apply measured knob winners from a `tune` run")
 
     ex = sub.add_parser("export", help="AOT-export the serving predictor "
                         "(ensemble + calibrated sigmoid) to a StableHLO blob")
@@ -311,6 +319,23 @@ def build_parser():
     cp.add_argument("--prefix", default="",
                     help="only members whose name starts with this "
                          "(e.g. a config name)")
+
+    tn = sub.add_parser(
+        "tune", help="measure THIS machine's winners for the selectable "
+                     "perf knobs (scan chaining, stream stacking, wire "
+                     "dtype, pallas vs xla) and write a tuned.json that "
+                     "train/predict/serve apply via --tuned")
+    tn.add_argument("config")
+    tn.add_argument("-o", "--out", default=None,
+                    help="write the tuned record here (also printed)")
+    tn.add_argument("--allow-lossy", action="store_true",
+                    help="also tune knobs that change numerics (int8 wire "
+                         "quantization); without it only bit-exact knobs "
+                         "are measured")
+    tn.add_argument("--arms", default=None, metavar="A,B,...",
+                    help="subset of scan,stacked,transfer,impl")
+    tn.add_argument("--steps", type=int, default=20)
+    tn.add_argument("--reps", type=int, default=4)
 
     sub.add_parser("configs", help="list configs")
     return p
@@ -656,6 +681,12 @@ def main(argv=None):
     if cache_dir:
         resolved = enable_compilation_cache(cache_dir)
         print(f"(persistent compilation cache: {resolved})", file=sys.stderr)
+    if getattr(args, "tuned", None):
+        from .bench.autotune import apply_tuned
+
+        applied = apply_tuned(args, args.tuned)
+        if applied and not getattr(args, "quiet", False):
+            print(f"(tuned knobs applied: {applied})", file=sys.stderr)
     if args.cmd == "configs":
         cmd_configs()
     elif args.cmd == "train":
@@ -784,6 +815,18 @@ def main(argv=None):
         cmd_import_torch(args)
     elif args.cmd == "export-torch":
         cmd_export_torch(args)
+    elif args.cmd == "tune":
+        from .bench.autotune import tune
+
+        rec = tune(args.config,
+                   arms=args.arms.split(",") if args.arms else None,
+                   allow_lossy=args.allow_lossy,
+                   steps=args.steps, reps=args.reps, quiet=False)
+        line = json.dumps(rec)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(line + "\n")
+        print(line, flush=True)
     elif args.cmd == "bench":
         import os
         import runpy
