@@ -230,6 +230,12 @@ def build_parser():
     sv.add_argument("--max-delay-ms", type=float, default=3.0,
                     help="micro-batching window: how long the server waits "
                          "for followers after the first queued request")
+    sv.add_argument("--thresholds", default=None, metavar="T1,T2,...",
+                    help="explicit per-emotion calibration offsets "
+                         "(win over store-persisted tuned thresholds and "
+                         "the config table; required for sweep-only "
+                         "configs like mosei_realformer without a store); "
+                         "use --thresholds=-0.3,... for negative values")
     sv.add_argument("--http-port", type=int, default=None, metavar="PORT",
                     help="serve the ensemble over HTTP (stdlib, no extra "
                          "deps): GET /healthz, GET /spec (feature shapes + "
@@ -492,7 +498,11 @@ def _resolve_offsets(args, exp):
     """Serving/export calibration offsets: tuned thresholds persisted by a
     swept eval in the checkpoint store (pipelines.save_tuned_thresholds)
     win over the config's built-in table — the reference's equivalent step
-    is hand-editing the swept values back into the script."""
+    is hand-editing the swept values back into the script.  An explicit
+    `--thresholds` flag wins over both."""
+    raw = getattr(args, "thresholds", None)
+    if raw:
+        return tuple(float(t) for t in raw.split(","))
     if getattr(args, "checkpoint_dir", None):
         from .pipelines import load_tuned_thresholds
 
@@ -518,6 +528,40 @@ def cmd_serve(args):
     from .ops.context_parallel import ensure_cp
 
     import time
+
+    if exp.model.head == "state_transfer":
+        # the paragraph model serves CLIP-BY-CLIP with on-device recurrence
+        # state (the reference can only score complete P_LEN windows,
+        # others/realformer.py:272-286); the per-sample batching fronts
+        # don't apply to a stateful stream
+        if getattr(args, "http_port", None) is not None or \
+                getattr(args, "concurrent", 0) > 0:
+            raise SystemExit(
+                "state_transfer configs stream clip-by-clip with carried "
+                "recurrence state; --http-port/--concurrent serve stateless "
+                "per-sample heads")
+        from .serve import ParagraphStreamingPredictor
+
+        sp = ParagraphStreamingPredictor(
+            model, members, offsets=offsets, impl=args.impl,
+            stacked_grid=getattr(args, "stacked_grid", False))
+        sample = synthetic_dataset(args.config, exp.model, 1, seed=7)[0]
+        plen = sample["l"].shape[0]
+        clips = [{k: sample[k][t] for k in sp._CLIP_KEYS}
+                 for t in range(plen)]
+        with ensure_cp(args.impl):
+            sp.warmup(clips[0])
+            sp.reset()
+            t0 = time.perf_counter()
+            per_clip = [sp.emotions(c, exp.emotion_names) for c in clips]
+            latency_ms = (time.perf_counter() - t0) * 1e3 / plen
+        print(f"Streaming paragraph ({plen} clips, state carried on device)")
+        for t, emos in enumerate(per_clip):
+            print(f"clip {t}: " + "  ".join(f"{n} {p}"
+                                            for n, p in emos.items()))
+        print(f"(p50-path latency: {latency_ms:.2f} ms/clip, "
+              f"{len(members)}-model ensemble)", file=sys.stderr)
+        return
 
     http_port = getattr(args, "http_port", None)
     if http_port is not None:

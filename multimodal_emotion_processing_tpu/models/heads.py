@@ -110,6 +110,33 @@ def init_state_transfer(key, cfg):
     }
 
 
+def state_transfer_clip(p, cfg, l, v, a, l_mask, v_mask, a_mask, *,
+                        rng=None, train=False, impl="xla", stacked=None):
+    """The per-clip half of the State_Transfer head: grid → feature →
+    classifier, split into (out_t1, feats) — torch's `chunk(2, 1)` of the
+    (…, 2E) classifier output (others/realformer.py:277-278).  Inputs are
+    clip-flattened (N, len, dim) / (N, len); used by apply_state_transfer on
+    the folded (B·P) axis and by the stateful streaming predictor on one
+    clip at a time (serve/stream.ParagraphStreamingPredictor)."""
+    e = cfg.n_emotions
+    r1, r2 = jax.random.split(rng) if rng is not None else (None, None)
+    pooled = grid_mod.apply_grid(
+        p["feature"], cfg, l, v, a, l_mask, v_mask, a_mask,
+        rng=r1, train=train, impl=impl, collect="final", stacked=stacked)
+    feat = grid_mod.apply_grid_head(p["feature"], cfg, pooled, out="feature",
+                                    rng=r2, train=train)
+    cls = init.apply_linear(p["classifier"], feat)
+    return cls[..., :e], cls[..., e:]
+
+
+def state_transfer_recurrence(trans, prev_out, prev_feats, out_t1, feats):
+    """One step of the gated recurrence (others/realformer.py:280-282):
+    α = σ(feats_t + feats_{t-1}); out = (1−α)·out_t1 + α·tanh(out_{t-1}·T)."""
+    alpha = jax.nn.sigmoid(feats + prev_feats)
+    out_t0 = jnp.tanh(prev_out @ trans)
+    return (1.0 - alpha) * out_t1 + alpha * out_t0
+
+
 def apply_state_transfer(p, cfg, batch, *, rng=None, train=False, impl="xla",
                          stacked=None):
     """batch: l/v/a (B,P,len,dm), *_mask (B,P,len). Returns (B, P, E)."""
@@ -120,24 +147,20 @@ def apply_state_transfer(p, cfg, batch, *, rng=None, train=False, impl="xla",
     def flat(x):
         return x.reshape((b * plen,) + x.shape[2:])
 
-    r1, r2 = jax.random.split(rng) if rng is not None else (None, None)
-    pooled = grid_mod.apply_grid(
-        p["feature"], cfg, flat(l), flat(v), flat(a),
+    out_t1_flat, feats_flat = state_transfer_clip(
+        p, cfg, flat(l), flat(v), flat(a),
         flat(batch["l_mask"]), flat(batch["v_mask"]), flat(batch["a_mask"]),
-        rng=r1, train=train, impl=impl, collect="final", stacked=stacked)
-    feat = grid_mod.apply_grid_head(p["feature"], cfg, pooled, out="feature",
-                                    rng=r2, train=train)
-    cls = init.apply_linear(p["classifier"], feat).reshape(b, plen, 2 * e)
-    out_t1_all, feats_all = cls[..., :e], cls[..., e:]  # torch chunk(2, 1)
+        rng=rng, train=train, impl=impl, stacked=stacked)
+    out_t1_all = out_t1_flat.reshape(b, plen, e)
+    feats_all = feats_flat.reshape(b, plen, e)
 
     out0, feats0 = out_t1_all[:, 0], feats_all[:, 0]
 
     def body(carry, xs):
         prev_out, prev_feats = carry
         out_t1, feats = xs
-        alpha = jax.nn.sigmoid(feats + prev_feats)
-        out_t0 = jnp.tanh(prev_out @ p["trans"])
-        out = (1.0 - alpha) * out_t1 + alpha * out_t0
+        out = state_transfer_recurrence(p["trans"], prev_out, prev_feats,
+                                        out_t1, feats)
         return (out, feats), out
 
     xs = (out_t1_all[:, 1:].swapaxes(0, 1), feats_all[:, 1:].swapaxes(0, 1))

@@ -95,3 +95,104 @@ class StreamingPredictor:
         (robot_demo.py:616-622)."""
         _, probs = self.predict(sample)
         return {n: round(float(p), 2) for n, p in zip(names, probs)}
+
+
+class ParagraphStreamingPredictor:
+    """Stateful per-clip streaming for the recurrent `state_transfer` head —
+    the serving mode the reference cannot do.
+
+    The reference's paragraph model (others/realformer.py:266-286) only runs
+    on complete P_LEN=6 windows: a live consumer would have to buffer six
+    clips, re-run the whole 108-attention-call window per new clip, and still
+    get answers P_LEN clips late.  Here the recurrence carry `(out, feats)`
+    is held ON DEVICE per ensemble member between calls, so each arriving
+    clip costs ONE k-member vmapped grid forward plus the O(E²) gated
+    recurrence — and emitting clip t streamed equals column t of the
+    whole-window eval logits exactly (tested: tests/test_train_eval.py::
+    test_paragraph_streaming_matches_whole_window).
+
+    `reset()` starts a new paragraph (the reference's t=0 case: the first
+    clip's output is its own out_t1, no carry).  `weights`: per-member logit
+    blend — the reference blends members 1&2 of 5 at 0.6/0.4
+    (others/realformer.py:420); default is the uniform ensemble mean."""
+
+    def __init__(self, model, params_list: Sequence,
+                 offsets: Sequence[float], *, weights=None, impl: str = "xla",
+                 stacked_grid: bool = False):
+        from ..models import heads
+
+        cfg = model.cfg
+        if cfg.head != "state_transfer":
+            raise ValueError(
+                f"ParagraphStreamingPredictor serves the recurrent "
+                f"state_transfer head; config has head={cfg.head!r} — use "
+                "StreamingPredictor")
+        off = jnp.asarray(offsets, jnp.float32)
+        if off.shape[0] == 0:
+            raise ValueError(
+                "serving needs calibrated per-emotion offsets; pass the "
+                "swept thresholds (eval --sweep-thresholds persists them)")
+        self.model = model
+        self.k = len(params_list)
+        self.stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+        w = (jnp.asarray(weights, jnp.float32) if weights is not None
+             else jnp.full((self.k,), 1.0 / self.k, jnp.float32))
+        if w.shape != (self.k,):
+            raise ValueError(f"weights must have shape ({self.k},)")
+        e = cfg.n_emotions
+        self._zero_state = {
+            "out": jnp.zeros((self.k, 1, e), jnp.float32),
+            "feats": jnp.zeros((self.k, 1, e), jnp.float32),
+            "started": jnp.zeros((), jnp.bool_),
+        }
+        stacked_flag = True if stacked_grid else None
+
+        def step(member_params, state, batch):
+            out_t1, feats = jax.vmap(
+                lambda p: heads.state_transfer_clip(
+                    p, cfg, batch["l"], batch["v"], batch["a"],
+                    batch["l_mask"], batch["v_mask"], batch["a_mask"],
+                    train=False, impl=impl, stacked=stacked_flag)
+            )(member_params)                       # (k, 1, E) each
+            # gated recurrence per member (others/realformer.py:280-282),
+            # batched over the member axis
+            alpha = jax.nn.sigmoid(feats + state["feats"])
+            out_t0 = jnp.tanh(jnp.einsum(
+                "kbe,kef->kbf", state["out"], member_params["trans"]))
+            rec = (1.0 - alpha) * out_t1 + alpha * out_t0
+            # first clip of a paragraph: out = out_t1 (reference t=0)
+            out = jnp.where(state["started"], rec, out_t1)
+            pred = jnp.einsum("k,kbe->be", w, out)[0]       # (E,)
+            probs = jax.nn.sigmoid(pred[: off.shape[0]] - off)
+            new_state = {"out": out, "feats": feats,
+                         "started": jnp.ones((), jnp.bool_)}
+            return pred, probs, new_state
+
+        self._jitted = jax.jit(step)
+        self._state = self._zero_state
+
+    def reset(self) -> None:
+        """Start a new paragraph: the next clip is t=0 (no carry)."""
+        self._state = self._zero_state
+
+    _CLIP_KEYS = ("l", "v", "a", "l_mask", "v_mask", "a_mask")
+
+    @classmethod
+    def _clip1(cls, clip: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        return {k: np.expand_dims(np.asarray(clip[k]), 0)
+                for k in cls._CLIP_KEYS}
+
+    def warmup(self, clip: Dict[str, np.ndarray]) -> None:
+        jax.block_until_ready(
+            self._jitted(self.stacked, self._zero_state, self._clip1(clip)))
+
+    def push(self, clip: Dict[str, np.ndarray]):
+        """Feed the next clip; returns (raw blended logits (E,), calibrated
+        probabilities).  State advances — call reset() between paragraphs."""
+        pred, probs, self._state = self._jitted(
+            self.stacked, self._state, self._clip1(clip))
+        return np.asarray(pred), np.asarray(probs)
+
+    def emotions(self, clip, names: Sequence[str]) -> Dict[str, float]:
+        _, probs = self.push(clip)
+        return {n: round(float(p), 2) for n, p in zip(names, probs)}

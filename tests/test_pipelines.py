@@ -266,6 +266,32 @@ def test_cli_serve_concurrent(capsys):
     assert "req/s" in captured.err and "by_bucket" in captured.err
 
 
+_REALF_OV = {"model": {"l_len": 4, "v_len": 4, "a_len": 4, "dim": 12,
+                       "n_heads": 2, "l_dim": 5, "v_dim": 4, "a_dim": 3,
+                       "p_len": 3}}
+
+
+def test_cli_serve_state_transfer_streams_clips(capsys):
+    """`serve mosei_realformer` routes through ParagraphStreamingPredictor:
+    one synthetic paragraph served clip-by-clip with carried state, one
+    emotions line per clip; the stateless fronts are rejected."""
+    from multimodal_emotion_processing_tpu.cli import main
+
+    sets = []
+    for k, v in _REALF_OV["model"].items():
+        sets += ["--set", f"model.{k}={v}"]
+    sets += ["--thresholds=0.1,-0.3,-0.5,-0.6,-0.3,-0.5"]
+    main(["serve", "mosei_realformer"] + sets)
+    captured = capsys.readouterr()
+    assert "Streaming paragraph (3 clips" in captured.out
+    for t in range(3):
+        assert f"clip {t}:" in captured.out
+    assert "ms/clip" in captured.err
+
+    with pytest.raises(SystemExit, match="clip-by-clip"):
+        main(["serve", "mosei_realformer", "--concurrent", "2"] + sets)
+
+
 def test_run_experiment_seeds_per_fold(tmp_path):
     """seeds_per_fold=2 through the pipeline: the store carries k*S members
     and the ensemble report covers them all."""

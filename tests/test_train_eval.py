@@ -827,3 +827,63 @@ def test_batching_server_delivers_errors_and_survives():
             srv.submit(bad).result(timeout=60)
         pred, _ = srv.predict(good)
         assert pred.shape == (7,)
+
+
+def test_paragraph_streaming_matches_whole_window():
+    """Per-clip stateful streaming equals the whole-window eval logits
+    column-for-column (the recurrence carry held on device between calls),
+    under the reference's 0.6/0.4 member blend; reset() restarts t=0."""
+    from multimodal_emotion_processing_tpu.serve import (
+        ParagraphStreamingPredictor)
+
+    exp = tiny_exp("mosei_realformer")
+    model = build_model(exp)
+    ps = [model.init(jax.random.PRNGKey(i)) for i in range(2)]
+    sample = synthetic_dataset("mosei_realformer", exp.model, 1, seed=3)[0]
+    batch = {k: np.expand_dims(np.asarray(v), 0) for k, v in sample.items()
+             if k != "label"}
+    whole = np.stack([np.asarray(jax.jit(model.apply)(p, batch))[0]
+                      for p in ps])                       # (k, P, E)
+    weights = (0.6, 0.4)  # others/realformer.py:420
+    blended = np.einsum("k,kpe->pe", np.asarray(weights), whole)
+    offsets = (0.1, -0.3, -0.5, -0.6, -0.3, -0.5)
+
+    sp = ParagraphStreamingPredictor(model, ps, offsets=offsets,
+                                     weights=weights)
+    plen = sample["l"].shape[0]
+    for t in range(plen):
+        clip = {k: sample[k][t] for k in
+                ("l", "v", "a", "l_mask", "v_mask", "a_mask")}
+        pred, probs = sp.push(clip)
+        np.testing.assert_allclose(pred, blended[t], rtol=3e-5, atol=3e-5)
+        np.testing.assert_allclose(
+            probs, 1 / (1 + np.exp(-(pred - np.asarray(offsets)))),
+            rtol=1e-5)
+    # reset() starts a new paragraph: clip 0 semantics again
+    sp.reset()
+    clip0 = {k: sample[k][0] for k in
+             ("l", "v", "a", "l_mask", "v_mask", "a_mask")}
+    pred, _ = sp.push(clip0)
+    np.testing.assert_allclose(pred, blended[0], rtol=3e-5, atol=3e-5)
+    emos = sp.emotions(clip0, exp.emotion_names)
+    assert set(emos) == set(exp.emotion_names)
+
+
+def test_paragraph_streaming_rejects_wrong_head_and_bad_weights():
+    from multimodal_emotion_processing_tpu.serve import (
+        ParagraphStreamingPredictor)
+
+    exp = tiny_exp("robot_demo")
+    model = build_model(exp)
+    with pytest.raises(ValueError, match="state_transfer"):
+        ParagraphStreamingPredictor(
+            model, [model.init(jax.random.PRNGKey(0))], offsets=(0.1,) * 6)
+
+    pexp = tiny_exp("mosei_realformer")
+    pmodel = build_model(pexp)
+    ps = [pmodel.init(jax.random.PRNGKey(0))]
+    with pytest.raises(ValueError, match="offsets"):
+        ParagraphStreamingPredictor(pmodel, ps, offsets=())
+    with pytest.raises(ValueError, match="weights"):
+        ParagraphStreamingPredictor(pmodel, ps, offsets=(0.1,) * 6,
+                                    weights=(0.5, 0.5))
