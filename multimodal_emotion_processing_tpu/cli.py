@@ -544,7 +544,8 @@ def cmd_serve(args):
 
         sp = ParagraphStreamingPredictor(
             model, members, offsets=offsets, impl=args.impl,
-            stacked_grid=getattr(args, "stacked_grid", False))
+            stacked_grid=getattr(args, "stacked_grid", False),
+            dtype=exp.train.compute_dtype)
         sample = synthetic_dataset(args.config, exp.model, 1, seed=7)[0]
         plen = sample["l"].shape[0]
         clips = [{k: sample[k][t] for k in sp._CLIP_KEYS}
@@ -572,7 +573,8 @@ def cmd_serve(args):
         with ensure_cp(args.impl), BatchingServer(
                 model, members, offsets=offsets, impl=args.impl,
                 stacked_grid=getattr(args, "stacked_grid", False),
-                max_delay_ms=getattr(args, "max_delay_ms", 3.0)) as srv:
+                max_delay_ms=getattr(args, "max_delay_ms", 3.0),
+                dtype=exp.train.compute_dtype) as srv:
             srv.warmup(sample)
             off = len(offsets)
             fe = HttpFrontend(srv, spec, exp.emotion_names[:off],
@@ -596,7 +598,8 @@ def cmd_serve(args):
         with ensure_cp(args.impl), BatchingServer(
                 model, members, offsets=offsets, impl=args.impl,
                 stacked_grid=getattr(args, "stacked_grid", False),
-                max_delay_ms=getattr(args, "max_delay_ms", 3.0)) as srv:
+                max_delay_ms=getattr(args, "max_delay_ms", 3.0),
+                dtype=exp.train.compute_dtype) as srv:
             srv.warmup(samples[0])
             t0 = time.perf_counter()
             futs = [srv.submit(s) for s in samples]
@@ -617,7 +620,8 @@ def cmd_serve(args):
 
     sp = StreamingPredictor(model, members, offsets=offsets,
                             impl=args.impl,
-                            stacked_grid=getattr(args, "stacked_grid", False))
+                            stacked_grid=getattr(args, "stacked_grid", False),
+                            dtype=exp.train.compute_dtype)
     sample = synthetic_dataset(args.config, exp.model, 1, seed=7)[0]
 
     with ensure_cp(args.impl):  # --impl cp: bind a default mesh at trace time
@@ -646,7 +650,8 @@ def cmd_export(args):
     blob = export_predictor(model, members, _resolve_offsets(args, exp),
                             sample,
                             platforms=tuple(args.platforms.split(",")),
-                            batch_size=args.batch)
+                            batch_size=args.batch,
+                            dtype=exp.train.compute_dtype)
     with open(args.out, "wb") as f:
         f.write(blob)
     print(f"wrote {args.out} ({len(blob) / 1e6:.1f} MB, "

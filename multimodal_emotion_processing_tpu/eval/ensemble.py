@@ -25,10 +25,20 @@ class Ensemble:
 
     def __init__(self, model, params_list: Sequence, weights: Optional[Sequence[float]] = None,
                  *, combine: str = "mean", impl: str = "xla", stacked=None,
-                 mesh=None):
+                 mesh=None, dtype: str = "float32"):
         self.model = model
         self.k = len(params_list)
         self.stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+        # `dtype`: bf16 COMPUTE for the vmapped forward (the inference twin
+        # of train.compute_dtype; scaled presets default to it) — members
+        # are cast ONCE here (inference has no f32 master-weight obligation),
+        # batches per call, logits upcast to f32 before combining so the
+        # threshold/score math stays exact
+        self.dtype = dtype
+        if dtype == "bfloat16":
+            from ..train.engine import _cast_tree
+
+            self.stacked = _cast_tree(self.stacked, jnp.bfloat16)
         # `mesh`: shard batch inference over the 'data' axis of a
         # jax.sharding.Mesh — members replicate, every batch leaf shards on
         # its leading (batch) axis, and GSPMD partitions the vmapped
@@ -53,12 +63,15 @@ class Ensemble:
         # per-trace static arg; measured slower at reference shapes under
         # honest sync (ENGINEERING_NOTES), kept selectable
         def member_logits(params, batch):
-            from ..train.engine import upcast_wire
+            from ..train.engine import infer_cast, infer_upcast, upcast_wire
 
             # accept half-width wire batches (data/loader.cast_for_transfer);
-            # no-op on float32
-            return model.apply(params, upcast_wire(batch), train=False,
-                               impl=impl, stacked=stacked)
+            # no-op on float32.  params are already cast (construction);
+            # infer_cast here casts the batch leaves (params re-cast is a
+            # no-op on an already-bf16 tree)
+            params, batch = infer_cast(params, upcast_wire(batch), dtype)
+            return infer_upcast(model.apply(params, batch, train=False,
+                                            impl=impl, stacked=stacked))
 
         self._member_logits = member_logits
         self._vmapped = jax.jit(jax.vmap(member_logits, in_axes=(0, None)))

@@ -138,7 +138,8 @@ def _restore_members(config_name, model, store):
 
 
 def _make_ensemble(config_name, model, members, member_losses, *,
-                   impl: str = "xla", stacked=None, mesh=None):
+                   impl: str = "xla", stacked=None, mesh=None,
+                   dtype: str = "float32"):
     """Config-faithful ensemble combination: Ren-MME SUMS member logits
     (Ren-MME/run.py:560-575), the realformer config keeps only its two
     best folds at 0.6/0.4 (others/realformer.py:420,482-485), everything
@@ -151,7 +152,7 @@ def _make_ensemble(config_name, model, members, member_losses, *,
         members = [members[i] for i in order]
         weights = [0.6, 0.4]
     return Ensemble(model, members, weights=weights, combine=combine,
-                    impl=impl, stacked=stacked, mesh=mesh)
+                    impl=impl, stacked=stacked, mesh=mesh, dtype=dtype)
 
 
 def _flatten_units(units, with_groups: bool = False):
@@ -631,8 +632,11 @@ def _run_experiment(
         eval_mesh = (mesh if mesh is not None
                      and exp.train.batch_size % mesh.shape["data"] == 0
                      else None)
+        # inference runs the config's compute dtype (scaled presets: bf16;
+        # reference configs: exact f32)
         ens = _make_ensemble(config_name, model, members, member_losses,
-                             impl=impl, mesh=eval_mesh)
+                             impl=impl, mesh=eval_mesh,
+                             dtype=exp.train.compute_dtype)
         # eval loaders: no shuffle, no R-Drop duplication (Ren-MME/run.py:427-449)
         test_loader = Batcher(test_samples, exp.train.batch_size, shuffle=False)
         logits = ens.predict_all(test_loader, transfer_dtype=transfer_dtype)
@@ -876,7 +880,7 @@ def _run_predict(
         _log(f"[{config_name}] predict mesh: dp={mesh.shape['data']}", quiet)
     ens = _make_ensemble(config_name, model, members, member_losses,
                          impl=impl, stacked=True if stacked else None,
-                         mesh=mesh)
+                         mesh=mesh, dtype=exp.train.compute_dtype)
     if device_resident:
         if mesh is not None:
             raise ValueError("device_resident does not compose with dp — "

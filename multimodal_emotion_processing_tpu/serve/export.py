@@ -39,7 +39,7 @@ def _batch_spec(sample: Dict[str, np.ndarray],
 def export_predictor(model, params_list: Sequence, offsets: Sequence[float],
                      example_sample: Dict[str, np.ndarray], *,
                      platforms: Sequence[str] = ("tpu", "cpu"),
-                     batch_size: int = 1) -> bytes:
+                     batch_size: int = 1, dtype: str = "float32") -> bytes:
     """Serialize the ensemble serving function (weights embedded) for the
     given platforms.  `example_sample` fixes the per-sample input shapes;
     `batch_size` fixes the (static) batch axis.  batch_size=1 exports the
@@ -54,11 +54,11 @@ def export_predictor(model, params_list: Sequence, offsets: Sequence[float],
     if batch_size == 1:
         from .stream import ensemble_serve_fn  # ONE serving computation
 
-        run = ensemble_serve_fn(model, offsets)
+        run = ensemble_serve_fn(model, offsets, dtype=dtype)
     else:
         from .server import batched_ensemble_fn  # the bucket program
 
-        run = batched_ensemble_fn(model, offsets)
+        run = batched_ensemble_fn(model, offsets, dtype=dtype)
 
     def serve_fn(batch):
         return run(stacked, batch)

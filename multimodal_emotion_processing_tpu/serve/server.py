@@ -42,7 +42,7 @@ import jax.numpy as jnp
 
 
 def batched_ensemble_fn(model, offsets: Sequence[float], *, impl: str = "xla",
-                        stacked=None):
+                        stacked=None, dtype: str = "float32"):
     """(member_params, batch(B, ...)) -> (logits (B, E), probs (B, E')):
     k-member vmapped forward, logit mean over members, calibrated sigmoid —
     the serve/stream.py computation generalized from batch 1 to batch B."""
@@ -53,9 +53,12 @@ def batched_ensemble_fn(model, offsets: Sequence[float], *, impl: str = "xla",
             "none — serve a config with fixed thresholds")
 
     def run(member_params, batch):
+        from ..train.engine import infer_cast, infer_upcast
+
+        member_params, batch = infer_cast(member_params, batch, dtype)
         logits = jax.vmap(
-            lambda p: model.apply(p, batch, train=False, impl=impl,
-                                  stacked=stacked)
+            lambda p: infer_upcast(model.apply(p, batch, train=False,
+                                               impl=impl, stacked=stacked))
         )(member_params)                            # (k, B, E)
         if logits.ndim != 3:
             raise ValueError(
@@ -79,7 +82,8 @@ class BatchingServer:
 
     def __init__(self, model, params_list: Sequence, offsets: Sequence[float],
                  *, impl: str = "xla", stacked_grid: bool = False,
-                 max_delay_ms: float = 2.0, buckets: Sequence[int] = (1, 2, 4, 8)):
+                 max_delay_ms: float = 2.0, buckets: Sequence[int] = (1, 2, 4, 8),
+                 dtype: str = "float32"):
         if not buckets or sorted(buckets) != list(buckets):
             raise ValueError("buckets must be a sorted, non-empty sequence")
         self.buckets = tuple(int(b) for b in buckets)
@@ -88,7 +92,7 @@ class BatchingServer:
         self.members = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
         self._fn = jax.jit(batched_ensemble_fn(
             model, offsets, impl=impl,
-            stacked=True if stacked_grid else None))
+            stacked=True if stacked_grid else None, dtype=dtype))
         self._q: "queue.Queue" = queue.Queue()
         self._stats = {"requests": 0, "batches": 0, "padded_rows": 0,
                        "by_bucket": {b: 0 for b in self.buckets}}

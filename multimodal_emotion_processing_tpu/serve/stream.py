@@ -22,13 +22,14 @@ import numpy as np
 
 
 def ensemble_serve_fn(model, offsets: Sequence[float], *, impl: str = "xla",
-                      stacked=None):
+                      stacked=None, dtype: str = "float32"):
     """THE serving computation, shared by the live predictor and the AOT
     export (serve/export.py): k-member vmapped batch-1 forward → logit mean
     → calibrated sigmoid(pred − offsets).  Validates at trace time that the
     model's head actually produces per-sample logit vectors (the paragraph
     `state_transfer` head returns per-clip (B, P, E) logits and is an eval
-    protocol, not a serving one)."""
+    protocol, not a serving one).  `dtype="bfloat16"` runs the forward in
+    bf16 (train.engine.infer_cast); the calibrated sigmoid stays f32."""
     off = jnp.asarray(offsets, jnp.float32)
     if off.shape[0] == 0:
         raise ValueError(
@@ -37,9 +38,12 @@ def ensemble_serve_fn(model, offsets: Sequence[float], *, impl: str = "xla",
             "with fixed thresholds or pass offsets explicitly")
 
     def run(member_params, batch):
+        from ..train.engine import infer_cast, infer_upcast
+
+        member_params, batch = infer_cast(member_params, batch, dtype)
         logits = jax.vmap(
-            lambda p: model.apply(p, batch, train=False, impl=impl,
-                                  stacked=stacked)
+            lambda p: infer_upcast(model.apply(p, batch, train=False,
+                                               impl=impl, stacked=stacked))
         )(member_params)                            # (k, 1, E)
         if logits.ndim != 3:
             raise ValueError(
@@ -55,7 +59,8 @@ def ensemble_serve_fn(model, offsets: Sequence[float], *, impl: str = "xla",
 
 class StreamingPredictor:
     def __init__(self, model, params_list: Sequence, offsets: Sequence[float],
-                 *, impl: str = "xla", stacked_grid: bool = False):
+                 *, impl: str = "xla", stacked_grid: bool = False,
+                 dtype: str = "float32"):
         """`stacked_grid`: trace the ensemble forward with the stacked
         realformer grid path (models/grid.apply_grid stacked=True).  Measured
         SLOWER at reference shapes under honest sync (robot -26%, realformer
@@ -72,7 +77,7 @@ class StreamingPredictor:
         # cross-thread exposure
         self._jitted = jax.jit(ensemble_serve_fn(
             model, offsets, impl=impl,
-            stacked=True if stacked_grid else None))
+            stacked=True if stacked_grid else None, dtype=dtype))
 
     def _run(self, stacked, batch):
         return self._jitted(stacked, batch)
@@ -118,8 +123,9 @@ class ParagraphStreamingPredictor:
 
     def __init__(self, model, params_list: Sequence,
                  offsets: Sequence[float], *, weights=None, impl: str = "xla",
-                 stacked_grid: bool = False):
+                 stacked_grid: bool = False, dtype: str = "float32"):
         from ..models import heads
+        from ..train.engine import infer_cast, infer_upcast
 
         cfg = model.cfg
         if cfg.head != "state_transfer":
@@ -148,12 +154,16 @@ class ParagraphStreamingPredictor:
         stacked_flag = True if stacked_grid else None
 
         def step(member_params, state, batch):
+            # bf16 forward compute when dtype says so; the recurrence/blend
+            # math below stays f32 (infer_upcast on the clip outputs)
+            member_params, batch = infer_cast(member_params, batch, dtype)
             out_t1, feats = jax.vmap(
                 lambda p: heads.state_transfer_clip(
                     p, cfg, batch["l"], batch["v"], batch["a"],
                     batch["l_mask"], batch["v_mask"], batch["a_mask"],
                     train=False, impl=impl, stacked=stacked_flag)
             )(member_params)                       # (k, 1, E) each
+            out_t1, feats = infer_upcast(out_t1), infer_upcast(feats)
             # gated recurrence per member (others/realformer.py:280-282),
             # batched over the member axis
             alpha = jax.nn.sigmoid(feats + state["feats"])

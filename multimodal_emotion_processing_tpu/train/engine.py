@@ -281,21 +281,45 @@ def make_scan_eval_step(model, tcfg, *, impl: str = "xla"):
     return jax.jit(step)
 
 
-def make_predict_step(model, *, impl: str = "xla"):
+def infer_cast(params, batch, dtype: str):
+    """bf16 COMPUTE for the inference path — the forward-only twin of
+    batch_loss's mixed-precision block (same keep-set: the loss-side
+    weight/mask vectors stay f32).  Logit upcast is the caller's job
+    (infer_upcast) so score/threshold math never runs in bf16."""
+    if dtype != "bfloat16":
+        return params, batch
+    keep = {"sample_weight", "clip_mask"}
+    params = _cast_tree(params, jnp.bfloat16)
+    batch = {k: (v if k in keep else _cast_tree(v, jnp.bfloat16))
+             for k, v in batch.items()}
+    return params, batch
+
+
+def infer_upcast(logits):
+    return logits.astype(jnp.float32) if logits.dtype == jnp.bfloat16 \
+        else logits
+
+
+def make_predict_step(model, *, impl: str = "xla", dtype: str = "float32"):
     def step(params, batch):
-        return model.apply(params, upcast_wire(batch), train=False, impl=impl)
+        p, b = infer_cast(params, upcast_wire(batch), dtype)
+        return infer_upcast(model.apply(p, b, train=False, impl=impl))
 
     return jax.jit(step)
 
 
-def make_scan_predict_step(model, *, impl: str = "xla"):
+def make_scan_predict_step(model, *, impl: str = "xla",
+                           dtype: str = "float32"):
     """Forward over a stacked batch pytree (k, B, ...) in ONE dispatch —
     the inference-side twin of make_scan_train_step (same dispatch-overhead
     amortization; logits come back as (k, B, E))."""
+    def one(params, b):
+        p, b = infer_cast(params, upcast_wire(b), dtype)
+        return infer_upcast(model.apply(p, b, train=False, impl=impl))
+
     def step(params, batches):
         return jax.lax.scan(
-            lambda _, b: (None, model.apply(params, upcast_wire(b),
-                                            train=False, impl=impl)),
+            lambda _, b: (None, one(params, b)),
             None, batches)[1]
 
     return jax.jit(step)

@@ -887,3 +887,47 @@ def test_paragraph_streaming_rejects_wrong_head_and_bad_weights():
     with pytest.raises(ValueError, match="weights"):
         ParagraphStreamingPredictor(pmodel, ps, offsets=(0.1,) * 6,
                                     weights=(0.5, 0.5))
+
+
+def test_bf16_inference_close_to_f32():
+    """dtype="bfloat16" on the inference path (the forward twin of
+    train.compute_dtype): logits come back f32, close to the exact-f32
+    path; Ensemble casts its stacked members once at construction."""
+    exp = tiny_exp("mosei_trans")
+    model = build_model(exp)
+    ps = [model.init(jax.random.PRNGKey(i)) for i in range(2)]
+    samples = synthetic_dataset("mosei_trans", exp.model, 8, seed=0)
+    batch = next(iter(Batcher(samples, 8, shuffle=False)()))
+
+    f32 = eng.make_predict_step(model)(ps[0], batch)
+    b16 = eng.make_predict_step(model, dtype="bfloat16")(ps[0], batch)
+    assert b16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(b16), np.asarray(f32),
+                               rtol=0.05, atol=0.05)
+
+    ens32 = Ensemble(model, ps)
+    ens16 = Ensemble(model, ps, dtype="bfloat16")
+    leaf = jax.tree_util.tree_leaves(ens16.stacked)[0]
+    assert leaf.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(ens16.logits(batch)),
+                               np.asarray(ens32.logits(batch)),
+                               rtol=0.05, atol=0.05)
+    # staged bulk scoring shares the member forward -> bf16 rides along
+    staged = ens16.predict_all_staged(samples, 8)
+    np.testing.assert_allclose(staged, np.asarray(ens16.logits(batch)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_serving_close_to_f32():
+    exp = tiny_exp("robot_demo")
+    model = build_model(exp)
+    ps = [model.init(jax.random.PRNGKey(i)) for i in range(2)]
+    sample = synthetic_dataset("robot_demo", exp.model, 1, seed=1)[0]
+    p32 = StreamingPredictor(model, ps, offsets=exp.thresholds)
+    p16 = StreamingPredictor(model, ps, offsets=exp.thresholds,
+                             dtype="bfloat16")
+    pred32, probs32 = p32.predict(sample)
+    pred16, probs16 = p16.predict(sample)
+    assert pred16.dtype == np.float32
+    np.testing.assert_allclose(pred16, pred32, rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(probs16, probs32, rtol=0.05, atol=0.02)
