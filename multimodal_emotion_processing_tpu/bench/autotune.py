@@ -173,7 +173,7 @@ def tune(config_name: str, *, arms: Optional[List[str]] = None,
       scan      — train scan_steps in {1} + scan_ks (dispatch amortization)
       stacked   — realformer-family inference stream stacking on/off
       transfer  — host-fed wire dtype f32 vs int8 (lossy; needs allow_lossy)
-      impl      — xla vs pallas train/infer (runs LAST: pallas execution
+      impl      — xla vs flash vs pallas train/infer (kernel arms run LAST:
                   degrades later fresh-H2D throughput on relay images)
     Winners must beat the default by MARGIN; ties keep the default."""
     import jax
@@ -239,16 +239,24 @@ def tune(config_name: str, *, arms: Optional[List[str]] = None,
             measured["per_dispatch"] = {"train_sps": round(t, 1),
                                         "infer_sps": round(i, 1)}
         xla_t = measured["per_dispatch"]["train_sps"]
-        try:
-            pal_t, pal_i = _measure_step(exp, config_name, impl="pallas",
-                                         steps=steps, reps=reps)
-            measured["pallas"] = {"train_sps": round(pal_t, 1),
-                                  "infer_sps": round(pal_i, 1)}
-            winners["impl"] = "pallas" if pal_t >= MARGIN * xla_t else "xla"
-        except Exception as e:  # no TPU / kernel doesn't fit: keep xla
-            measured["pallas"] = {"error": repr(e)}
-            winners["impl"] = "xla"
-        log(f"impl xla {xla_t:.0f} / pallas "
+        # both kernel arms are pallas programs (the H2D-degradation gotcha),
+        # so they run after every fresh-H2D arm; flash before the
+        # materializing kernel
+        scores = {"xla": xla_t}
+        for impl in ("flash", "pallas"):
+            try:
+                t, i = _measure_step(exp, config_name, impl=impl,
+                                     steps=steps, reps=reps)
+                measured[impl] = {"train_sps": round(t, 1),
+                                  "infer_sps": round(i, 1)}
+                scores[impl] = t
+            except Exception as e:  # no TPU / kernel doesn't fit: keep xla
+                measured[impl] = {"error": repr(e)}
+        best = max(scores, key=scores.get)
+        winners["impl"] = best if (
+            best != "xla" and scores[best] >= MARGIN * xla_t) else "xla"
+        log(f"impl xla {xla_t:.0f} / flash "
+            f"{measured['flash'].get('train_sps', 'n/a')} / pallas "
             f"{measured['pallas'].get('train_sps', 'n/a')} sps")
 
     return {
@@ -270,7 +278,7 @@ def tune(config_name: str, *, arms: Optional[List[str]] = None,
 # gets overridden — documented CLI behavior.
 _ARG_OF = {
     "scan_steps": ("scan_steps", 1),
-    "impl": ("impl", "xla"),
+    "impl": ("impl", None),
     "transfer_dtype": ("transfer_dtype", None),
     "stacked": ("stacked_grid", False),
 }

@@ -53,7 +53,7 @@ def build_parser():
                              "TensorBoard viewable) of the first post-"
                              "compile epoch (one-dispatch runs trace their "
                              "single dispatch) into DIR")
-        sp.add_argument("--impl", choices=["xla", "pallas", "cp"], default="xla")
+        sp.add_argument("--impl", choices=["xla", "pallas", "flash", "cp"], default=None)
         sp.add_argument("--tuned", default=None, metavar="TUNED_JSON",
                         help="apply the measured knob winners from a `tune` "
                              "run (bench/autotune.py); explicit flags win "
@@ -147,7 +147,7 @@ def build_parser():
     sw.add_argument("--epochs", type=int, default=None)
     sw.add_argument("--n-train", type=int, default=256)
     sw.add_argument("--n-test", type=int, default=64)
-    sw.add_argument("--impl", choices=["xla", "pallas", "cp"], default="xla")
+    sw.add_argument("--impl", choices=["xla", "pallas", "flash", "cp"], default=None)
     sw.add_argument("--checkpoint-dir", default=None,
                     help="persist the winner's best params as "
                          "'<config>_sweep_winner'")
@@ -187,7 +187,7 @@ def build_parser():
                     help="which samples to score (train-split prediction is "
                          "the standard error-analysis workflow; 'all' "
                          "covers corpora without a held-out split)")
-    pd.add_argument("--impl", choices=["xla", "pallas", "cp"], default="xla")
+    pd.add_argument("--impl", choices=["xla", "pallas", "flash", "cp"], default=None)
     pd.add_argument("--set", action="append", default=[], metavar="K=V")
     pd.add_argument("--thresholds", default=None, metavar="T1,T2,...",
                     help="comma-separated per-emotion decision thresholds "
@@ -217,7 +217,7 @@ def build_parser():
     sv = sub.add_parser("serve", help="streaming single-sample inference demo")
     sv.add_argument("config", nargs="?", default="robot_demo")
     sv.add_argument("--checkpoint-dir", default=None)
-    sv.add_argument("--impl", choices=["xla", "pallas", "cp"], default="xla")
+    sv.add_argument("--impl", choices=["xla", "pallas", "flash", "cp"], default=None)
     sv.add_argument("--set", action="append", default=[], metavar="K=V",
                     help="config override (must match the checkpoints' "
                          "architecture when restoring members)")
@@ -523,6 +523,7 @@ def cmd_serve(args):
     exp = configs.with_overrides(configs.get(args.config),
                                  parse_overrides(getattr(args, "set", [])))
     model = build_model(exp)
+    args.impl = args.impl or exp.model.attn_impl
     members = _load_members(args, model, "serving")
     offsets = _resolve_offsets(args, exp)
     from .ops.context_parallel import ensure_cp

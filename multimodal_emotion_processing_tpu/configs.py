@@ -44,6 +44,14 @@ class ModelConfig:
     head: str = "concat_trans"
     # paragraph window length (realformer State_Transfer only)
     p_len: int = 6
+    # default attention implementation when the caller/CLI passes none:
+    # 'xla' (einsum), 'pallas' (materializing fused kernel), 'flash'
+    # (online-softmax kernel — terminal blocks only, auto-falls-back where
+    # the score chain needs materializing).  Scale presets set 'flash' per
+    # the measured train-step win (ENGINEERING_NOTES: s1024 1.22x / s512
+    # 1.26x, s256 wash); reference shapes keep 'xla' (their kv lengths are
+    # not 128-multiples, flash would silently no-op).
+    attn_impl: str = "xla"
     # robot multi-resolution video input dims
     v_dims_multires: Tuple[int, int, int] = (256, 512, 1024)
     # rematerialize each attention block in the backward pass
@@ -257,7 +265,8 @@ def _mosei_trans_scaled(point: str) -> ExperimentConfig:
         name=f"mosei_trans_{point}",
         model=dataclasses.replace(
             base.model, dim=spec["dim"], n_heads=spec["n_heads"],
-            l_len=spec["l_len"], v_len=spec["v_len"], a_len=spec["a_len"]),
+            l_len=spec["l_len"], v_len=spec["v_len"], a_len=spec["a_len"],
+            attn_impl="flash"),
         train=dataclasses.replace(
             base.train, batch_size=spec["batch_size"],
             compute_dtype="bfloat16"))

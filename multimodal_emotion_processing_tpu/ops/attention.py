@@ -16,10 +16,14 @@ Two deliberate reference quirks are preserved, not "fixed":
   re-masks on top (cmu-mosei/run.py:247-257);
 * the scale uses the per-head dim of K after head-splitting.
 
-Because every downstream block *consumes the full score tensor*, a flash-style
-streaming kernel that never materializes S cannot implement this. Sequence
-lengths are bounded by construction (≤275), so S fits VMEM comfortably; the
-fused Pallas path (ops/pallas_attention.py) keeps S resident and emits it.
+Where a downstream block *consumes the full score tensor* (n_layers > 1), a
+flash-style streaming kernel that never materializes S cannot implement this;
+sequence lengths are bounded by construction (≤275 at reference shapes), so S
+fits VMEM comfortably and the fused Pallas path (ops/pallas_attention.py)
+keeps S resident and emits it.  Terminal blocks (every block of the
+n_layers=1 families — flagship and all scaled presets) have NO score
+consumer, and there `impl="flash"` (ops/flash_attention.py) runs the
+online-softmax kernel that never materializes S at all.
 
 This module is the einsum reference implementation (the correctness oracle and
 the default XLA path); `impl="pallas"` dispatches to the fused TPU kernel.
@@ -75,8 +79,11 @@ def scored_attention(
       q: (B, Lq, D); k, v: (B, Lkv, D); mask: None | (B, Lkv) | (B, Lq, Lkv);
       scores_prev: None | (B, H, Lq, Lkv) masked scores from the previous block
         in this stream; c: (1,) learned residual gate.
-      impl: 'xla' (einsum oracle/default) | 'pallas' (fused TPU kernel) |
-        'cp' (kv-sharded over the ambient `cp_context` mesh axis).
+      impl: 'xla' (einsum oracle/default) | 'pallas' (fused TPU kernel,
+        S VMEM-resident) | 'flash' (online-softmax kernel, S never
+        materialized — terminal blocks only, falls back to 'xla' where the
+        scores have a consumer) | 'cp' (kv-sharded over the ambient
+        `cp_context` mesh axis).
       emit_scores: False for terminal blocks whose scores have no consumer —
         the pallas path then skips the scores HBM write (XLA's own DCE covers
         the einsum path, so 'xla'/'cp' ignore the flag and still return them).
@@ -90,6 +97,17 @@ def scored_attention(
 
         return scored_attention_pallas(q, k, v, mask, scores_prev, c,
                                        n_heads=n_heads, emit_scores=emit_scores)
+    if impl == "flash":
+        from .flash_attention import flash_scored_attention, flash_supported
+
+        if flash_supported(q.shape[1], k.shape[1], mask, scores_prev,
+                           emit_scores, q.shape[-1] // n_heads):
+            return flash_scored_attention(q, k, v, mask, c, n_heads=n_heads)
+        # scores have a consumer (scores_prev / emit_scores), 3-D mask, or
+        # non-128-multiple kv length: the online-softmax kernel cannot
+        # reproduce those semantics — take the einsum path
+        return _scored_attention_xla(q, k, v, mask, scores_prev, c,
+                                     n_heads=n_heads)
     if impl == "cp":
         from .context_parallel import (current_cp, ring_scored_attention,
                                        scored_attention_cp)

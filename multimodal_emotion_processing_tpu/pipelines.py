@@ -311,7 +311,7 @@ def _run_experiment(
     epochs: Optional[int] = None,
     log_dir: Optional[str] = None,
     checkpoint_dir: Optional[str] = None,
-    impl: str = "xla",
+    impl: Optional[str] = None,
     sweep_thresholds: bool = False,
     quiet: bool = False,
     overrides: Optional[Dict] = None,
@@ -375,6 +375,7 @@ def _run_experiment(
     masks/labels/weights; default None keeps bit-exact numerics
     (data/loader.cast_for_transfer)."""
     exp = configs.with_overrides(configs.get(config_name), overrides)
+    impl = impl or exp.model.attn_impl  # config-preferred attention impl
     model = build_model(exp)
 
     loader_ctx = None
@@ -694,7 +695,7 @@ def run_lr_sweep_experiment(
     n_train: int = 256,
     n_test: int = 64,
     epochs: Optional[int] = None,
-    impl: str = "xla",
+    impl: Optional[str] = None,
     quiet: bool = False,
     overrides: Optional[Dict] = None,
     checkpoint_dir: Optional[str] = None,
@@ -722,6 +723,7 @@ def run_lr_sweep_experiment(
     from .train.sweep import run_lr_sweep
 
     exp = configs.with_overrides(configs.get(config_name), overrides)
+    impl = impl or exp.model.attn_impl  # config-preferred attention impl
     model = build_model(exp)
     if synthetic_data:
         train_units, _ = _synthetic_data(exp, n_train, n_test)
@@ -784,7 +786,7 @@ def _run_predict(
     data_root: Optional[str] = None,
     n_test: int = 64,
     n_train: Optional[int] = None,
-    impl: str = "xla",
+    impl: Optional[str] = None,
     overrides: Optional[Dict] = None,
     thresholds: Optional[List[float]] = None,
     transfer_dtype: Optional[str] = None,
@@ -810,6 +812,7 @@ def _run_predict(
     configs that sweep at eval time).  `output` writes .npz/.csv/.jsonl.
     Returns the prediction table plus a "rows" count."""
     exp = configs.with_overrides(configs.get(config_name), overrides)
+    impl = impl or exp.model.attn_impl  # config-preferred attention impl
     model = build_model(exp)
 
     if split not in ("test", "train", "all"):

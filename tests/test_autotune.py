@@ -93,6 +93,9 @@ def test_apply_tuned_losing_winners_are_noops(tmp_path):
     args = cli.build_parser().parse_args(
         ["train", "rencecps", "--tuned", path])
     applied = autotune.apply_tuned(args, path)
-    assert applied == {}
+    # since configs carry a preferred attn_impl (scale presets default to
+    # 'flash'), a measured 'xla' winner is a real PIN, not a no-op — it must
+    # override the config preference; the other defaults stay no-ops
+    assert applied == {"impl": "xla"}
     assert args.scan_steps == 1 and args.impl == "xla"
     assert args.transfer_dtype is None
