@@ -15,7 +15,7 @@ plus a per-stream attention microbench (the 9 grid streams' exact shapes,
 run standalone) so "attention vs everything else" is measured rather than
 inferred from FLOP counts.
 
-    python -m multimodal_emotion_processing_tpu.bench.breakdown [config]
+    python -m multimodal_emotion_processing_tpu.bench.breakdown [config] [impl]
 
 One JSON dict on stdout; progress on stderr.  Differences between phases
 carry the shared ~1 ms relay dispatch overhead in EVERY term, so the ledger
@@ -50,6 +50,7 @@ def main():
     from multimodal_emotion_processing_tpu.train import engine as eng
 
     name = sys.argv[1] if len(sys.argv) > 1 else "mosei_trans"
+    impl = sys.argv[2] if len(sys.argv) > 2 else "xla"
     exp = configs.get(name)
     m = exp.model
     b = exp.train.batch_size
@@ -58,10 +59,10 @@ def main():
     batch = jax.device_put(
         next(iter(Batcher(samples, b, shuffle=False, pad_final=False)())))
 
-    tx, step = eng.make_train_step(model, exp.train)
+    tx, step = eng.make_train_step(model, exp.train, impl=impl)
     state = eng.init_state(model, tx, seed=0)
 
-    predict = eng.make_predict_step(model)
+    predict = eng.make_predict_step(model, impl=impl)
 
     def value_fn(params, batch):
         # train=True + fixed rng: the value/grad programs must nest inside
@@ -69,12 +70,12 @@ def main():
         # where the config has them) or those costs would land in the wrong
         # delta; a fixed key is fine — cost, not trajectory, is measured
         return eng.batch_loss(model, exp.train, params, batch,
-                              jax.random.PRNGKey(0), True, "xla")
+                              jax.random.PRNGKey(0), True, impl)
 
     value = jax.jit(value_fn)
     grad = jax.jit(jax.value_and_grad(value_fn))
 
-    rows = {}
+    rows = {"impl": impl}
     rows["forward_ms"] = _measure(predict, lambda o: o, state.params, batch)
     print(f"forward {rows['forward_ms']:.2f} ms", file=sys.stderr, flush=True)
     rows["forward_loss_ms"] = _measure(value, lambda o: o, state.params, batch)
@@ -101,7 +102,8 @@ def main():
     # grid actually runs, each as its own jitted program at full batch
     lens = {"l": m.l_len, "v": m.v_len, "a": m.a_len}
     att0 = jax.jit(lambda q, k, v, mask, c: scored_attention(
-        q, k, v, mask, None, c, n_heads=m.n_heads)[0])
+        q, k, v, mask, None, c, n_heads=m.n_heads, impl=impl,
+        emit_scores=m.n_layers > 1)[0])
     # layers >= 1 additionally read a (B,H,Lq,Lkv) residual-score input —
     # time that variant separately so multi-layer configs are not understated
     att1 = jax.jit(lambda q, k, v, mask, sp, c: scored_attention(

@@ -47,10 +47,10 @@ class ModelConfig:
     # default attention implementation when the caller/CLI passes none:
     # 'xla' (einsum), 'pallas' (materializing fused kernel), 'flash'
     # (online-softmax kernel — terminal blocks only, auto-falls-back where
-    # the score chain needs materializing).  Scale presets set 'flash' per
-    # the measured train-step win (ENGINEERING_NOTES: s1024 1.22x / s512
-    # 1.26x, s256 wash); reference shapes keep 'xla' (their kv lengths are
-    # not 128-multiples, flash would silently no-op).
+    # the score chain needs materializing; non-128-multiple kv lens are
+    # zero-padded, exactly).  Scale presets set 'flash' per the measured
+    # train-step win (ENGINEERING_NOTES: s1024 1.22x / s512 1.26x, s256
+    # wash); reference shapes keep 'xla' per the same measurement table.
     attn_impl: str = "xla"
     # robot multi-resolution video input dims
     v_dims_multires: Tuple[int, int, int] = (256, 512, 1024)

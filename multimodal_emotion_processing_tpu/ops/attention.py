@@ -103,9 +103,9 @@ def scored_attention(
         if flash_supported(q.shape[1], k.shape[1], mask, scores_prev,
                            emit_scores, q.shape[-1] // n_heads):
             return flash_scored_attention(q, k, v, mask, c, n_heads=n_heads)
-        # scores have a consumer (scores_prev / emit_scores), 3-D mask, or
-        # non-128-multiple kv length: the online-softmax kernel cannot
-        # reproduce those semantics — take the einsum path
+        # scores have a consumer (scores_prev / emit_scores) or 3-D mask:
+        # the online-softmax kernel cannot reproduce those semantics —
+        # take the einsum path
         return _scored_attention_xla(q, k, v, mask, scores_prev, c,
                                      n_heads=n_heads)
     if impl == "cp":

@@ -18,8 +18,9 @@ Scope (everything else falls back to the einsum path in ops/attention.py):
     reference's additive −1e8·(1−mask) penalty, so fully-masked rows still
     produce the same uniform softmax the oracle does (finite penalty, no
     0/0);
-  * Lkv a multiple of 128 (lane-width tiles; scale presets are 128/256/512,
-    long-context probes 1024/2048).
+  * any kv length — non-128-multiples (all reference configs) are
+    zero-padded to the lane width, which is EXACT under the finite −1e8
+    penalty (see flash_scored_attention's docstring).
 
 Backward is a custom VJP with TWO flash kernels (dQ; dK/dV/dmask) that
 recompute S per tile from q/k and the forward's saved row stats —
@@ -82,7 +83,8 @@ def flash_supported(lq: int, lkv: int, mask, scores_prev,
         # hostile (e.g. H=1 at dim 1024: 8 MB of q/k/v/o per step before
         # double-buffering); no config comes close — einsum handles it
         return False
-    return lkv % _LANES == 0
+    return True  # non-128-multiple kv lens are zero-padded (exactly; see
+    # flash_scored_attention) — every terminal-block shape qualifies
 
 
 def _pick_block_q(lq: int, cap: int = 256) -> int:
@@ -625,10 +627,25 @@ def flash_scored_attention(
     Same math as `ops.attention.scored_attention(..., scores_prev=None,
     emit_scores=False)` up to online-softmax fp reassociation; returns
     (ctx, None).  Callers must check `flash_supported` first.
+
+    Non-128-multiple kv lengths (every reference config: a_len 200, v_len
+    100, ...) are zero-padded to the next lane multiple.  The padding is
+    EXACT, not approximate: padded mask entries are 0, so padded scores sit
+    at ≈ −1e8 while real rows keep finite maxima — `exp(−1e8 − m)`
+    underflows to exactly 0.0 in f32, contributing nothing to the row sum,
+    the context, or (through the zero p and sliced-away cotangents) any
+    gradient.  This is the same reason fully-masked ROWS are safe: the
+    reference's finite penalty (not −inf) makes masked weights exact zeros
+    here while keeping exp() well-defined.
     """
     b, lq, d = q.shape
     lkv = k.shape[1]
     if mask is None:
         mask = jnp.ones((b, lkv), q.dtype)
+    pad = _pad_lanes(lkv) - lkv
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))  # zeros = masked out
     fn = _make_flash(n_heads, block_q, block_kv)
     return fn(q, k, v, mask, c), None

@@ -107,15 +107,16 @@ def test_flash_supported_predicate():
     assert not fa.flash_supported(64, 256, m2, sprev, False)   # consumer
     assert not fa.flash_supported(64, 256, m2, None, True)     # emitted
     assert not fa.flash_supported(64, 256, m3, None, False)    # 3-D mask
-    assert not fa.flash_supported(64, 200, m2, None, False)    # kv % 128
+    assert fa.flash_supported(64, 200, m2, None, False)  # kv padded exactly
+    assert not fa.flash_supported(64, 256, m2, None, False, d_head=512)
 
 
 def test_flash_impl_falls_back_where_unsupported():
-    # impl='flash' must route unsupported calls to the einsum path and
-    # still return usable scores for the residual chain
+    # impl='flash' must route unsupported calls (here: emitted scores) to
+    # the einsum path and still return usable scores for the residual chain
     rng = np.random.default_rng(3)
     q = jnp.asarray(rng.standard_normal((2, 8, 16)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((2, 200, 16)), jnp.float32)  # 200 % 128
+    k = jnp.asarray(rng.standard_normal((2, 200, 16)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((2, 200, 16)), jnp.float32)
     mask = jnp.ones((2, 200), jnp.float32)
     c = jnp.asarray([0.3], jnp.float32)
@@ -201,3 +202,13 @@ def test_pipelines_resolve_config_attn_impl(monkeypatch, tmp_path):
                              "l_dim": 10, "v_dim": 7, "a_dim": 5},
                    "train": {"batch_size": 4, "n_folds": 2}})
     assert seen == {"flash"}
+
+
+def test_flash_padded_kv_matches_einsum():
+    # reference-shape kv lens (not 128-multiples) ride zero-padding —
+    # exact: padded keys underflow to 0.0 weight under the finite penalty
+    q, k, v, mask, c, w = _inputs(lq=20, lkv=200, d=32)
+    vx, gx = _grads("xla", q, k, v, mask, c, w, 2)
+    vf, gf = _grads("flash", q, k, v, mask, c, w, 2)
+    assert abs(float(vx - vf)) / max(1.0, abs(float(vx))) < 1e-5
+    _assert_close(gx, gf, 3e-6)
