@@ -7,11 +7,23 @@ value        = samples/sec through one train step + one inference pass
                (harmonic combination: B / (t_train + t_infer)) on this chip.
 vs_baseline  = value / (same quantity for the torch-CPU reference replica).
 Diagnostics go to stderr; the JSON line is the only stdout output.
+
+WEATHER-PROOFING (round 4): the shared relay-tunneled chip stalls
+unpredictably (a 256x256 matmul has taken 73 s; round 3's first phase alone
+ate 393 s of a 420 s budget and starved every later phase).  Every phase now
+carries a HARD wall-clock cap enforced INSIDE its measurement loops
+(deadline checks between windows, window length adapted to the measured
+per-dispatch weather), so one slow phase degrades to fewer/shorter honest
+windows instead of eating the phases after it.  High-value-per-second
+phases (data-fed end-to-end, wire formats, bf16, batch-1 latency) run
+before the big diagnostic windows; the pallas phase is subprocess-isolated
+with its own guaranteed timeout slot, and the torch baseline always runs.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -24,6 +36,10 @@ _T0 = time.perf_counter()
 def log(*a):
     print(f"[{time.perf_counter() - _T0:6.1f}s]", *a, file=sys.stderr,
           flush=True)
+
+
+def elapsed() -> float:
+    return time.perf_counter() - _T0
 
 
 def make_batch(m, b, seed=0):
@@ -48,11 +64,47 @@ def _sync(x) -> float:
     return fetch_scalar(x)
 
 
-def measure_jax(exp, batch, *, steps=30, warmup=3, reps=7, impl="xla"):
-    """Best-of-`reps` measurement windows (the chip is shared through a
-    network relay on this image; contention makes single windows noisy).
-    Windows end with a scalar fetch (_sync) — the only sync the relay
-    honors; its RTT is amortized over `steps` dispatches."""
+def _windows_sps(step_once, n_per_step: int, deadline: float, *,
+                 max_reps: int = 7, max_steps: int = 30,
+                 warmup: int = 2):
+    """Best-of-windows samples/s with a HARD deadline: warmup (compile —
+    the one uncappable in-process cost), a 3-step gauge window, then up to
+    `max_reps` windows whose length adapts to the measured per-call time so
+    they fit before `deadline`.  At least the gauge window always completes
+    (even past deadline) — a phase degrades to one short honest window, never
+    to nothing.  Every window ends with a scalar fetch (the only sync the
+    relay honors); short windows amortize the fetch RTT over fewer calls and
+    therefore UNDERstate — conservative in exactly the slow windows where it
+    matters."""
+    for _ in range(warmup):
+        out = step_once()
+    _sync(out)
+    windows = []
+    per = None
+    while len(windows) < max_reps:
+        left = deadline - time.perf_counter()
+        if windows and left <= 0:
+            break
+        if per is None:
+            steps = 3  # gauge
+        else:
+            # fit the remaining windows in the remaining time, with headroom
+            budget = left / max(max_reps - len(windows), 1)
+            steps = int(max(3, min(max_steps, 0.7 * budget / per)))
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = step_once()
+        _sync(out)
+        dt = time.perf_counter() - t0
+        per = dt / steps
+        windows.append(n_per_step * steps / dt)
+    return windows
+
+
+def measure_jax(exp, batch, *, deadline: float, impl="xla",
+                max_reps=7, max_steps=30):
+    """Per-dispatch train + infer samples/s, deadline-capped (train gets the
+    first ~55% of the remaining time, infer the rest)."""
     import jax
 
     from multimodal_emotion_processing_tpu.models import build_model
@@ -63,32 +115,24 @@ def measure_jax(exp, batch, *, steps=30, warmup=3, reps=7, impl="xla"):
     state = eng.init_state(model, tx, seed=0)
     dev_batch = jax.device_put(batch)
     bsz = batch["label"].shape[0]
+    box = {"s": state}
 
-    for _ in range(warmup):
-        state, loss = train_step(state, dev_batch)
-    _sync(loss)
-    train_sps = 0.0
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            state, loss = train_step(state, dev_batch)
-        _sync(loss)
-        train_sps = max(train_sps, bsz * steps / (time.perf_counter() - t0))
+    def one_train():
+        box["s"], loss = train_step(box["s"], dev_batch)
+        return loss
+
+    mid = time.perf_counter() + 0.55 * (deadline - time.perf_counter())
+    train_sps = max(_windows_sps(one_train, bsz, mid, max_reps=max_reps,
+                                 max_steps=max_steps))
 
     predict = eng.make_predict_step(model, impl=impl)
-    out = predict(state.params, dev_batch)
-    _sync(out)
-    infer_sps = 0.0
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            out = predict(state.params, dev_batch)
-        _sync(out)
-        infer_sps = max(infer_sps, bsz * steps / (time.perf_counter() - t0))
+    infer_sps = max(_windows_sps(lambda: predict(box["s"].params, dev_batch),
+                                 bsz, deadline, max_reps=max_reps,
+                                 max_steps=max_steps))
     return train_sps, infer_sps
 
 
-def measure_jax_scan(exp, *, k=64, steps=4, reps=7, impl="xla"):
+def measure_jax_scan(exp, *, k=64, deadline: float, max_reps=7, impl="xla"):
     """Scan-chained throughput: k train (resp. predict) steps per dispatch
     via lax.scan over k DISTINCT device-staged batches — identical math and
     RNG chain to the per-dispatch path (tests/test_train_eval.py), just
@@ -127,42 +171,35 @@ def measure_jax_scan(exp, *, k=64, steps=4, reps=7, impl="xla"):
     state = eng.init_state(model, tx, seed=0)
     dev = jax.jit(_stage)(jax.random.PRNGKey(1))
     jax.block_until_ready(dev)
+    box = {"s": state}
 
-    state, losses = scan_train(state, dev)
-    _sync(losses)
-    train_sps = 0.0
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            state, losses = scan_train(state, dev)
-        _sync(losses)
-        train_sps = max(train_sps, b * k * steps / (time.perf_counter() - t0))
+    def one_train():
+        box["s"], losses = scan_train(box["s"], dev)
+        return losses
+
+    mid = time.perf_counter() + 0.55 * (deadline - time.perf_counter())
+    train_sps = max(_windows_sps(one_train, b * k, mid, max_reps=max_reps,
+                                 max_steps=4, warmup=1))
 
     scan_predict = eng.make_scan_predict_step(model, impl=impl)
-    out = scan_predict(state.params, dev)
-    _sync(out)
-    infer_sps = 0.0
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            out = scan_predict(state.params, dev)
-        _sync(out)
-        infer_sps = max(infer_sps, b * k * steps / (time.perf_counter() - t0))
+    infer_sps = max(_windows_sps(
+        lambda: scan_predict(box["s"].params, dev), b * k, deadline,
+        max_reps=max_reps, max_steps=4, warmup=1))
     return train_sps, infer_sps
 
 
-def measure_jax_datafed(exp, *, n_samples=512, epochs=8, impl="xla",
-                        transfer_dtype=None):
+def measure_jax_datafed(exp, *, deadline: float, n_samples=512, max_epochs=8,
+                        impl="xla", transfer_dtype=None):
     """END-TO-END data-fed throughput: host batch assembly (Batcher) →
     background-thread H2D prefetch → jitted train step.  This is the number
     real-corpus training sees (SURVEY §7.3.5: the benchmark is won or lost in
-    host assembly, not the MXU).  Best of `epochs` SHORT windows — the
-    relay's H2D throughput wanders ~4x on multi-second timescales, so many
-    short windows beat few long ones at catching an uncontended slot.
-    `transfer_dtype="float16"`: half-width wire format (the put cost is
-    byte-proportional on this relay — data/loader.cast_for_transfer)."""
-    import jax
-
+    host assembly, not the MXU).  Epoch windows run until `deadline` (or
+    `max_epochs`); at least ONE timed epoch always completes past the warmup
+    epoch, so a slow day records fewer honest windows instead of null.
+    Returns (best, median) across windows — the relay's H2D throughput
+    wanders ~4x on multi-second timescales (VERDICT r2 reconciliation).
+    `transfer_dtype="float16"/"int8"`: compressed wire format (the put cost
+    is byte-proportional on this relay — data/loader.cast_for_transfer)."""
     from multimodal_emotion_processing_tpu.data.loader import (
         Batcher, prefetch_to_device)
     from multimodal_emotion_processing_tpu.data.synthetic import synthetic_dataset
@@ -182,7 +219,9 @@ def measure_jax_datafed(exp, *, n_samples=512, epochs=8, impl="xla",
     _sync(loss)
 
     window_sps = []
-    for _ in range(epochs):
+    while len(window_sps) < max_epochs:
+        if window_sps and time.perf_counter() >= deadline:
+            break
         t0 = time.perf_counter()
         for batch in prefetch_to_device(iter(batcher()),
                                         transfer_dtype=transfer_dtype):
@@ -190,31 +229,21 @@ def measure_jax_datafed(exp, *, n_samples=512, epochs=8, impl="xla",
         _sync(loss)
         window_sps.append(len(samples) / (time.perf_counter() - t0))
     # best AND median: the relay wanders ~4x, and a single best-of scalar
-    # made "weather vs regression" undecidable across rounds (VERDICT r2) —
-    # the artifact now records both
-    return float(max(window_sps)), float(np.median(window_sps))
+    # made "weather vs regression" undecidable across rounds (VERDICT r2)
+    return float(max(window_sps)), float(np.median(window_sps)), len(window_sps)
 
 
-def measure_jax_datafed_scan(exp, *, n_samples=512, epochs=8, k=8,
-                             impl="xla", transfer_dtype=None):
-    """Data-fed throughput with BOTH amortizations the framework offers
-    stacked: `stack_batches` groups k host batches into one (k, B, ...)
-    pytree (ONE device_put per group — amortizing the relay's per-put
-    latency floor k x) and `make_scan_train_step` runs the k optimizer
-    steps in ONE dispatch.  Same host assembly + prefetch worker as
-    measure_jax_datafed; identical math/RNG to k per-dispatch steps
-    (engine guarantees, tested in test_train_eval).
+def measure_jax_datafed_scan(exp, *, deadline: float, n_samples=512,
+                             max_epochs=8, k=8, impl="xla",
+                             transfer_dtype=None):
+    """Data-fed throughput with BOTH amortizations stacked (`stack_batches`
+    + `make_scan_train_step`): one put + one dispatch per k batches.
 
     MEASURED LOSER on this image (interleaved A/B, 3 rounds, 2026-08-18):
-    0.55x / 0.61x / 0.95x the per-dispatch data-fed path.  Grouping k
-    batches into one put removes the prefetch worker's put/compute
-    overlap (one epoch-sized put has nothing to pipeline against), and
-    the relay's effective H2D bandwidth does not improve with buffer
-    size, so the k-fold fewer round-trips never pay back.  Kept as a
-    recorded knob (ENGINEERING_NOTES row); the phase runs last in main()
-    so budget pressure drops it first."""
-    import jax
-
+    0.55x / 0.61x / 0.95x the per-dispatch data-fed path — grouping k
+    batches into one put removes the prefetch worker's put/compute overlap.
+    Kept as a recorded knob (ENGINEERING_NOTES row); runs in the leftover
+    slot so budget pressure drops it first."""
     from multimodal_emotion_processing_tpu.data.loader import (
         Batcher, prefetch_to_device, stack_batches)
     from multimodal_emotion_processing_tpu.data.synthetic import synthetic_dataset
@@ -236,13 +265,63 @@ def measure_jax_datafed_scan(exp, *, n_samples=512, epochs=8, k=8,
     _sync(losses)
 
     window_sps = []
-    for _ in range(epochs):
+    while len(window_sps) < max_epochs:
+        if window_sps and time.perf_counter() >= deadline:
+            break
         t0 = time.perf_counter()
         for group in stream():
             state, losses = scan_step(state, group)
         _sync(losses)
         window_sps.append(len(samples) / (time.perf_counter() - t0))
     return float(max(window_sps)), float(np.median(window_sps))
+
+
+def measure_latency(exp, *, deadline: float):
+    """Batch-1 4-member-ensemble latency percentiles — the reference's test
+    protocol (cmu-mosei/run.py:456-476) and live demo path
+    (robot_demo.py:611-614).  Three honest numbers (bench/latency.py):
+    jax compute-only (sample already on device), jax end-to-end (fresh host
+    sample, H2D across the relay included), torch-CPU (the reference's 4
+    sequential forwards).  Rep counts adapt to the deadline; >= 10 reps per
+    leg or the leg reports null."""
+    import jax
+
+    from multimodal_emotion_processing_tpu.bench import latency as lat
+    from multimodal_emotion_processing_tpu.data.synthetic import synthetic_dataset
+    from multimodal_emotion_processing_tpu.models import build_model
+    from multimodal_emotion_processing_tpu.serve import StreamingPredictor
+
+    exp_name = exp.name
+    model = build_model(exp)
+    params = [model.init(jax.random.PRNGKey(i)) for i in range(4)]
+    sp = StreamingPredictor(model, params, offsets=exp.thresholds)
+    sample = synthetic_dataset(exp_name, exp.model, 1, seed=7)[0]
+    sp.warmup(sample)
+
+    dev_batch = jax.device_put(sp._batch1(sample))
+    np.asarray(sp._run(sp.stacked, dev_batch)[1])  # honest fetch warmup
+
+    def leg(call, max_reps):
+        times = []
+        while len(times) < max_reps:
+            if len(times) >= 10 and time.perf_counter() >= deadline:
+                break
+            t0 = time.perf_counter()
+            call()
+            times.append(time.perf_counter() - t0)
+        return lat._percentiles(times) | {"reps": len(times)}
+
+    compute = leg(lambda: np.asarray(sp._run(sp.stacked, dev_batch)[1]), 200)
+    e2e = leg(lambda: sp.predict(sample), 50)
+    torch_lat = lat.measure_torch(exp_name, reps=20)
+    return {"jax_compute": compute, "jax_end_to_end": e2e,
+            "torch_cpu": torch_lat,
+            "compute_speedup_p50": (
+                None if torch_lat is None else
+                round(torch_lat["p50_ms"] / compute["p50_ms"], 2)),
+            "e2e_speedup_p50": (
+                None if torch_lat is None else
+                round(torch_lat["p50_ms"] / e2e["p50_ms"], 2))}
 
 
 def pallas_parity(exp, batch):
@@ -268,15 +347,19 @@ def combined(train_sps, infer_sps, bsz):
     return bsz / (bsz / train_sps + bsz / infer_sps)
 
 
-def _pallas_phase(config_name: str):
+def _pallas_phase(config_name: str, budget_s: float = 120.0):
     """Pallas measurement body, exposed for the subprocess runner: prints one
     JSON dict {train_sps, infer_sps, parity, parity_rel} on stdout."""
     from multimodal_emotion_processing_tpu import configs
 
     exp = configs.get(config_name)
     batch = make_batch(exp.model, exp.train.batch_size)
-    tr, inf = measure_jax(exp, batch, impl="pallas", reps=4)
+    # parity FIRST (the VERDICT-critical bit; two forwards only), then the
+    # deadline-capped throughput windows fill whatever time remains
     parity, parity_rel = pallas_parity(exp, batch)
+    tr, inf = measure_jax(exp, batch, impl="pallas",
+                          deadline=time.perf_counter() + budget_s * 0.6,
+                          max_reps=4)
     print(json.dumps({"train_sps": tr, "infer_sps": inf,
                       "parity": parity, "parity_rel": parity_rel}))
 
@@ -287,15 +370,14 @@ def _run_pallas_subprocess(config_name: str, timeout_s: float):
     minutes (a pre-phase budget check cannot stop an in-phase hang), and a
     killed child also cannot poison this process with the pallas→fresh-H2D
     degradation quirk (module docstring)."""
-    import os
     import subprocess
-    import sys
 
     here = os.path.dirname(os.path.abspath(__file__))
     try:
         proc = subprocess.run(
             [sys.executable, "-c",
-             f"import bench; bench._pallas_phase({config_name!r})"],
+             f"import bench; bench._pallas_phase({config_name!r}, "
+             f"{timeout_s * 0.75!r})"],
             cwd=here, capture_output=True, text=True, timeout=timeout_s)
     except subprocess.TimeoutExpired:
         return None, f"timed out after {timeout_s:.0f}s"
@@ -307,9 +389,26 @@ def _run_pallas_subprocess(config_name: str, timeout_s: float):
         return None, f"unparseable output ({e!r})"
 
 
-def main():
-    import os
+def _load_tuned():
+    """Record the machine's autotuned knob winners (bench/autotune.py) in the
+    artifact when a tuned.json exists — MEP_TUNED_JSON or ./tuned.json.  The
+    bench's own arms already measure those knobs; this block says which ones
+    THIS machine's tune run picked, so the artifact reflects its best honest
+    configuration without the reader re-running tune."""
+    path = os.environ.get("MEP_TUNED_JSON", "tuned.json")
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        return {"path": path, "config": rec.get("config"),
+                "tuned_at": rec.get("tuned_at"),
+                "winners": rec.get("winners")}
+    except Exception as e:
+        return {"path": path, "error": repr(e)}
 
+
+def main():
     from multimodal_emotion_processing_tpu import configs
     from multimodal_emotion_processing_tpu.bench.torch_baseline import measure_torch_cpu
 
@@ -320,149 +419,157 @@ def main():
 
     import jax
     log(f"devices: {jax.devices()}")
+    # backend init is pure weather (observed 10-135 s); the pallas child pays
+    # it AGAIN, so its kill-timeout must budget for it
+    t_init = elapsed()
 
-    # The shared relay-tunneled chip occasionally stalls for minutes at a
-    # time (observed: a 256x256 matmul taking 73 s).  The driver records this
-    # script's ONE stdout JSON line — so optional phases are skipped once the
-    # soft budget is spent, and every phase failure degrades to a logged
-    # fallback instead of losing the artifact.
+    # Soft total budget; each phase below gets a HARD cap (a fraction of it),
+    # enforced inside the measurement loops, so no phase can starve the rest
+    # the way round 3's 393-s first phase did.  Compile time is the one
+    # uncappable in-process cost; the pallas phase (worst compile hangs,
+    # observed ~13 min) is subprocess-isolated with its own kill timeout.
     budget_s = float(os.environ.get("MEP_BENCH_BUDGET_S", "420"))
-    elapsed = lambda: time.perf_counter() - _T0
 
-    jax_train, jax_infer = measure_jax(exp, batch)
-    log(f"jax[xla]: train {jax_train:.1f} samples/s, infer {jax_infer:.1f} samples/s")
+    def cap(frac):
+        return time.perf_counter() + budget_s * frac
 
-    # Scan-chaining amortizes the ~1.2 ms/dispatch relay overhead over k
-    # steps — honestly a ~1.1-1.2x win at flagship shapes (the step itself is
-    # ~9 ms of real device work; the pre-round-3 "26-59M samples/s" K-sweep
-    # readings were early-ack artifacts).  Measure a mid and a high k;
-    # staging happens on device via jax.random, outside the timed windows,
-    # and fits HBM with room to spare.
-    scan_k = 128
-    scan_train, scan_infer = measure_jax_scan(exp, k=scan_k)
-    log(f"jax[xla,scan k={scan_k}]: train {scan_train:.1f} samples/s, "
-        f"infer {scan_infer:.1f} samples/s")
+    def phase(name, frac_cap, fn, *, skip_if_spent=None):
+        """Run one deadline-capped phase; any failure (or an over-spent
+        budget when skip_if_spent is set) degrades to a logged null."""
+        if skip_if_spent is not None and elapsed() > budget_s * skip_if_spent:
+            log(f"{name} skipped: {elapsed():.0f}s elapsed")
+            return None
+        try:
+            return fn(cap(frac_cap))
+        except Exception as e:
+            log(f"{name} failed: {e!r}")
+            return None
+
+    # ---- 1. per-dispatch XLA (headline + the datafed/bf16 reference) ----
+    jax_train = jax_infer = None
+    res = phase("xla", 0.16,
+                lambda dl: measure_jax(exp, batch, deadline=dl))
+    if res:
+        jax_train, jax_infer = res
+        log(f"jax[xla]: train {jax_train:.1f} samples/s, "
+            f"infer {jax_infer:.1f} samples/s")
+    if jax_train is None:
+        # nothing below can produce a headline without this program either;
+        # emit the contract-honoring minimal artifact rather than crashing
+        log("FATAL: xla phase produced nothing; emitting null artifact")
+        print(json.dumps({
+            "metric": "cmu-mosei flagship train+infer samples/sec/chip",
+            "value": None, "unit": "samples/sec/chip", "vs_baseline": None,
+            "diagnostics": {"error": "xla phase failed"}}))
+        return
+
+    # ---- 2-4. data-fed end-to-end + compressed wire formats ----
     datafed = datafed_med = None
-    if elapsed() < budget_s * 0.55:
-        try:
-            datafed, datafed_med = measure_jax_datafed(exp)
-            log(f"jax[xla] data-fed (host assembly + prefetch + step): "
-                f"best {datafed:.1f} / median {datafed_med:.1f} samples/s")
-        except Exception as e:
-            log(f"data-fed phase failed: {e!r}")
-    else:
-        log("data-fed phase skipped: budget")
+    res = phase("data-fed", 0.12,
+                lambda dl: measure_jax_datafed(exp, deadline=dl))
+    if res:
+        datafed, datafed_med, n_w = res
+        log(f"jax[xla] data-fed (host assembly + prefetch + step): "
+            f"best {datafed:.1f} / median {datafed_med:.1f} samples/s "
+            f"({n_w} windows)")
 
-    # compressed wire formats: same data-fed loop with float16 (2x fewer
-    # bytes) and int8 (4x fewer feature bytes) H2D payloads, upcast/
-    # dequantized in-graph.  The put cost is byte-proportional on this relay
-    # (543 -> 221 ms f32 -> f16 for a flagship batch); NOTE the phases run
-    # sequentially, so x-vs-x ratios here carry the relay's ~4x weather —
-    # the interleaved A/B/C (ENGINEERING_NOTES 2026-08-18) is the honest
-    # comparison: int8 ~2x f32 every round, f16 in between
-    # int8 runs BEFORE f16: it is the stronger wire format (interleaved A/B:
-    # ~2x f32 every round) and should survive budget pressure first
+    # int8 before f16: the stronger wire format (interleaved A/B/C,
+    # ENGINEERING_NOTES 2026-08-18: int8 ~2x f32 every round, f16 between);
+    # NOTE phases run sequentially, so x-vs-x ratios here carry the relay's
+    # ~4x weather — the interleaved A/B/C is the honest comparison
     datafed_i8 = datafed_i8_med = None
-    if datafed is not None and elapsed() < budget_s * 0.62:
-        try:
-            datafed_i8, datafed_i8_med = measure_jax_datafed(
-                exp, transfer_dtype="int8")
-            log(f"jax[xla] data-fed int8-wire: best {datafed_i8:.1f} / "
-                f"median {datafed_i8_med:.1f} samples/s "
-                f"({datafed_i8 / max(datafed, 1e-9):.2f}x best-vs-best)")
-        except Exception as e:
-            log(f"data-fed int8-wire phase failed: {e!r}")
-    else:
-        log("data-fed int8-wire phase skipped: budget or no f32 reference")
+    res = phase("data-fed int8-wire", 0.06,
+                lambda dl: measure_jax_datafed(exp, deadline=dl, max_epochs=5,
+                                               transfer_dtype="int8"))
+    if res:
+        datafed_i8, datafed_i8_med, _ = res
+        log(f"jax[xla] data-fed int8-wire: best {datafed_i8:.1f} / "
+            f"median {datafed_i8_med:.1f} samples/s")
     datafed_f16 = datafed_f16_med = None
-    if datafed is not None and elapsed() < budget_s * 0.68:
-        try:
-            datafed_f16, datafed_f16_med = measure_jax_datafed(
-                exp, transfer_dtype="float16")
-            log(f"jax[xla] data-fed f16-wire: best {datafed_f16:.1f} / "
-                f"median {datafed_f16_med:.1f} samples/s "
-                f"({datafed_f16 / max(datafed, 1e-9):.2f}x best-vs-best)")
-        except Exception as e:
-            log(f"data-fed f16-wire phase failed: {e!r}")
-    else:
-        log("data-fed f16-wire phase skipped: budget or no f32 reference")
+    res = phase("data-fed f16-wire", 0.06,
+                lambda dl: measure_jax_datafed(exp, deadline=dl, max_epochs=5,
+                                               transfer_dtype="float16"))
+    if res:
+        datafed_f16, datafed_f16_med, _ = res
+        log(f"jax[xla] data-fed f16-wire: best {datafed_f16:.1f} / "
+            f"median {datafed_f16_med:.1f} samples/s")
 
-    # scan-chained data-fed (one put + one dispatch per k=8 batches — the
-    # --scan-steps composition): a MEASURED LOSER (see the function
-    # docstring) recorded for the knob ledger when budget allows; last of
-    # the data-fed phases so budget pressure drops it first.
-    datafed_scan = datafed_scan_med = None
-    if datafed is not None and elapsed() < budget_s * 0.72:
-        try:
-            datafed_scan, datafed_scan_med = measure_jax_datafed_scan(exp)
-            log(f"jax[xla] data-fed scan k=8: best {datafed_scan:.1f} / "
-                f"median {datafed_scan_med:.1f} samples/s "
-                f"({datafed_scan / max(datafed, 1e-9):.2f}x best-vs-best)")
-        except Exception as e:
-            log(f"data-fed scan phase failed: {e!r}")
-    else:
-        log("data-fed scan phase skipped: budget or no f32 reference")
+    # ---- 5. batch-1 serving latency (the reference's p50 path) ----
+    latency = phase("latency", 0.06, lambda dl: measure_latency(exp, deadline=dl))
+    if latency:
+        log(f"batch-1 latency: jax compute p50 "
+            f"{latency['jax_compute']['p50_ms']} ms, e2e p50 "
+            f"{latency['jax_end_to_end']['p50_ms']} ms, torch-cpu p50 "
+            f"{(latency['torch_cpu'] or {}).get('p50_ms')} ms")
 
-    # scan k=512 is a pure diagnostics row (the headline candidate is k=128);
-    # it runs AFTER the data-fed family so a slow-relay day drops it, not
-    # the end-to-end number the round artifact is judged on
-    scan_k_hi = 512
-    scan_train_hi = scan_infer_hi = None
-    if elapsed() < budget_s * 0.78:
-        try:
-            scan_train_hi, scan_infer_hi = measure_jax_scan(
-                exp, k=scan_k_hi, steps=2, reps=5)
-            log(f"jax[xla,scan k={scan_k_hi}]: train {scan_train_hi:.1f} "
-                f"samples/s, infer {scan_infer_hi:.1f} samples/s")
-        except Exception as e:  # e.g. HBM pressure on a busy shared chip
-            log(f"jax[xla,scan k={scan_k_hi}] failed: {e!r}")
-    else:
-        log(f"jax[xla,scan k={scan_k_hi}] skipped: budget")
-
-    # bf16 compute (f32 master weights): diagnostics-only — the headline
-    # stays on the f32 torch-parity path, but the knob's honest value on
-    # this chip is worth recording every run (scaling sweep: +7% at these
-    # dims, +9-19% at production dims)
+    # ---- 6. bf16 compute (f32 master weights) ----
     bf16_train = bf16_infer = None
-    if elapsed() < budget_s * 0.8:
-        try:
-            import dataclasses
 
-            exp16 = dataclasses.replace(exp, train=dataclasses.replace(
-                exp.train, compute_dtype="bfloat16"))
-            bf16_train, bf16_infer = measure_jax(exp16, batch, reps=4)
-            log(f"jax[xla,bf16]: train {bf16_train:.1f} samples/s, "
-                f"infer {bf16_infer:.1f} samples/s")
-        except Exception as e:
-            log(f"bf16 phase failed: {e!r}")
-    else:
-        log("bf16 phase skipped: budget")
+    def _bf16(dl):
+        import dataclasses
 
-    # pallas runs LAST: on this image's relay-tunneled chip, executing a
-    # pallas program degrades subsequent fresh-H2D step throughput ~10x
-    # (measured 4324 -> 352 samples/s data-fed; device-resident loops are
-    # unaffected) — an axon/PJRT quirk, so order the benchmark around it.
-    # It never wins the headline (scan chains do), so it is the phase to
-    # drop when the chip is having a slow day.
+        exp16 = dataclasses.replace(exp, train=dataclasses.replace(
+            exp.train, compute_dtype="bfloat16"))
+        return measure_jax(exp16, batch, deadline=dl, max_reps=4)
+
+    res = phase("bf16", 0.07, _bf16)
+    if res:
+        bf16_train, bf16_infer = res
+        log(f"jax[xla,bf16]: train {bf16_train:.1f} samples/s, "
+            f"infer {bf16_infer:.1f} samples/s")
+
+    # ---- 7. scan k=128 (usually the headline winner) ----
+    scan_k = 128
+    scan_train = scan_infer = None
+    res = phase(f"scan k={scan_k}", 0.11,
+                lambda dl: measure_jax_scan(exp, k=scan_k, deadline=dl))
+    if res:
+        scan_train, scan_infer = res
+        log(f"jax[xla,scan k={scan_k}]: train {scan_train:.1f} samples/s, "
+            f"infer {scan_infer:.1f} samples/s")
+
+    # ---- 8. pallas (subprocess-isolated: kill-timeout covers compile
+    # hangs; a child process also cannot poison this one with the
+    # pallas→fresh-H2D degradation quirk).  Guaranteed a minimum slot even
+    # on a blown budget — round 3 starved exactly this phase. ----
     pal_train = pal_infer = None
     parity = parity_rel = None
-    if elapsed() < budget_s:
-        # raising MEP_BENCH_BUDGET_S extends this too (slow-compile days);
-        # the default budget still caps the child at ~4 min
-        res, err = _run_pallas_subprocess(
-            exp.name, min(max(240.0, budget_s * 0.6),
-                          budget_s - elapsed() + 60.0))
-        if res is not None:
-            pal_train, pal_infer = res["train_sps"], res["infer_sps"]
-            parity, parity_rel = res["parity"], res["parity_rel"]
-            log(f"jax[pallas]: train {pal_train:.1f} samples/s, infer "
-                f"{pal_infer:.1f} samples/s, forward parity max|xla-pallas| "
-                f"= {parity:.2e} (relative {parity_rel:.2e})")
-        else:
-            log(f"pallas phase failed: {err}")
+    # the child re-pays backend init (t_init, pure weather) before any pallas
+    # work — its timeout floors at init + compile-and-measure headroom
+    pal_timeout = max(1.2 * t_init + 110.0,
+                      min(280.0, budget_s - elapsed() + 120.0))
+    res, err = _run_pallas_subprocess(exp.name, pal_timeout)
+    if res is not None:
+        pal_train, pal_infer = res["train_sps"], res["infer_sps"]
+        parity, parity_rel = res["parity"], res["parity_rel"]
+        log(f"jax[pallas]: train {pal_train:.1f} samples/s, infer "
+            f"{pal_infer:.1f} samples/s, forward parity max|xla-pallas| "
+            f"= {parity:.2e} (relative {parity_rel:.2e})")
     else:
-        log(f"pallas phase skipped: {elapsed():.0f}s elapsed > {budget_s:.0f}s budget")
+        log(f"pallas phase failed: {err}")
 
+    # ---- 9. leftover diagnostics (first to go under budget pressure) ----
+    scan_k_hi = 512
+    scan_train_hi = scan_infer_hi = None
+    res = phase(f"scan k={scan_k_hi}", 0.08,
+                lambda dl: measure_jax_scan(exp, k=scan_k_hi, deadline=dl,
+                                            max_reps=4),
+                skip_if_spent=0.80)
+    if res:
+        scan_train_hi, scan_infer_hi = res
+        log(f"jax[xla,scan k={scan_k_hi}]: train {scan_train_hi:.1f} "
+            f"samples/s, infer {scan_infer_hi:.1f} samples/s")
+    datafed_scan = datafed_scan_med = None
+    res = phase("data-fed scan k=8", 0.06,
+                lambda dl: measure_jax_datafed_scan(exp, deadline=dl,
+                                                    max_epochs=4),
+                skip_if_spent=0.90)
+    if res:
+        datafed_scan, datafed_scan_med = res
+        log(f"jax[xla] data-fed scan k=8 (measured-loser ledger row): best "
+            f"{datafed_scan:.1f} / median {datafed_scan_med:.1f} samples/s")
+
+    # ---- 10. torch-CPU baseline (host-only; always runs) ----
     torch_fallback = False
     try:
         torch_train, torch_infer = measure_torch_cpu(m, batch)
@@ -500,16 +607,17 @@ def main():
         }
 
     r1 = lambda x: None if x is None else round(x, 1)
-    ours_xla = combined(jax_train, jax_infer, b)
-    ours_scan = combined(scan_train, scan_infer, b)
-    # parity gate is relative to logit scale (both paths round differently
-    # through the MXU's bf16 passes; ~1e-3 absolute on O(10) logits is noise)
-    candidates = {"xla": ours_xla, f"xla,scan k={scan_k}": ours_scan}
-    cand_train = {"xla": jax_train, f"xla,scan k={scan_k}": scan_train}
+    candidates = {"xla": combined(jax_train, jax_infer, b)}
+    cand_train = {"xla": jax_train}
+    if scan_train is not None:
+        candidates[f"xla,scan k={scan_k}"] = combined(scan_train, scan_infer, b)
+        cand_train[f"xla,scan k={scan_k}"] = scan_train
     if scan_train_hi is not None:
         candidates[f"xla,scan k={scan_k_hi}"] = combined(
             scan_train_hi, scan_infer_hi, b)
         cand_train[f"xla,scan k={scan_k_hi}"] = scan_train_hi
+    # parity gate is relative to logit scale (both paths round differently
+    # through the MXU's bf16 passes; ~1e-3 absolute on O(10) logits is noise)
     if pal_train is not None and parity_rel is not None and parity_rel < 1e-2:
         candidates["pallas"] = combined(pal_train, pal_infer, b)
         cand_train["pallas"] = pal_train
@@ -573,14 +681,20 @@ def main():
             "bf16": {"train_sps": r1(bf16_train),
                      "infer_sps": r1(bf16_infer),
                      "mfu": mfu_of(bf16_train, bf16_infer)},
+            "latency_batch1": latency,
             "flops": {"per_sample_forward": f_inf,
                       "per_sample_train": f_tr,
                       "peak_tflops": peak},
             "mfu_implausible_excluded": implausible,
             "torch_cpu": {"train_sps": round(torch_train, 1),
                           "infer_sps": round(torch_infer, 1)},
+            "budget_s": budget_s,
+            "elapsed_s": round(elapsed(), 1),
         },
     }
+    tuned = _load_tuned()
+    if tuned is not None:
+        out["diagnostics"]["tuned"] = tuned
     if torch_fallback:
         out["diagnostics"]["torch_fallback"] = True
     print(json.dumps(out))
