@@ -14,6 +14,9 @@ Commands:
   import-torch — reference .pt checkpoints -> checkpoint-store members
   export-torch — members -> reference-loadable .pt state dicts
   check-data   — validate a real corpus tree (all problems in one report)
+  acceptance   — one-command real-corpus acceptance flow: check-data +
+                 import-torch + reference-protocol eval / golden demo
+                 (docs/REAL_DATA.md)
   checkpoints  — inspect a checkpoint store (members, losses, disk usage)
   doctor       — measure the host/device properties perf numbers depend on
   summary      — per-module parameter counts + analytic per-sample FLOPs
@@ -325,6 +328,14 @@ def build_parser():
     cp.add_argument("--prefix", default="",
                     help="only members whose name starts with this "
                          "(e.g. a config name)")
+
+    ac = sub.add_parser(
+        "acceptance",
+        help="real-corpus acceptance flow: validate tree -> (optionally) "
+             "import reference .pt checkpoints -> reference-protocol "
+             "metrics / golden-demo probabilities (docs/REAL_DATA.md)",
+        add_help=False)
+    ac.add_argument("rest", nargs=argparse.REMAINDER)
 
     tn = sub.add_parser(
         "tune", help="measure THIS machine's winners for the selectable "
@@ -865,6 +876,10 @@ def main(argv=None):
         cmd_import_torch(args)
     elif args.cmd == "export-torch":
         cmd_export_torch(args)
+    elif args.cmd == "acceptance":
+        from .eval.acceptance import main as acceptance_main
+
+        raise SystemExit(acceptance_main(args.rest))
     elif args.cmd == "tune":
         from .bench.autotune import tune
 

@@ -1,0 +1,126 @@
+"""Acceptance flow (SURVEY §7.4; eval/acceptance.py) end-to-end on miniature
+layout-faithful fixture corpora with torch-oracle `.pt` checkpoints — the
+exact flow a reference user runs with the REAL artifacts (docs/REAL_DATA.md
+"Acceptance")."""
+
+import dataclasses
+import os
+
+import numpy as np
+import torch
+
+from multimodal_emotion_processing_tpu import configs
+from multimodal_emotion_processing_tpu.eval.acceptance import (
+    GOLDEN_DEMO_EXPECTED, run_acceptance)
+
+import torch_reference as tref
+from corpus_fixtures import build_mosei_tree, build_robot_tree
+
+MOSEI_OV = {
+    "model": {"l_dim": 12, "v_dim": 7, "a_dim": 9, "l_len": 8, "v_len": 10,
+              "a_len": 12, "dim": 24, "n_heads": 2},
+    "train": {"batch_size": 8, "n_folds": 2, "fold_size": None},
+}
+
+
+def _save_pts(tmp_path, make_oracle, n=2, base_loss=2.18):
+    """Reference-convention loss-tagged .pt files ('{name}_{loss:.4s}.pt',
+    cmu-mosei/run.py:446-453) from independently-seeded torch oracles."""
+    pts = []
+    for i in range(n):
+        torch.manual_seed(i)
+        oracle = make_oracle()
+        path = str(tmp_path / f"model_{i + 1}_{base_loss + i / 100:.4}.pt")
+        torch.save(oracle.state_dict(), path)
+        pts.append(path)
+    return pts
+
+
+def test_acceptance_mosei_torch_import_and_metrics(tmp_path):
+    """mosei_trans: validate -> import 2 reference .pt files -> ensemble eval
+    with the reference protocol; the report carries per-emotion acc/F1 for
+    exactly the reference's evaluated emotion set."""
+    exp = configs.get("mosei_trans")
+    m = dataclasses.replace(exp.model, **MOSEI_OV["model"])
+    root = tmp_path / "corpus"
+    build_mosei_tree(root, m, seed=0)
+    pts = _save_pts(tmp_path, lambda: tref.ConcatTrans(m))
+
+    report = run_acceptance("mosei_trans", str(root),
+                            checkpoint_dir=str(tmp_path / "ck"),
+                            torch_ckpts=pts, overrides=MOSEI_OV)
+    assert report["ok"] and report["data_check"]["ok"]
+    assert report["imported_members"] == ["mosei_trans_1", "mosei_trans_2"]
+    # the filename-embedded valid losses rode into the manifest
+    per = report["metrics"]["per_emotion"]
+    assert set(per) == set(exp.emotion_names)
+    for stats in per.values():
+        assert 0.0 <= stats["f1"] <= 1.0 and 0.0 <= stats["acc"] <= 1.0
+
+
+def test_acceptance_robot_golden_demo(tmp_path):
+    """robot_demo: the golden-demo block — calibrated serving probabilities
+    (sigmoid(logit − offset), robot_demo.py:609) for named corpus clips under
+    the imported torch ensemble, reported next to the reference's expected
+    output (robot_demo.py:643-649)."""
+    ov = {
+        "model": {"l_dim": 16, "a_dim": 10, "l_len": 5, "v_len": 6,
+                  "a_len": 7, "dim": 18, "n_heads": 3, "n_layers": 1,
+                  "ffn": 1, "v_dims_multires": (4, 8, 12)},
+        "train": {"batch_size": 4, "n_folds": 2},
+    }
+    exp = configs.get("robot_demo")
+    m = dataclasses.replace(exp.model, **ov["model"])
+    root = tmp_path / "corpus"
+    os.makedirs(root)
+    # full cet_1..1487 doc range: the loader iterates it verbatim
+    # (data/robot.ren_label_name_dict), same as the reference
+    build_robot_tree(root, m, n_clips=6, seed=4)
+    pts = _save_pts(tmp_path, lambda: tref.RobotMultiClass(m), base_loss=1.31)
+
+    report = run_acceptance("robot_demo", str(root),
+                            checkpoint_dir=str(tmp_path / "ck"),
+                            torch_ckpts=pts, demo_clips=["clip0[0]",
+                                                         "clip3[0]"],
+                            overrides=ov)
+    assert report["ok"] and report["data_check"]["ok"]
+    demo = report["golden_demo"]
+    assert demo["members"] == ["robot_demo_1", "robot_demo_2"]
+    assert demo["reference_expected"] == GOLDEN_DEMO_EXPECTED
+    assert set(demo["clips"]) == {"clip0[0]", "clip3[0]"}
+    for probs in demo["clips"].values():
+        assert set(probs) == set(exp.emotion_names)
+        assert all(0.0 <= p <= 1.0 for p in probs.values())
+
+
+def test_acceptance_bad_tree_fails_closed(tmp_path):
+    """A broken corpus stops the flow at the validation step — no import, no
+    eval, ok=False (the reference's equivalent is a stack trace halfway
+    through loading, cmu-mosei/run.py:45-61)."""
+    root = tmp_path / "corpus"
+    os.makedirs(root)  # empty: labels.txt and .csd files missing
+    report = run_acceptance("mosei_trans", str(root),
+                            checkpoint_dir=str(tmp_path / "ck"),
+                            overrides=MOSEI_OV)
+    assert report["ok"] is False
+    assert report["data_check"]["problems"]
+    assert "metrics" not in report and "imported_members" not in report
+
+
+def test_acceptance_refuses_member_clobber(tmp_path):
+    """Re-importing over existing members needs force=True (mirrors the
+    import-torch CLI contract)."""
+    import pytest
+
+    exp = configs.get("mosei_trans")
+    m = dataclasses.replace(exp.model, **MOSEI_OV["model"])
+    root = tmp_path / "corpus"
+    build_mosei_tree(root, m, seed=1)
+    pts = _save_pts(tmp_path, lambda: tref.ConcatTrans(m), n=1)
+
+    kw = dict(checkpoint_dir=str(tmp_path / "ck"), torch_ckpts=pts,
+              overrides=MOSEI_OV)
+    assert run_acceptance("mosei_trans", str(root), **kw)["ok"]
+    with pytest.raises(ValueError, match="force"):
+        run_acceptance("mosei_trans", str(root), **kw)
+    assert run_acceptance("mosei_trans", str(root), force=True, **kw)["ok"]
