@@ -137,7 +137,8 @@ def _measure_datafed(exp, name: str, *, transfer_dtype: Optional[str],
     transfer-dtype knob compresses), best of `reps` single-epoch windows."""
     import jax
 
-    from ..data.loader import Batcher, cast_for_transfer
+    from ..data.loader import (Batcher, cast_for_transfer,
+                               resolve_transfer_dtype)
     from ..data.synthetic import synthetic_dataset
     from ..models import build_model
     from ..train import engine as eng
@@ -147,7 +148,8 @@ def _measure_datafed(exp, name: str, *, transfer_dtype: Optional[str],
     samples = synthetic_dataset(name, exp.model, n_samples, seed=0)
     batches = list(Batcher(samples, b, shuffle=False, pad_final=False)())
     if transfer_dtype:
-        batches = [cast_for_transfer(x, transfer_dtype) for x in batches]
+        wire = resolve_transfer_dtype(transfer_dtype)
+        batches = [cast_for_transfer(x, wire) for x in batches]
     tx, step = eng.make_train_step(model, exp.train)
     state = eng.init_state(model, tx, seed=0)
     # compile + one warm epoch
@@ -172,16 +174,23 @@ def tune(config_name: str, *, arms: Optional[List[str]] = None,
     Arms (default: every applicable one):
       scan      — train scan_steps in {1} + scan_ks (dispatch amortization)
       stacked   — realformer-family inference stream stacking on/off
-      transfer  — host-fed wire dtype f32 vs int8 (lossy; needs allow_lossy)
+      transfer  — host-fed wire dtype f32 vs int8 vs f16 (lossy; needs
+                  allow_lossy)
+      remat     — per-block jax.checkpoint on/off (a memory-for-FLOPs trade:
+                  measured ~0.8x where HBM fits, but the enabler where it
+                  doesn't — worth re-deciding per machine/preset)
       impl      — xla vs flash vs pallas train/infer (kernel arms run LAST:
                   degrades later fresh-H2D throughput on relay images)
-    Winners must beat the default by MARGIN; ties keep the default."""
+    Scaled presets ('mosei_trans_s1024' etc.) tune like any config — their
+    arms run at the preset's dims/batch/compute-dtype, so the winners are
+    per-preset.  Winners must beat the default by MARGIN; ties keep the
+    default."""
     import jax
 
     from .. import configs
 
     exp = configs.get(config_name)
-    all_arms = ["scan", "stacked", "transfer", "impl"]
+    all_arms = ["scan", "stacked", "transfer", "remat", "impl"]
     arms = [a for a in (arms or all_arms) if a in all_arms]
     if "transfer" in arms and not allow_lossy:
         arms.remove("transfer")
@@ -227,10 +236,42 @@ def tune(config_name: str, *, arms: Optional[List[str]] = None,
                                n_samples=4 * exp.train.batch_size, reps=reps)
         i8 = _measure_datafed(exp, config_name, transfer_dtype="int8",
                               n_samples=4 * exp.train.batch_size, reps=reps)
+        f16 = _measure_datafed(exp, config_name, transfer_dtype="float16",
+                               n_samples=4 * exp.train.batch_size, reps=reps)
         measured["datafed_train_sps"] = {"float32": round(f32, 1),
-                                         "int8": round(i8, 1)}
-        winners["transfer_dtype"] = "int8" if i8 >= MARGIN * f32 else None
-        log(f"wire f32 {f32:.0f} / int8 {i8:.0f} sps")
+                                         "int8": round(i8, 1),
+                                         "float16": round(f16, 1)}
+        rows = {"int8": i8, "float16": f16}
+        best = max(rows, key=rows.get)
+        winners["transfer_dtype"] = best if rows[best] >= MARGIN * f32 else None
+        log(f"wire f32 {f32:.0f} / int8 {i8:.0f} / f16 {f16:.0f} sps")
+
+    if "remat" in arms:
+        import dataclasses
+
+        base_state = exp.model.remat
+        on = dataclasses.replace(exp, model=dataclasses.replace(
+            exp.model, remat=True))
+        off = dataclasses.replace(exp, model=dataclasses.replace(
+            exp.model, remat=False))
+        try:
+            t_off, _ = _measure_step(off, config_name, impl="xla",
+                                     steps=steps, reps=reps)
+        except Exception as e:  # OOM without remat: remat is the enabler
+            t_off, e_off = None, repr(e)
+        t_on, _ = _measure_step(on, config_name, impl="xla",
+                                steps=steps, reps=reps)
+        measured["remat_train_sps"] = {
+            "off": None if t_off is None else round(t_off, 1),
+            "on": round(t_on, 1)}
+        if t_off is None:
+            measured["remat_train_sps"]["off_error"] = e_off
+            winners["remat"] = True  # only remat trains at these shapes
+        else:
+            winners["remat"] = bool(t_on >= MARGIN * t_off) \
+                if not base_state else not bool(t_off >= MARGIN * t_on)
+        log(f"remat off {t_off if t_off is None else round(t_off)} / "
+            f"on {t_on:.0f} sps")
 
     if "impl" in arms:
         if "per_dispatch" not in measured:
@@ -299,6 +340,15 @@ def apply_tuned(args, path: str) -> Dict:
             f"running {cfg!r} — re-run `tune {cfg}`")
     applied = {}
     for knob, value in (rec.get("winners") or {}).items():
+        if knob == "remat":
+            # remat is a model-config override, not a driver flag: ride the
+            # generic --set mechanism (an explicit --set model.remat=... wins)
+            sets = getattr(args, "set", None)
+            if (value is True and sets is not None
+                    and not any(s.startswith("model.remat=") for s in sets)):
+                sets.append("model.remat=true")
+                applied["remat"] = True
+            continue
         if knob not in _ARG_OF:
             continue
         arg, default = _ARG_OF[knob]

@@ -30,8 +30,35 @@ def test_tune_lossy_arm_gated():
     assert "transfer_dtype" not in rec["winners"]
     rec = autotune.tune("rencecps", arms=["transfer"], steps=2, reps=1,
                         allow_lossy=True)
-    assert set(rec["measured"]["datafed_train_sps"]) == {"float32", "int8"}
-    assert rec["winners"]["transfer_dtype"] in (None, "int8")
+    assert set(rec["measured"]["datafed_train_sps"]) == {"float32", "int8",
+                                                         "float16"}
+    assert rec["winners"]["transfer_dtype"] in (None, "int8", "float16")
+
+
+def test_tune_remat_arm_and_apply(tmp_path):
+    """The remat arm measures per-block jax.checkpoint on/off; a True winner
+    rides --tuned into the generic --set override (explicit --set wins)."""
+    # mosei_trans: remat actually wraps its grid blocks (rencecps has none)
+    rec = autotune.tune("mosei_trans", arms=["remat"], steps=2, reps=1)
+    rows = rec["measured"]["remat_train_sps"]
+    assert rows["on"] > 0 and rows["off"] > 0
+    assert isinstance(rec["winners"]["remat"], bool)
+
+    path = _tuned_file(tmp_path, winners={"remat": True})
+    args = cli.build_parser().parse_args(
+        ["train", "rencecps", "--tuned", path])
+    applied = autotune.apply_tuned(args, path)
+    assert applied == {"remat": True} and "model.remat=true" in args.set
+
+    args = cli.build_parser().parse_args(
+        ["train", "rencecps", "--tuned", path, "--set", "model.remat=false"])
+    applied = autotune.apply_tuned(args, path)
+    assert applied == {} and args.set == ["model.remat=false"]
+
+    path = _tuned_file(tmp_path, winners={"remat": False})
+    args = cli.build_parser().parse_args(
+        ["train", "rencecps", "--tuned", path])
+    assert autotune.apply_tuned(args, path) == {}
 
 
 def test_tune_stacked_arm_skipped_for_minus_family():
