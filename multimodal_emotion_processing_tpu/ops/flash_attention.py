@@ -233,22 +233,31 @@ def _make_whole_bwd_kernel(hb: int, inv_sqrt: float):
             do = do_ref[0, hh].astype(jnp.float32)
             o = o_ref[0, hh].astype(jnp.float32)
             delta = jnp.sum(do * o, axis=1)[:, None]        # (Lq, 1)
+            # dq/dk/dv compute in f32 and store at the INPUT dtype: the VJP
+            # boundary casts cotangents to the primal dtype anyway, so
+            # rounding here is the same value — and the kernel then writes
+            # half the HBM bytes and XLA's merge_heads epilogue becomes a
+            # pure (cheap bf16) transpose instead of convert+transpose
+            # (measured 15.4 ms/step of convert_bitcast fusions at
+            # s1024-bf16 B=64 before this change).
             dv_ref[0, hh] = jax.lax.dot_general(
                 p, do, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32).astype(dv_ref.dtype)
             dp = jax.lax.dot_general(
                 do, v_ref[0, hh].astype(jnp.float32),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             ds = p * (dp - _row_bcast(delta, lkv))
-            dq_ref[0, hh] = jax.lax.dot_general(
+            dq_ref[0, hh] = (jax.lax.dot_general(
                 ds, k.astype(jnp.float32),
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) * inv_sqrt
-            dk_ref[0, hh] = jax.lax.dot_general(
+                preferred_element_type=jnp.float32)
+                * inv_sqrt).astype(dq_ref.dtype)
+            dk_ref[0, hh] = (jax.lax.dot_general(
                 ds, q.astype(jnp.float32),
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) * inv_sqrt
+                preferred_element_type=jnp.float32)
+                * inv_sqrt).astype(dk_ref.dtype)
             # scores = raw - 1e8*(1-mask): d(scores)/d(mask) = +1e8
             dmh_ref[0, hh, 0, :] = MASK_PENALTY * jnp.sum(ds, axis=0)
 
@@ -259,10 +268,10 @@ def _flash_backward_whole(qh, kh, vh, neg, m, l, oh, doh):
     b, h, lq, dh = qh.shape
     lkv = kh.shape[2]
     itemsize = jnp.dtype(qh.dtype).itemsize
-    # io per head: q,k,v,o,do at input width + dq,dk,dv f32 outputs +
+    # io per head: q,k,v,o,do + dq,dk,dv at input width +
     # m/l stats reads + the dmask row
     per_head_io = ((3 * lq + 2 * lkv) * max(dh, _LANES) * itemsize
-                   + (lq + 2 * lkv) * max(dh, _LANES) * 4
+                   + (lq + 2 * lkv) * max(dh, _LANES) * itemsize
                    + 2 * lq * _LANES * 4 + lkv * 4)
     # s, p, dp, ds f32 score tiles + row stats per unrolled head
     per_head_temps = 4 * lq * _pad_lanes(lkv) * 4 + 3 * lq * _LANES * 4
@@ -287,9 +296,9 @@ def _flash_backward_whole(qh, kh, vh, neg, m, l, oh, doh):
         in_specs=[qspec, kvspec, kvspec, negspec, statspec, statspec,
                   qspec, qspec],
         out_specs=[qspec, kvspec, kvspec, dmhspec],
-        out_shape=[jax.ShapeDtypeStruct((b, h, lq, dh), jnp.float32),
-                   jax.ShapeDtypeStruct((b, h, lkv, dh), jnp.float32),
-                   jax.ShapeDtypeStruct((b, h, lkv, dh), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((b, h, lq, dh), qh.dtype),
+                   jax.ShapeDtypeStruct((b, h, lkv, dh), qh.dtype),
+                   jax.ShapeDtypeStruct((b, h, lkv, dh), qh.dtype),
                    jax.ShapeDtypeStruct((b, h, 1, lkv), jnp.float32)],
         interpret=_interpret(),
     )(qh, kh, vh, neg, m, l, oh, doh)
@@ -444,7 +453,9 @@ def _make_flash_dq_kernel(inv_sqrt: float):
 
         @pl.when(ikv == nkv - 1)
         def _store():
-            dq_ref[0, 0] = dq_acc[...]
+            # input-dtype store: same value as the VJP boundary cast, half
+            # the HBM bytes (see _make_whole_bwd_kernel)
+            dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
 
     return kernel
 
@@ -489,8 +500,8 @@ def _make_flash_dkv_kernel(inv_sqrt: float):
 
         @pl.when(iq == nq - 1)
         def _store():
-            dk_ref[0, 0] = dk_acc[...]
-            dv_ref[0, 0] = dv_acc[...]
+            dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+            dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
             # scores = raw − 1e8·(1−mask): d(scores)/d(mask) = +1e8
             dmh_ref[0, 0, 0, :] = MASK_PENALTY * dm_acc[0, :]
 
@@ -499,7 +510,9 @@ def _make_flash_dkv_kernel(inv_sqrt: float):
 
 def _flash_backward(qh, kh, vh, neg, m, l, oh, doh,
                     block_q: Optional[int], block_kv: Optional[int]):
-    """Returns (dq, dk, dv) head-split f32 and dmask (B, Lkv) f32."""
+    """Returns (dq, dk, dv) head-split at the INPUT dtype (f32 compute,
+    one round at the store — the same value the VJP boundary cast produced
+    when these were f32) and dmask (B, Lkv) f32."""
     b, h, lq, dh = qh.shape
     lkv = kh.shape[2]
     if block_q is None and block_kv is None and _whole_fit(lq, lkv):
@@ -528,7 +541,7 @@ def _flash_backward(qh, kh, vh, neg, m, l, oh, doh,
         in_specs=[qspec, kvspec, kvspec, negspec, statspec, statspec,
                   qspec, qspec],
         out_specs=[qspec],
-        out_shape=[jax.ShapeDtypeStruct((b, h, lq, dh), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((b, h, lq, dh), qh.dtype)],
         scratch_shapes=[pltpu.VMEM((bq, dh), jnp.float32)],
         interpret=_interpret(),
     )(qh, kh, vh, neg, m, l, oh, doh)[0]
@@ -556,8 +569,8 @@ def _flash_backward(qh, kh, vh, neg, m, l, oh, doh,
         in_specs=[qspec2, kvspec2, kvspec2, negspec2, statspec2, statspec2,
                   qspec2, qspec2],
         out_specs=[kvspec2, kvspec2, dmhspec],
-        out_shape=[jax.ShapeDtypeStruct((b, h, lkv, dh), jnp.float32),
-                   jax.ShapeDtypeStruct((b, h, lkv, dh), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((b, h, lkv, dh), qh.dtype),
+                   jax.ShapeDtypeStruct((b, h, lkv, dh), qh.dtype),
                    jax.ShapeDtypeStruct((b, h, 1, lkv), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((bkv, dh), jnp.float32),
                         pltpu.VMEM((bkv, dh), jnp.float32),

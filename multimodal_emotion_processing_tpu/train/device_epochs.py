@@ -106,8 +106,13 @@ def make_train_epoch(model, tcfg, n_real: int, *, impl: str = "xla",
     partial batch is dropped (static shapes).  `duplicate` repeats each
     drawn sample twice adjacently (Ren-MME R-Drop, Ren-MME/run.py:143-146).
     Returns (tx, epoch_fn(state, data, perm_key) -> (state, losses))."""
+    from .engine import _wrap_fused_init
+
+    fused = getattr(tcfg, "fused_optimizer", True)
     tx = make_optimizer(tcfg)
-    step = _make_step_fn(model, tcfg, tx, impl=impl, fused=True)
+    step = _make_step_fn(model, tcfg, tx, impl=impl, fused=fused)
+    if fused:
+        tx = _wrap_fused_init(tx)
     bs = tcfg.batch_size
     rows = bs * (2 if duplicate else 1)
     n_steps = n_real // bs
@@ -281,8 +286,13 @@ def fit_fully_compiled(
                                   pad_to_multiple=tcfg.batch_size,
                                   transfer_dtype=transfer_dtype)
     n_padded = int(valid_data["sample_weight"].shape[0])
+    from .engine import _wrap_fused_init
+
+    fused = getattr(tcfg, "fused_optimizer", True)
     tx = make_optimizer(tcfg)
-    step = _make_step_fn(model, tcfg, tx, impl=impl, fused=True)
+    step = _make_step_fn(model, tcfg, tx, impl=impl, fused=fused)
+    if fused:
+        tx = _wrap_fused_init(tx)
     bs = tcfg.batch_size
     rows = bs * (2 if duplicate else 1)
     n_steps = n_train // bs

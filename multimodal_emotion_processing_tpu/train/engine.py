@@ -92,6 +92,36 @@ def upcast_wire(batch):
     return out
 
 
+#: loss-side vectors that must stay f32 under bf16 compute (batch_loss)
+_KEEP_F32 = ("sample_weight", "clip_mask")
+
+
+def wire_to_bf16(batch):
+    """upcast_wire fused with the bf16 compute cast: every floating wire
+    leaf (f32 staged, f16/bf16 half-width wire, int8-quantized) lands
+    DIRECTLY in bf16 — value-identical to upcast_wire-then-cast (one round
+    either way; the int8 dequant multiply stays f32) without materializing
+    an f32 copy of the whole batch in the step.  The loss-side keep-set
+    vectors restore to f32 exactly like upcast_wire."""
+    from ..data.loader import WIRE_SCALE_SUFFIX
+
+    out = {}
+    for k, v in batch.items():
+        if k.endswith(WIRE_SCALE_SUFFIX):
+            continue
+        s = batch.get(k + WIRE_SCALE_SUFFIX)
+        if s is not None:
+            s = jnp.asarray(s)
+            x = v.astype(jnp.float32) * s.reshape(
+                s.shape + (1,) * (v.ndim - s.ndim))
+            out[k] = x.astype(jnp.float32 if k in _KEEP_F32 else jnp.bfloat16)
+        elif jnp.issubdtype(v.dtype, jnp.floating):
+            out[k] = v.astype(jnp.float32 if k in _KEEP_F32 else jnp.bfloat16)
+        else:
+            out[k] = v
+    return out
+
+
 def batch_loss(model, tcfg, params, batch, rng, train: bool, impl: str):
     """The reference loss contract: ZLPR mean (+ clip-validity masking for the
     paragraph model, + symmetric KL in training for Ren-MME R-Drop).
@@ -101,16 +131,21 @@ def batch_loss(model, tcfg, params, batch, rng, train: bool, impl: str):
     equal the reference's mean over the unpadded batch — no recompiles, no
     semantic drift.
     """
-    batch = upcast_wire(batch)
     if getattr(tcfg, "compute_dtype", "float32") == "bfloat16":
         # mixed precision: bf16 activations/weights on the MXU, fp32 master
         # params (caller's `params`) and fp32 loss/score math — including the
         # loss-side weight/mask vectors: a bf16 jnp.sum(sample_weight) rounds
-        # above 256 and would silently mis-scale the weighted mean
+        # above 256 and would silently mis-scale the weighted mean.
+        # Wire leaves go STRAIGHT to bf16 (wire_to_bf16) instead of riding
+        # upcast_wire's f32 trip first: x→bf16 and x→f32→bf16 round to the
+        # same value for every wire dtype, and skipping the f32 materialize
+        # of the whole batch removes a full-batch convert+relayout from the
+        # step (part of the 16.5 ms/step input-copy cost the s1024 trace
+        # showed; bf16-staged batches then enter with zero converts).
         params = _cast_tree(params, jnp.bfloat16)
-        keep = {"sample_weight", "clip_mask"}
-        batch = {k: (v if k in keep else _cast_tree(v, jnp.bfloat16))
-                 for k, v in batch.items()}
+        batch = wire_to_bf16(batch)
+    else:
+        batch = upcast_wire(batch)
     logits = model.apply(params, batch, rng=rng, train=train, impl=impl)
     if logits.dtype == jnp.bfloat16:
         logits = logits.astype(jnp.float32)  # loss math never in bf16
@@ -216,7 +251,7 @@ def _make_step_fn(model, tcfg, tx, *, impl: str, fused: bool,
 
 
 def make_train_step(model, tcfg, *, impl: str = "xla", donate: bool = True,
-                    fused: bool = True, accum_steps: int = 1):
+                    fused: Optional[bool] = None, accum_steps: int = 1):
     """One jitted program per step.
 
     `accum_steps`: gradient accumulation — A sequential micro-batches per
@@ -231,18 +266,24 @@ def make_train_step(model, tcfg, *, impl: str = "xla", donate: bool = True,
     pathologically on this backend (8.2 ms/step).  The round-2 "0.40 vs
     1.29 ms/step" win was a submission-side artifact; honest round-3 A/B is
     a wash on wall-clock, but the fused update still submits ~100 fewer
-    buffer arguments per dispatch — kept as default.
-    The sharded/TP path (parallel/mesh) requires fused=False (per-leaf
-    sharding specs on the optimizer state).
+    buffer arguments per dispatch — kept as the reference-dims default.  At
+    s1024 the ravel/unravel copies of the 57.6M-param vector flip the sign
+    (per-leaf +2.3%, interleaved A/B 2026-08-19), so the scale presets set
+    tcfg.fused_optimizer=False; fused=None (default) takes the config's
+    choice.  The sharded/TP path (parallel/mesh) requires fused=False
+    (per-leaf sharding specs on the optimizer state).
     """
+    if fused is None:
+        fused = getattr(tcfg, "fused_optimizer", True)
     tx = make_optimizer(tcfg)
     step = _make_step_fn(model, tcfg, tx, impl=impl, fused=fused,
                          accum_steps=accum_steps)
-    return tx, jax.jit(step, donate_argnums=(0,) if donate else ())
+    return (_wrap_fused_init(tx) if fused else tx,
+            jax.jit(step, donate_argnums=(0,) if donate else ()))
 
 
 def make_scan_train_step(model, tcfg, *, impl: str = "xla",
-                         donate: bool = True, fused: bool = True):
+                         donate: bool = True, fused: Optional[bool] = None):
     """k sequential optimizer steps in ONE dispatch: `lax.scan` over a batch
     pytree whose leaves carry a leading micro-batch axis (k, B, ...).
 
@@ -253,13 +294,16 @@ def make_scan_train_step(model, tcfg, *, impl: str = "xla",
     image's network-relayed chip); chaining steps amortizes it.  Returns
     (state, losses(k,)) — losses stay on device like Trainer's epoch loop.
     """
+    if fused is None:
+        fused = getattr(tcfg, "fused_optimizer", True)
     tx = make_optimizer(tcfg)
     step = _make_step_fn(model, tcfg, tx, impl=impl, fused=fused)
 
     def scan_step(state: TrainState, batches):
         return jax.lax.scan(step, state, batches)
 
-    return tx, jax.jit(scan_step, donate_argnums=(0,) if donate else ())
+    return (_wrap_fused_init(tx) if fused else tx,
+            jax.jit(scan_step, donate_argnums=(0,) if donate else ()))
 
 
 def make_eval_step(model, tcfg, *, impl: str = "xla"):
@@ -325,7 +369,26 @@ def make_scan_predict_step(model, *, impl: str = "xla",
     return jax.jit(step)
 
 
-def init_state(model, tx, seed: int, *, fused: bool = True) -> TrainState:
+def _wrap_fused_init(tx):
+    """A tx whose init takes the RAW params pytree and initializes the
+    optimizer over the flattened vector — the fused step's target.  The
+    step-builders return this whenever their step runs the fused update, so
+    init_state needs no fused flag of its own: tx.init always matches the
+    step it was built with."""
+    from jax.flatten_util import ravel_pytree
+
+    return tx._replace(init=lambda params, _tx=tx: _tx.init(
+        ravel_pytree(params)[0]))
+
+
+def init_state(model, tx, seed: int, *, fused: Optional[bool] = None
+               ) -> TrainState:
+    """Fresh TrainState for `tx`.  Since round 4 the step-builders return a
+    tx whose init already targets the right optimizer form (_wrap_fused_init
+    when the step is fused), so the default just calls tx.init(params).
+    `fused=True` remains for callers holding a RAW make_optimizer tx that
+    they pair with a fused step body; raveling an already-flat target is a
+    no-op, so passing True with a wrapped tx stays correct."""
     from jax.flatten_util import ravel_pytree
 
     k_params, k_rng = jax.random.split(jax.random.PRNGKey(seed))
@@ -420,7 +483,9 @@ class Trainer:
         self.model = model
         self.tcfg = tcfg
         self.mesh = mesh
-        self.fused = mesh is None  # mesh path: per-leaf optimizer state
+        # mesh path: per-leaf optimizer state; single-chip honors the
+        # config's measured winner (TrainConfig.fused_optimizer)
+        self.fused = mesh is None and getattr(tcfg, "fused_optimizer", True)
         if mesh is not None:
             from ..parallel.mesh import make_sharded_train_step
 

@@ -43,16 +43,19 @@ def _slice_fold(tree, i: int):
     return jax.tree.map(lambda x: np.asarray(x[i]), tree)
 
 
-def _fold_fns(model, tcfg, impl: str, *, fused: bool = True):
+def _fold_fns(model, tcfg, impl: str, *, fused=None):
     """Per-fold init/step/eval bodies shared by the host-driven vmapped
     driver and the fully-compiled one.  fused=True runs the optimizer over
-    ONE flattened vector (engine.make_train_step's default — ~100 per-leaf
-    optimizer kernels collapse into a handful); fused=False keeps the
-    optimizer per-leaf, which is what lets TENSOR-PARALLEL param shardings
-    ride through the fold-vmap (a flat vector cannot carry per-leaf specs —
-    the exact gap VERDICT r3 weak #3 named)."""
+    ONE flattened vector (~100 per-leaf optimizer kernels collapse into a
+    handful); fused=False keeps the optimizer per-leaf, which is what lets
+    TENSOR-PARALLEL param shardings ride through the fold-vmap (a flat
+    vector cannot carry per-leaf specs — the exact gap VERDICT r3 weak #3
+    named) and is the measured winner at the scale presets; None takes
+    tcfg.fused_optimizer (engine.make_train_step's rule)."""
     from jax.flatten_util import ravel_pytree
 
+    if fused is None:
+        fused = getattr(tcfg, "fused_optimizer", True)
     tx = make_optimizer(tcfg)
 
     def single_init(seed):
@@ -236,7 +239,7 @@ def run_kfold_vmapped(
         raise ValueError("tp=True requires a mesh with a 'model' axis")
     # TP needs the per-leaf optimizer (fused flat vectors carry no shardings)
     single_init, single_step, single_eval = _fold_fns(model, tcfg, impl,
-                                                      fused=not tp)
+                                                      fused=False if tp else None)
     states = jax.jit(jax.vmap(single_init))(
         jnp.arange(tcfg.seed, tcfg.seed + m))
 
@@ -585,7 +588,7 @@ def run_kfold_fully_compiled(
     folds = contiguous_folds(len(samples), k, fold_size)
     # TP: per-leaf optimizer so the param shardings survive (run_kfold_vmapped)
     single_init, single_step, single_eval = _fold_fns(model, tcfg, impl,
-                                                      fused=not tp)
+                                                      fused=False if tp else None)
 
     bs = tcfg.batch_size
     rows = bs * (2 if duplicate else 1)
