@@ -216,9 +216,18 @@ def _flash_forward_whole(qh, kh, vh, neg, *, emit_stats: bool):
     return (out[0], (out[1], out[2])) if emit_stats else (out[0], None)
 
 
-def _make_whole_bwd_kernel(hb: int, inv_sqrt: float):
-    def kernel(q_ref, k_ref, v_ref, neg_ref, m_ref, l_ref, o_ref, do_ref,
-               dq_ref, dk_ref, dv_ref, dmh_ref):
+def _make_whole_bwd_kernel(hb: int, inv_sqrt: float, with_stats: bool):
+    """with_stats=False: the kernel already materializes the full score tile
+    s, so the softmax row stats are RECOMPUTED from it (bit-identical ops to
+    the whole forward kernel) instead of read from HBM — the forward then
+    skips emitting its (B, H, Lq, 128)-replicated f32 m/l outputs entirely,
+    saving ~2.3 GB/step of stat traffic at s1024 B=64."""
+    def kernel(q_ref, k_ref, v_ref, neg_ref, *rest):
+        if with_stats:
+            (m_ref, l_ref, o_ref, do_ref,
+             dq_ref, dk_ref, dv_ref, dmh_ref) = rest
+        else:
+            o_ref, do_ref, dq_ref, dk_ref, dv_ref, dmh_ref = rest
         neg = neg_ref[0, 0, :][None, :]
         for hh in range(hb):
             q = q_ref[0, hh]
@@ -228,8 +237,14 @@ def _make_whole_bwd_kernel(hb: int, inv_sqrt: float):
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * inv_sqrt
             s = s + neg
-            p = (jnp.exp(s - _row_tile(m_ref[0, hh], lkv))
-                 * _row_tile(1.0 / l_ref[0, hh], lkv))
+            if with_stats:
+                p = (jnp.exp(s - _row_tile(m_ref[0, hh], lkv))
+                     * _row_tile(1.0 / l_ref[0, hh], lkv))
+            else:
+                mx = jnp.max(s, axis=1)[:, None]
+                pu = jnp.exp(s - _row_bcast(mx, lkv))
+                l = jnp.sum(pu, axis=1)[:, None]
+                p = pu * _row_bcast(1.0 / l, lkv)
             do = do_ref[0, hh].astype(jnp.float32)
             o = o_ref[0, hh].astype(jnp.float32)
             delta = jnp.sum(do * o, axis=1)[:, None]        # (Lq, 1)
@@ -264,20 +279,28 @@ def _make_whole_bwd_kernel(hb: int, inv_sqrt: float):
     return kernel
 
 
+def _whole_bwd_hb(lq: int, lkv: int, dh: int, h: int, itemsize: int) -> int:
+    """Head-group size the whole-backward kernel can run at (0 = must tile).
+    Shared by the backward itself and the VJP forward, which uses it to
+    decide whether emitting m/l stats is needed at all."""
+    # io per head: q,k,v,o,do + dq,dk,dv at input width + the dmask row
+    # (stats-free recompute variant — the stats reads are gone)
+    per_head_io = ((3 * lq + 2 * lkv) * max(dh, _LANES) * itemsize
+                   + (lq + 2 * lkv) * max(dh, _LANES) * itemsize
+                   + lkv * 4)
+    # s, p, dp, ds f32 score tiles + row stats per unrolled head
+    per_head_temps = 4 * lq * _pad_lanes(lkv) * 4 + 3 * lq * _LANES * 4
+    return _pick_hb(h, per_head_io, per_head_temps, fixed=lkv * 4)
+
+
 def _flash_backward_whole(qh, kh, vh, neg, m, l, oh, doh):
     b, h, lq, dh = qh.shape
     lkv = kh.shape[2]
     itemsize = jnp.dtype(qh.dtype).itemsize
-    # io per head: q,k,v,o,do + dq,dk,dv at input width +
-    # m/l stats reads + the dmask row
-    per_head_io = ((3 * lq + 2 * lkv) * max(dh, _LANES) * itemsize
-                   + (lq + 2 * lkv) * max(dh, _LANES) * itemsize
-                   + 2 * lq * _LANES * 4 + lkv * 4)
-    # s, p, dp, ds f32 score tiles + row stats per unrolled head
-    per_head_temps = 4 * lq * _pad_lanes(lkv) * 4 + 3 * lq * _LANES * 4
-    hb = _pick_hb(h, per_head_io, per_head_temps, fixed=lkv * 4)
+    hb = _whole_bwd_hb(lq, lkv, dh, h, itemsize)
     if hb == 0:
         return None                                         # caller tiles
+    with_stats = m is not None
     inv_sqrt = 1.0 / math.sqrt(dh)
 
     def hix(ib, ih):
@@ -290,18 +313,22 @@ def _flash_backward_whole(qh, kh, vh, neg, m, l, oh, doh):
     statspec = pl.BlockSpec((1, hb, lq, _LANES), hix, memory_space=pltpu.VMEM)
     dmhspec = pl.BlockSpec((1, hb, 1, lkv), lambda ib, ih: (ib, ih, 0, 0),
                            memory_space=pltpu.VMEM)
+    in_specs = [qspec, kvspec, kvspec, negspec]
+    ins = [qh, kh, vh, neg]
+    if with_stats:
+        in_specs += [statspec, statspec]
+        ins += [m, l]
     dq, dk, dv, dmh = pl.pallas_call(
-        _make_whole_bwd_kernel(hb, inv_sqrt),
+        _make_whole_bwd_kernel(hb, inv_sqrt, with_stats),
         grid=(b, h // hb),
-        in_specs=[qspec, kvspec, kvspec, negspec, statspec, statspec,
-                  qspec, qspec],
+        in_specs=in_specs + [qspec, qspec],
         out_specs=[qspec, kvspec, kvspec, dmhspec],
         out_shape=[jax.ShapeDtypeStruct((b, h, lq, dh), qh.dtype),
                    jax.ShapeDtypeStruct((b, h, lkv, dh), qh.dtype),
                    jax.ShapeDtypeStruct((b, h, lkv, dh), qh.dtype),
                    jax.ShapeDtypeStruct((b, h, 1, lkv), jnp.float32)],
         interpret=_interpret(),
-    )(qh, kh, vh, neg, m, l, oh, doh)
+    )(*ins, oh, doh)
     return dq, dk, dv, jnp.sum(dmh[:, :, 0, :], axis=1)
 
 
@@ -519,6 +546,9 @@ def _flash_backward(qh, kh, vh, neg, m, l, oh, doh,
         out = _flash_backward_whole(qh, kh, vh, neg, m, l, oh, doh)
         if out is not None:
             return out                  # fits; else tile below
+    assert m is not None and l is not None, (
+        "tiled flash backward needs the forward's m/l stats — the VJP "
+        "forward's whole_bwd predicate must match _flash_backward_whole's")
     bq = block_q or _pick_block_q(lq)
     bkv = block_kv or _pick_block_kv(lkv)
     inv_sqrt = 1.0 / math.sqrt(dh)
@@ -606,8 +636,20 @@ def _make_flash(n_heads: int, block_q: Optional[int],
         kh = split_heads(k, n_heads)
         vh = split_heads(v, n_heads)
         neg = _neg(mask, b, lkv)
-        oh, (m, l) = _flash_forward(qh, kh, vh, neg, emit_stats=True,
-                                    block_q=block_q, block_kv=block_kv)
+        # the whole-backward kernel materializes the full score tile anyway
+        # and recomputes m/l from it bit-identically, so when it will run,
+        # the forward skips emitting its lane-replicated f32 stats entirely
+        # (~2.3 GB/step of write+read traffic at s1024 B=64)
+        h, dh = n_heads, qh.shape[3]
+        lq = qh.shape[2]
+        whole_bwd = (block_q is None and block_kv is None
+                     and _whole_fit(lq, lkv)
+                     and _whole_bwd_hb(lq, lkv, dh, h,
+                                       jnp.dtype(qh.dtype).itemsize) > 0)
+        oh, stats = _flash_forward(qh, kh, vh, neg,
+                                   emit_stats=not whole_bwd,
+                                   block_q=block_q, block_kv=block_kv)
+        m, l = stats if stats is not None else (None, None)
         return merge_heads(oh), (qh, kh, vh, neg, m, l, oh, c)
 
     def bwd(res, doc):
