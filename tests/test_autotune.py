@@ -35,6 +35,7 @@ def test_tune_lossy_arm_gated():
     assert rec["winners"]["transfer_dtype"] in (None, "int8", "float16")
 
 
+@pytest.mark.slow
 def test_tune_remat_arm_and_apply(tmp_path):
     """The remat arm measures per-block jax.checkpoint on/off; a True winner
     rides --tuned into the generic --set override (explicit --set wins)."""

@@ -123,6 +123,7 @@ def test_ring_attention_matches_single_device():
                                rtol=1e-5, atol=1e-1)  # masked entries ~ -1e8
 
 
+@pytest.mark.slow
 def test_ring_attention_chained_and_grads():
     """Two chained ring blocks (q-sharded score handoff) match the reference
     in value and gradients — shard_map/ppermute are differentiable."""

@@ -291,6 +291,7 @@ def test_stacked_flag_is_per_call_not_global():
 
 
 @pytest.mark.parametrize("cfg_name", ["mosei_trans", "robot_demo"])
+@pytest.mark.slow
 def test_remat_matches_plain_forward_and_grad(cfg_name):
     """model.remat=True (jax.checkpoint per grid block) is a pure memory
     knob: identical forward math, gradients equal to recompute tolerance —

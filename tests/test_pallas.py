@@ -158,6 +158,7 @@ def test_fused_minus_block_dropout_fallback():
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_full_model_parity():
     """Whole flagship forward with impl='pallas_fused' matches impl='xla'."""
     import dataclasses
@@ -185,6 +186,7 @@ def test_fused_full_model_parity():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_full_model_parity():
     """Whole flagship forward with impl='pallas' matches impl='xla'."""
     import dataclasses

@@ -1,6 +1,8 @@
 """Multi-device sharding tests on the 8-device virtual CPU mesh: sharded step
 equivalence vs single-device, TP spec compiles, graft entry dry-run."""
 
+import pytest
+
 import dataclasses
 
 import numpy as np
@@ -162,6 +164,7 @@ def test_dp_tp_step_runs():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import sys
     sys.path.insert(0, "/root/repo")

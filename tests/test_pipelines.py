@@ -31,6 +31,7 @@ def test_mosei_trans_pipeline_tiny():
                                               "surp", "fear"}
 
 
+@pytest.mark.slow
 def test_realformer_pipeline_flattens_clips():
     res = run_experiment(
         "mosei_realformer", synthetic_data=True, n_train=12, n_test=6, epochs=1,
@@ -43,6 +44,7 @@ def test_realformer_pipeline_flattens_clips():
     assert set(res.sweep) == {"happ", "sadn", "ange", "surp", "disg", "fear"}
 
 
+@pytest.mark.slow
 def test_ren_mme_pipeline_rdrop():
     res = run_experiment(
         "ren_mme", synthetic_data=True, n_train=16, n_test=8, epochs=1,
@@ -59,6 +61,7 @@ ROBOT_OV = {"model": {"l_len": 4, "v_len": 6, "a_len": 8, "dim": 12,
             "train": {"n_folds": 2, "batch_size": 4}}
 
 
+@pytest.mark.slow
 def test_robot_demo_pipeline_and_serve(tmp_path):
     """Full robot path: grid_only head + multires batch keys through training
     and ensemble eval, then the serving path with the reference's calibrated
@@ -208,6 +211,7 @@ _TINY_DP = {"model": {"l_len": 4, "v_len": 6, "a_len": 8, "dim": 12,
             "train": {"n_folds": 2, "batch_size": 8}}
 
 
+@pytest.mark.slow
 def test_run_experiment_dp8_matches_single_device():
     """run_experiment('mosei_trans', dp=8) over the 8-virtual-device CPU mesh
     trains end-to-end (k folds + ensemble eval) with the SAME trajectory as
@@ -226,6 +230,7 @@ def test_run_experiment_dp8_matches_single_device():
     assert dp.report is not None
 
 
+@pytest.mark.slow
 def test_run_experiment_dp_tp_mesh_with_checkpoints(tmp_path):
     """dp=4 x tp=2 trains with TP-sharded params, saves best/resume
     checkpoints of sharded state, and a --resume restart on the same mesh

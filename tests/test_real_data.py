@@ -53,6 +53,7 @@ def test_mosei_trans_real_tree(tmp_path):
     assert set(res.report["per_emotion"]) == set(exp.emotion_names)
 
 
+@pytest.mark.slow
 def test_mosei_realformer_real_tree(tmp_path):
     ov = {
         "model": {"l_dim": 12, "v_dim": 7, "a_dim": 9, "l_len": 10,
@@ -84,6 +85,7 @@ def test_rencecps_real_tree(ren_tree):
     assert res.fold_histories
 
 
+@pytest.mark.slow
 def test_ren_mme_real_tree(tmp_path):
     ov = {
         "model": {"l_dim": 8, "v_dim": 6, "a_dim": 5, "l_len": 6, "v_len": 7,
@@ -120,6 +122,7 @@ def test_ren_mme_fallback_uses_previous_video(tmp_path):
     np.testing.assert_array_equal(sample["v"][1], expect)
 
 
+@pytest.mark.slow
 def test_robot_demo_real_tree(ren_tree, tmp_path):
     ov = {
         "model": {"l_dim": 16, "a_dim": 10, "l_len": 5, "v_len": 6,

@@ -8,6 +8,8 @@ surface: registry, family resolution for samplers/corpus adapters, and an
 actual train step at the s256 point.
 """
 
+import pytest
+
 import dataclasses
 
 import jax
@@ -54,6 +56,7 @@ def test_scaled_synthetic_sampler_rides_family():
     assert s[0]["a"].shape == (2, exp.model.a_len, exp.model.a_dim)
 
 
+@pytest.mark.slow
 def test_scaled_preset_trains_dp_tp_on_mesh():
     """mosei_trans_s256 composes with dp=4 x tp=2 on the CPU mesh: the
     preset's 8 heads TP-shard (the interesting part at scale), batches shard

@@ -1,6 +1,8 @@
 """Vmapped hyperparameter sweep (train/sweep.py): member semantics,
 single-run equivalence, ranking, and the pipelines/CLI front door."""
 
+import pytest
+
 import dataclasses
 
 import numpy as np
@@ -143,6 +145,7 @@ def test_optimizer_injects_weight_decay():
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_sweep_rdrop_duplicate_matches_fully_compiled():
     """The R-Drop duplication path (Ren-MME semantics) matches the
     single-run driver the same way the plain path does."""

@@ -762,6 +762,7 @@ def test_epoch_stats_counts_real_samples_not_padding():
 # dynamic micro-batching server (serve/server.py)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_batching_server_groups_and_matches_batch1():
     """Concurrent submits group into one bucketed batch; every result is
     numerically identical to the batch-1 StreamingPredictor for the same

@@ -77,6 +77,7 @@ def test_adamw_training_trajectory_matches_torch():
     assert abs(torch_losses[-1] - torch_losses[0]) > 1e-3
 
 
+@pytest.mark.slow
 def test_concat_trans_training_trajectory_matches_torch():
     """Flagship (grid) model: same imported weights, same batches — our step
     tracks the torch loop through attention, grid, transition head, AdamW."""

@@ -5,6 +5,7 @@ import dataclasses
 import numpy as np
 
 import jax
+import pytest
 
 from multimodal_emotion_processing_tpu import configs
 from multimodal_emotion_processing_tpu.data.loader import Batcher
@@ -359,6 +360,7 @@ def test_fold_fns_per_leaf_optimizer_matches_fused():
         np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_vmapped_mesh_dp_tp_matches_unsharded():
     """Fold-vmap + dp=4 x TENSOR-parallel tp=2 (per-leaf optimizer, params
     sharded by tp_param_spec with the fold axis prepended) — identical
@@ -397,6 +399,7 @@ def test_vmapped_mesh_dp_tp_matches_unsharded():
                                            rtol=5e-4, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_fully_compiled_mesh_dp_tp_matches_unsharded():
     """The one-dispatch whole-experiment driver under dp=4 x tp=2: same
     trajectory and best losses as unsharded (TP rides the per-leaf optimizer
