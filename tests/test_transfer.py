@@ -84,6 +84,35 @@ def test_upcast_wire_restores_float32():
                                   x.astype(np.float32))
 
 
+def test_wire_to_bf16_matches_upcast_then_cast():
+    """wire_to_bf16 (the fused bf16-compute entry, round 4) is
+    value-identical to upcast_wire followed by the old f32->bf16 cast for
+    EVERY wire dtype: f32-staged, f16/bf16 half wires, int8-quantized (its
+    dequant multiply stays f32); keep-set vectors restore to f32; ints
+    untouched."""
+    rng = np.random.default_rng(0)
+    f32 = rng.standard_normal((4, 6)).astype(np.float32) * 3
+    base = {"x": f32, "sample_weight": np.ones(4, np.float32),
+            "label": np.zeros((4, 3), np.int32)}
+    wires = [None, "float16", "bfloat16", "int8"]
+    for wire in wires:
+        host = (base if wire is None else
+                cast_for_transfer(base, resolve_transfer_dtype(wire)))
+        dev = {k: jnp.asarray(v) for k, v in host.items()}
+        got = eng.wire_to_bf16(dev)
+        ref = {k: (v if k in ("sample_weight",)
+                   or not jnp.issubdtype(v.dtype, jnp.floating)
+                   else v.astype(jnp.bfloat16))
+               for k, v in upcast_wire(dev).items()}
+        assert set(got) == set(ref), wire
+        for k in ref:
+            assert got[k].dtype == ref[k].dtype, (wire, k)
+            np.testing.assert_array_equal(np.asarray(got[k], np.float32),
+                                          np.asarray(ref[k], np.float32),
+                                          err_msg=f"{wire}/{k}")
+    assert eng.wire_to_bf16({"x": jnp.asarray(f32)})["x"].dtype == jnp.bfloat16
+
+
 def test_prefetch_transfer_dtype_and_step():
     exp = _exp()
     samples = _round_f16(synthetic_dataset("rencecps", exp.model, n=24,
