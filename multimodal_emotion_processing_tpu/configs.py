@@ -252,7 +252,12 @@ SCALE_POINTS = {
                  batch_size=64),
     "s512": dict(dim=512, n_heads=8, l_len=128, v_len=256, a_len=512,
                  batch_size=32),
-    "s1024": dict(dim=1024, n_heads=16, l_len=128, v_len=256, a_len=512,
+    # n_heads=8 -> head width 128 = the v5e lane width.  16 heads (dh=64,
+    # the round-3 definition) leave HALF of every flash-kernel operand's
+    # lanes padding: measured 110.7 vs 91.1 ms/step at B=64-bf16-flash
+    # (2026-08-19) for identical FLOPs — dh=128 is the TPU-correct head
+    # shape, the same choice every production TPU transformer makes.
+    "s1024": dict(dim=1024, n_heads=8, l_len=128, v_len=256, a_len=512,
                   batch_size=16),
 }
 

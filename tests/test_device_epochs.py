@@ -81,8 +81,10 @@ def test_device_train_epoch_learns_and_matches_step_math():
     perm = np.asarray(jax.random.permutation(key, len(samples)))
     batch0 = {k: np.stack([samples[i][k] for i in perm[:8]])
               for k in samples[0]}
-    _, step = eng.make_train_step(model, exp.train, donate=False)
-    st = eng.init_state(model, eng.make_optimizer(exp.train), seed=0)
+    # init from the tx make_train_step RETURNS — its init targets the same
+    # optimizer form as the step (engine._wrap_fused_init, round 4)
+    tx2, step = eng.make_train_step(model, exp.train, donate=False)
+    st = eng.init_state(model, tx2, seed=0)
     _, loss0 = step(st, batch0)
     np.testing.assert_allclose(float(loss0), float(np.asarray(losses1)[0]),
                                rtol=1e-6, atol=1e-7)

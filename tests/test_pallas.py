@@ -312,7 +312,7 @@ def test_vmem_fit_predicate_calibration():
     assert _one_sample_vmem_bytes(512, 512, 512, 8, False, False, 4) \
         <= _SCOPED_VMEM_LIMIT          # s512 f32
     assert _one_sample_vmem_bytes(512, 512, 1024, 16, False, False, 2) \
-        <= _SCOPED_VMEM_LIMIT          # s1024 bf16
+        <= _SCOPED_VMEM_LIMIT          # dim-1024 16-head bf16 (round-3 s1024)
     assert _one_sample_vmem_bytes(200, 200, 96, 6, True, True, 4) \
         <= _SCOPED_VMEM_LIMIT          # flagship largest stream, emit+sprev
 
