@@ -127,14 +127,20 @@ def main(argv=None):
     xm = jax.device_put(jnp.eye(args.scan_dim, dtype=jnp.float32))
     chain_j = jax.jit(chain)
     fetch_scalar(chain_j(xm)[1])  # compile
-    t0 = time.perf_counter()
-    carry, losses = chain_j(xm)
-    jax.block_until_ready((carry, losses))
-    t_block = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    carry, losses = chain_j(xm)
-    fetch_scalar(losses)
-    t_fetch = time.perf_counter() - t0
+    # best-of-3 per leg: one host-contention spike in a single-shot window
+    # flipped the verdict on a loaded 1-core host (2026-08-19 full-suite
+    # run); a real early-ack relay shows ratio >> 3 on EVERY rep, so the
+    # min-based ratio keeps the detection while shedding the spikes
+    t_block = t_fetch = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        carry, losses = chain_j(xm)
+        jax.block_until_ready((carry, losses))
+        t_block = min(t_block, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        carry, losses = chain_j(xm)
+        fetch_scalar(losses)
+        t_fetch = min(t_fetch, time.perf_counter() - t0)
     ratio = t_fetch / max(t_block, 1e-9)
     out["sync_block_ms"] = round(t_block * 1e3, 2)
     out["sync_fetch_ms"] = round(t_fetch * 1e3, 2)
