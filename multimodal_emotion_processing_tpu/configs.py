@@ -247,16 +247,19 @@ def robot_demo() -> ExperimentConfig:
 # features.  Beyond-reference: these presets default to bfloat16 compute
 # (measured +9-19% at these dims; fp32 master weights either way) — pass
 # --set train.compute_dtype=float32 for exact-f32 semantics.
+# Every preset keeps head width dh = dim/n_heads = 128 — the v5e lane
+# width, the same choice every production TPU transformer makes.  The
+# round-3 definitions (8/8/16 heads -> dh 32/64/64) left 4x/2x/2x of every
+# flash-kernel operand's lanes as padding for IDENTICAL FLOPs; measured
+# 2026-08-19 (B per preset, bf16-flash): s256 17.9 -> 11.1 ms/step (+61%),
+# s512 24.7 -> 23.2 best-of (+6%; attention is a smaller share at dim 512),
+# s1024 110.7 -> 91.1 (+21%).  Old definitions stay on record in
+# docs/ENGINEERING_NOTES.md.
 SCALE_POINTS = {
-    "s256": dict(dim=256, n_heads=8, l_len=64, v_len=128, a_len=256,
+    "s256": dict(dim=256, n_heads=2, l_len=64, v_len=128, a_len=256,
                  batch_size=64),
-    "s512": dict(dim=512, n_heads=8, l_len=128, v_len=256, a_len=512,
+    "s512": dict(dim=512, n_heads=4, l_len=128, v_len=256, a_len=512,
                  batch_size=32),
-    # n_heads=8 -> head width 128 = the v5e lane width.  16 heads (dh=64,
-    # the round-3 definition) leave HALF of every flash-kernel operand's
-    # lanes padding: measured 110.7 vs 91.1 ms/step at B=64-bf16-flash
-    # (2026-08-19) for identical FLOPs — dh=128 is the TPU-correct head
-    # shape, the same choice every production TPU transformer makes.
     "s1024": dict(dim=1024, n_heads=8, l_len=128, v_len=256, a_len=512,
                   batch_size=16),
 }
