@@ -348,20 +348,26 @@ def combined(train_sps, infer_sps, bsz):
 
 
 def _pallas_phase(config_name: str, budget_s: float = 120.0):
-    """Pallas measurement body, exposed for the subprocess runner: prints one
-    JSON dict {train_sps, infer_sps, parity, parity_rel} on stdout."""
+    """Pallas measurement body, exposed for the subprocess runner: prints
+    INCREMENTAL JSON lines on stdout — parity first (the VERDICT-critical
+    bit, two forwards only), then the full dict with throughput.  The parent
+    merges every complete line, so a child killed mid-throughput (observed:
+    compile weather exceeding ANY sane timeout, 2026-08-19 evening) still
+    delivers parity instead of a null block."""
     from multimodal_emotion_processing_tpu import configs
 
     exp = configs.get(config_name)
     batch = make_batch(exp.model, exp.train.batch_size)
-    # parity FIRST (the VERDICT-critical bit; two forwards only), then the
-    # deadline-capped throughput windows fill whatever time remains
     parity, parity_rel = pallas_parity(exp, batch)
+    print(json.dumps({"train_sps": None, "infer_sps": None,
+                      "parity": parity, "parity_rel": parity_rel}),
+          flush=True)
     tr, inf = measure_jax(exp, batch, impl="pallas",
                           deadline=time.perf_counter() + budget_s * 0.6,
                           max_reps=4)
     print(json.dumps({"train_sps": tr, "infer_sps": inf,
-                      "parity": parity, "parity_rel": parity_rel}))
+                      "parity": parity, "parity_rel": parity_rel}),
+          flush=True)
 
 
 def _run_pallas_subprocess(config_name: str, timeout_s: float):
@@ -373,20 +379,32 @@ def _run_pallas_subprocess(config_name: str, timeout_s: float):
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
+    out, err_tail, note = "", "", None
     try:
         proc = subprocess.run(
             [sys.executable, "-c",
              f"import bench; bench._pallas_phase({config_name!r}, "
              f"{timeout_s * 0.75!r})"],
             cwd=here, capture_output=True, text=True, timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        return None, f"timed out after {timeout_s:.0f}s"
-    if proc.returncode != 0:
-        return None, f"rc={proc.returncode}: {proc.stderr[-300:]}"
-    try:
-        return json.loads(proc.stdout.strip().splitlines()[-1]), None
-    except Exception as e:
-        return None, f"unparseable output ({e!r})"
+        out, err_tail = proc.stdout or "", (proc.stderr or "")[-300:]
+        if proc.returncode != 0:
+            note = f"rc={proc.returncode}: {err_tail}"
+    except subprocess.TimeoutExpired as e:
+        # a killed child may still have printed the parity line
+        out = (e.stdout.decode() if isinstance(e.stdout, bytes)
+               else (e.stdout or ""))
+        note = f"timed out after {timeout_s:.0f}s"
+    res = None
+    for line in out.strip().splitlines():
+        try:
+            res = json.loads(line)     # last complete line wins
+        except Exception:
+            pass
+    if res is None:
+        return None, note or "no parseable output"
+    if note:
+        res["note"] = note             # partial: parity only
+    return res, None
 
 
 def _load_tuned():
@@ -535,15 +553,22 @@ def main():
     pal_train = pal_infer = None
     parity = parity_rel = None
     # the child re-pays backend init (t_init, pure weather) before any pallas
-    # work — its timeout floors at init + compile-and-measure headroom
-    pal_timeout = max(1.2 * t_init + 110.0,
-                      min(280.0, budget_s - elapsed() + 120.0))
+    # work — its timeout floors at init + compile-and-measure headroom.
+    # Floor 300 s: a 230 s slot lost the whole block to compile weather on
+    # 2026-08-19 while a 227 s child succeeded hours earlier — the margin
+    # was zero; the parity bits are VERDICT-critical, so overshooting the
+    # soft budget beats losing them
+    pal_timeout = max(1.2 * t_init + 110.0, 300.0,
+                      min(420.0, budget_s - elapsed() + 120.0))
     res, err = _run_pallas_subprocess(exp.name, pal_timeout)
     if res is not None:
         pal_train, pal_infer = res["train_sps"], res["infer_sps"]
         parity, parity_rel = res["parity"], res["parity_rel"]
-        log(f"jax[pallas]: train {pal_train:.1f} samples/s, infer "
-            f"{pal_infer:.1f} samples/s, forward parity max|xla-pallas| "
+        sps = ("train/infer sps lost to the kill-timeout "
+               f"({res.get('note')})" if pal_train is None else
+               f"train {pal_train:.1f} samples/s, infer "
+               f"{pal_infer:.1f} samples/s")
+        log(f"jax[pallas]: {sps}; forward parity max|xla-pallas| "
             f"= {parity:.2e} (relative {parity_rel:.2e})")
     else:
         log(f"pallas phase failed: {err}")
