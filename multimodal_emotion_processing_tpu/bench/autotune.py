@@ -342,12 +342,14 @@ def apply_tuned(args, path: str) -> Dict:
     for knob, value in (rec.get("winners") or {}).items():
         if knob == "remat":
             # remat is a model-config override, not a driver flag: ride the
-            # generic --set mechanism (an explicit --set model.remat=... wins)
+            # generic --set mechanism (an explicit --set model.remat=... wins).
+            # Both verdicts apply symmetrically — a tuned remat=false matters
+            # when the config's default is remat-on (the scale presets).
             sets = getattr(args, "set", None)
-            if (value is True and sets is not None
+            if (isinstance(value, bool) and sets is not None
                     and not any(s.startswith("model.remat=") for s in sets)):
-                sets.append("model.remat=true")
-                applied["remat"] = True
+                sets.append(f"model.remat={'true' if value else 'false'}")
+                applied["remat"] = value
             continue
         if knob not in _ARG_OF:
             continue

@@ -68,8 +68,7 @@ def import_torch_members(config_name: str, pt_paths: Sequence[str],
 
 
 def _golden_demo(exp, data_root: str, checkpoint_dir: str,
-                 demo_clips: Optional[Sequence[str]], n_demo: int,
-                 overrides=None) -> Dict:
+                 demo_clips: Optional[Sequence[str]], n_demo: int) -> Dict:
     """robot_demo: calibrated serving probabilities for real clips — the
     exact numbers robot_demo.py:616-622 prints."""
     import jax
@@ -145,7 +144,7 @@ def run_acceptance(
         # on all clips and demos on files, robot_demo.py:594-640) — the
         # acceptance artifact is the golden demo block
         report["golden_demo"] = _golden_demo(exp, data_root, checkpoint_dir,
-                                             demo_clips, n_demo, overrides)
+                                             demo_clips, n_demo)
     else:
         from ..pipelines import run_experiment
 

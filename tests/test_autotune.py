@@ -56,10 +56,13 @@ def test_tune_remat_arm_and_apply(tmp_path):
     applied = autotune.apply_tuned(args, path)
     assert applied == {} and args.set == ["model.remat=false"]
 
+    # a False winner applies symmetrically (a tuned remat=false matters when
+    # the config default is remat-on, e.g. the scale presets) — ADVICE r4
     path = _tuned_file(tmp_path, winners={"remat": False})
     args = cli.build_parser().parse_args(
         ["train", "rencecps", "--tuned", path])
-    assert autotune.apply_tuned(args, path) == {}
+    applied = autotune.apply_tuned(args, path)
+    assert applied == {"remat": False} and "model.remat=false" in args.set
 
 
 def test_tune_stacked_arm_skipped_for_minus_family():
