@@ -60,38 +60,100 @@ def ensemble_serve_fn(model, offsets: Sequence[float], *, impl: str = "xla",
 class StreamingPredictor:
     def __init__(self, model, params_list: Sequence, offsets: Sequence[float],
                  *, impl: str = "xla", stacked_grid: bool = False,
-                 dtype: str = "float32"):
+                 dtype: str = "float32", wire_dtype: str = "float32"):
         """`stacked_grid`: trace the ensemble forward with the stacked
         realformer grid path (models/grid.apply_grid stacked=True).  Measured
         SLOWER at reference shapes under honest sync (robot -26%, realformer
         -4% batch infer; batch-1 p50 unchanged, relay-RTT-bound) — kept
         selectable for shapes where 3 fat chains beat 9 thin ones (unequal
         lengths are padded to the max and sliced back, so robot_demo
-        qualifies too; a no-op for non-realformer block types)."""
+        qualifies too; a no-op for non-realformer block types).
+
+        `wire_dtype`: dtype of the PACKED input buffer predict() ships to the
+        device ("float32" default = lossless; "float16" halves the wire bytes
+        for relay-attached hosts at a ~1e-3 feature quantization — the same
+        trade data/loader.cast_for_transfer offers training).  Unpacking
+        upcasts to f32 on device before the forward."""
         self.model = model
         self.k = len(params_list)
         self.stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
         self.offsets = jnp.asarray(offsets, jnp.float32)
+        self.n_off = int(self.offsets.shape[0])
         # the flag is baked into the traced program as a static argument —
         # retraces (e.g. a new input dtype) keep it; no global state, no
         # cross-thread exposure
-        self._jitted = jax.jit(ensemble_serve_fn(
+        self._serve_fn = ensemble_serve_fn(
             model, offsets, impl=impl,
-            stacked=True if stacked_grid else None, dtype=dtype))
+            stacked=True if stacked_grid else None, dtype=dtype)
+        self._jitted = jax.jit(self._serve_fn)
+        self._wire = np.dtype(wire_dtype)
+        # packed-layout state, built lazily from the first sample's shapes
+        self._pack_keys: tuple = ()
+        self._pack_shapes: tuple = ()
+        self._packed_jitted = None
 
     def _run(self, stacked, batch):
         return self._jitted(stacked, batch)
 
     def warmup(self, sample: Dict[str, np.ndarray]) -> None:
         jax.block_until_ready(self._run(self.stacked, self._batch1(sample)))
+        self._build_packed(sample)
+        np.asarray(self._packed_jitted(self.stacked, self._pack(sample)))
 
     @staticmethod
     def _batch1(sample: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         return {k: np.expand_dims(np.asarray(v), 0) for k, v in sample.items()
                 if k != "label"}
 
+    # ---- packed single-buffer serving path --------------------------------
+    # The relay-attached host pays one round-trip PER transfer: the dict path
+    # ships six arrays up (l/v/a + 3 masks) and fetches two down
+    # (pred, probs) — eight trips per sample.  predict() instead packs the
+    # sample into ONE flat host buffer (a ~200 KB memcpy, microseconds),
+    # ships it in one put, and the jitted program unpacks on device, runs the
+    # same ensemble forward, and concatenates (pred ++ probs) into one output
+    # fetched in one trip.  Same math, 2 round-trips total.  Measured on the
+    # relay image: e2e p50 92.8 ms (dict path, BENCH_r04) → ~= compute-leg
+    # p50 + one put (bench.py latency_batch1 records both legs).
+
+    def _build_packed(self, sample: Dict[str, np.ndarray]) -> None:
+        if self._packed_jitted is not None:
+            return
+        keys = tuple(k for k in sample if k != "label")
+        shapes = tuple(tuple(np.asarray(sample[k]).shape) for k in keys)
+        sizes = tuple(int(np.prod(s)) for s in shapes)
+        serve, wire = self._serve_fn, self._wire
+
+        def packed_run(stacked, buf):
+            batch, ofs = {}, 0
+            for k, shp, n in zip(keys, shapes, sizes):
+                flat = jax.lax.dynamic_slice_in_dim(buf, ofs, n)
+                batch[k] = flat.astype(jnp.float32).reshape((1,) + shp)
+                ofs += n
+            pred, probs = serve(stacked, batch)
+            return jnp.concatenate([pred, probs])
+
+        self._pack_keys, self._pack_shapes = keys, shapes
+        self._packed_jitted = jax.jit(packed_run)
+
+    def _pack(self, sample: Dict[str, np.ndarray]) -> np.ndarray:
+        self._build_packed(sample)
+        return np.concatenate(
+            [np.asarray(sample[k], self._wire).ravel()
+             for k in self._pack_keys])
+
     def predict(self, sample: Dict[str, np.ndarray]):
-        """Returns (raw ensemble logits (E,), calibrated probabilities)."""
+        """Returns (raw ensemble logits (E,), calibrated probabilities).
+        Uses the packed 2-round-trip path (one put, one fetch)."""
+        self._build_packed(sample)
+        out = np.asarray(self._packed_jitted(self.stacked,
+                                             self._pack(sample)))
+        return out[: out.shape[0] - self.n_off], out[out.shape[0] - self.n_off:]
+
+    def predict_unpacked(self, sample: Dict[str, np.ndarray]):
+        """The dict-in/two-arrays-out path (one transfer per array) — kept
+        for parity testing and for directly-attached hosts where transfer
+        count doesn't matter."""
         pred, probs = self._run(self.stacked, self._batch1(sample))
         return np.asarray(pred), np.asarray(probs)
 

@@ -601,6 +601,42 @@ def test_streaming_predictor_stacked_grid_parity():
     np.testing.assert_allclose(pr1, pr0, rtol=2e-5, atol=2e-5)
 
 
+def test_streaming_predictor_packed_path_parity():
+    """predict() ships ONE packed buffer and fetches ONE concatenated output
+    (2 round-trips on a relay-attached host vs 8 for the dict path); the
+    values must equal predict_unpacked() exactly — same serve_fn, the packed
+    program only reshapes the identical bytes."""
+    exp = tiny_exp("mosei_trans")
+    model = build_model(exp)
+    ps = [model.init(jax.random.PRNGKey(i)) for i in range(3)]
+    sp = StreamingPredictor(model, ps, offsets=exp.thresholds)
+    for seed in (3, 11):
+        sample = synthetic_dataset("mosei_trans", exp.model, 1, seed=seed)[0]
+        p0, pr0 = sp.predict_unpacked(sample)
+        p1, pr1 = sp.predict(sample)
+        np.testing.assert_allclose(p1, p0, rtol=0, atol=1e-6)
+        np.testing.assert_allclose(pr1, pr0, rtol=0, atol=1e-6)
+    assert p1.shape == (exp.model.n_emotions,)
+    assert pr1.shape == (len(exp.thresholds),)
+
+
+def test_streaming_predictor_packed_f16_wire():
+    """wire_dtype='float16' halves the packed put bytes; probabilities stay
+    within feature-quantization tolerance of the f32 wire."""
+    exp = tiny_exp("mosei_trans")
+    model = build_model(exp)
+    ps = [model.init(jax.random.PRNGKey(i)) for i in range(2)]
+    sample = synthetic_dataset("mosei_trans", exp.model, 1, seed=5)[0]
+    f32 = StreamingPredictor(model, ps, offsets=exp.thresholds)
+    f16 = StreamingPredictor(model, ps, offsets=exp.thresholds,
+                             wire_dtype="float16")
+    assert f16._pack(sample).dtype == np.float16
+    p0, pr0 = f32.predict(sample)
+    p1, pr1 = f16.predict(sample)
+    np.testing.assert_allclose(p1, p0, rtol=0, atol=5e-3)
+    np.testing.assert_allclose(pr1, pr0, rtol=0, atol=5e-3)
+
+
 def test_streaming_predictor_rejects_unservable_configs():
     """Empty offsets (swept-threshold configs) and per-clip paragraph heads
     must error clearly instead of silently serving empty/zero outputs."""
