@@ -276,14 +276,90 @@ def measure_jax_datafed_scan(exp, *, deadline: float, n_samples=512,
     return float(max(window_sps)), float(np.median(window_sps))
 
 
+def measure_family(name: str, *, deadline: float, scan_k: int = 32):
+    """Compact per-family throughput row for `diagnostics.families` (VERDICT
+    r4 item 6): every reference script's replacement gets a DRIVER-captured
+    number, not just the flagship.  Per-dispatch train+infer plus the
+    scan-chained train path (the per-family winner per bench/all_configs.py);
+    the scan leg is dropped first when its deadline has already passed.
+    Reference train loops being covered: cmu-mosei/run.py:361-363,
+    others/realformer.py:404-435, RenCECPS/run.py &
+    Ren-MME/run.py:307-340, robot_demo.py:…(train loop)."""
+    import jax
+
+    from multimodal_emotion_processing_tpu import configs
+    from multimodal_emotion_processing_tpu.bench.all_configs import synth_batch
+    from multimodal_emotion_processing_tpu.models import build_model
+    from multimodal_emotion_processing_tpu.train import engine as eng
+
+    exp = configs.get(name)
+    b = exp.train.batch_size
+    host = synth_batch(name, exp.model, b)
+    batch = jax.device_put(host)
+    model = build_model(exp)
+    tx, step = eng.make_train_step(model, exp.train)
+    state = eng.init_state(model, tx, seed=0)
+    box = {"s": state}
+
+    def one_train():
+        box["s"], loss = step(box["s"], batch)
+        return loss
+
+    now = time.perf_counter()
+    train_sps = max(_windows_sps(one_train, b, now + 0.4 * (deadline - now),
+                                 max_reps=3, max_steps=12))
+    predict = eng.make_predict_step(model)
+    now = time.perf_counter()
+    infer_sps = max(_windows_sps(
+        lambda: predict(box["s"].params, batch), b,
+        now + 0.5 * (deadline - now), max_reps=3, max_steps=12))
+    row = {"batch": b, "train_sps": round(train_sps, 1),
+           "infer_sps": round(infer_sps, 1)}
+    if time.perf_counter() >= deadline:
+        row["scan_train_sps"] = None
+        return row
+    stacked = jax.device_put({
+        key: np.ascontiguousarray(np.broadcast_to(a[None],
+                                                  (scan_k,) + a.shape))
+        for key, a in host.items()})
+    stx, sstep = eng.make_scan_train_step(model, exp.train)
+    sbox = {"s": eng.init_state(model, stx, seed=0)}
+
+    def one_scan():
+        sbox["s"], losses = sstep(sbox["s"], stacked)
+        return losses
+
+    row["scan_k"] = scan_k
+    row["scan_train_sps"] = round(max(_windows_sps(
+        one_scan, b * scan_k, deadline, max_reps=2, max_steps=2,
+        warmup=1)), 1)
+    return row
+
+
 def measure_latency(exp, *, deadline: float):
     """Batch-1 4-member-ensemble latency percentiles — the reference's test
     protocol (cmu-mosei/run.py:456-476) and live demo path
-    (robot_demo.py:611-614).  Three honest numbers (bench/latency.py):
-    jax compute-only (sample already on device), jax end-to-end (fresh host
-    sample, H2D across the relay included), torch-CPU (the reference's 4
-    sequential forwards).  Rep counts adapt to the deadline; >= 10 reps per
-    leg or the leg reports null."""
+    (robot_demo.py:611-614).  Legs (bench/latency.py):
+
+      dispatch_floor_ms — p50 round-trip of a TRIVIAL jitted program (the
+        doctor's probe, inlined so the artifact is self-explanatory): the
+        relay's irreducible dispatch+fetch cost.  Any compute leg within a
+        few ms of this floor is relay-bound, not model-bound.
+      jax_compute       — sample already on device, one fetch.
+      jax_end_to_end    — fresh host sample via the PACKED serving path
+        (serve/stream.py: one put + one fetch = 2 round-trips total).
+      jax_e2e_dict_path — the pre-round-5 dict path (6 puts + 2 fetches),
+        kept so the packed win is measured, not asserted.
+      torch_cpu         — the reference's 4 sequential forwards.
+
+    Rep counts adapt to the deadline.  The two VERDICT-critical legs
+    (compute, e2e-packed) get a bounded GRACE window for their 10-rep
+    minimum: warmup compiles on a cold cache can eat the whole slot
+    (observed 2026-08-20: ~99 s of warmup nulled every leg on a 1200 s
+    budget), and ten reps cost <1 s once warm — so a leg past its deadline
+    may still run its first 10 reps inside `grace_s`, bounding the overrun
+    instead of choosing between 'unbounded' and 'null'.  Non-critical legs
+    (e2e-dict) get no grace and report null (logged) when they can't fit."""
     import jax
 
     from multimodal_emotion_processing_tpu.bench import latency as lat
@@ -296,32 +372,71 @@ def measure_latency(exp, *, deadline: float):
     params = [model.init(jax.random.PRNGKey(i)) for i in range(4)]
     sp = StreamingPredictor(model, params, offsets=exp.thresholds)
     sample = synthetic_dataset(exp_name, exp.model, 1, seed=7)[0]
-    sp.warmup(sample)
+    sp.warmup(sample)  # compiles both the dict and the packed program
 
     dev_batch = jax.device_put(sp._batch1(sample))
     np.asarray(sp._run(sp.stacked, dev_batch)[1])  # honest fetch warmup
 
-    def leg(call, max_reps):
+    def leg(name, call, max_reps, grace_s=0.0):
         times = []
+        # grace anchors at LEG START: warmup/compile can overshoot the phase
+        # deadline by minutes on a cold cache, and a deadline-anchored grace
+        # would already be spent — each critical leg instead gets grace_s
+        # from its own first rep, bounding the overrun per leg
+        hard_stop = max(deadline, time.perf_counter()) + grace_s
         while len(times) < max_reps:
-            if len(times) >= 10 and time.perf_counter() >= deadline:
+            now = time.perf_counter()
+            if now >= deadline and not (len(times) < 10 and now < hard_stop):
                 break
             t0 = time.perf_counter()
             call()
             times.append(time.perf_counter() - t0)
+        if len(times) < 10:
+            log(f"latency leg {name!r}: only {len(times)} reps fit the "
+                f"deadline{f' (+{grace_s:.0f}s grace)' if grace_s else ''} "
+                "(< 10 minimum) — reporting null")
+            return None
         return lat._percentiles(times) | {"reps": len(times)}
 
-    compute = leg(lambda: np.asarray(sp._run(sp.stacked, dev_batch)[1]), 200)
-    e2e = leg(lambda: sp.predict(sample), 50)
+    # the floor probe is ~20 trivial round-trips — always fits, runs first
+    triv = jax.jit(lambda x: x + 1.0)
+    from multimodal_emotion_processing_tpu.utils.sync import fetch_scalar
+    import jax.numpy as jnp
+    zero = jax.device_put(jnp.zeros((), jnp.float32))
+    fetch_scalar(triv(zero))  # compile
+    floor_times = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        fetch_scalar(triv(zero))
+        floor_times.append(time.perf_counter() - t0)
+    floor_ms = round(float(np.percentile(np.asarray(floor_times) * 1e3, 50)), 3)
+
+    compute = leg("compute",
+                  lambda: np.asarray(sp._run(sp.stacked, dev_batch)[1]), 200,
+                  grace_s=20.0)
+    e2e = leg("e2e-packed", lambda: sp.predict(sample), 50, grace_s=20.0)
+    e2e_dict = leg("e2e-dict", lambda: sp.predict_unpacked(sample), 15)
     torch_lat = lat.measure_torch(exp_name, reps=20)
-    return {"jax_compute": compute, "jax_end_to_end": e2e,
-            "torch_cpu": torch_lat,
-            "compute_speedup_p50": (
-                None if torch_lat is None else
-                round(torch_lat["p50_ms"] / compute["p50_ms"], 2)),
-            "e2e_speedup_p50": (
-                None if torch_lat is None else
-                round(torch_lat["p50_ms"] / e2e["p50_ms"], 2))}
+
+    def speedup(ours):
+        if torch_lat is None or ours is None:
+            return None
+        return round(torch_lat["p50_ms"] / ours["p50_ms"], 2)
+
+    out = {"dispatch_floor_ms": floor_ms,
+           "jax_compute": compute, "jax_end_to_end": e2e,
+           "jax_e2e_dict_path": e2e_dict,
+           "torch_cpu": torch_lat,
+           "compute_speedup_p50": speedup(compute),
+           "e2e_speedup_p50": speedup(e2e),
+           "e2e_dict_speedup_p50": speedup(e2e_dict)}
+    if compute is not None:
+        # model time net of the relay round-trip — the number a directly
+        # attached host would see; recorded so "relay-bound" is a measurement
+        # in the artifact, not a claim in a doc
+        out["compute_net_of_floor_ms"] = round(
+            max(compute["p50_ms"] - floor_ms, 0.0), 3)
+    return out
 
 
 def pallas_parity(exp, batch):
@@ -353,8 +468,21 @@ def _pallas_phase(config_name: str, budget_s: float = 120.0):
     bit, two forwards only), then the full dict with throughput.  The parent
     merges every complete line, so a child killed mid-throughput (observed:
     compile weather exceeding ANY sane timeout, 2026-08-19 evening) still
-    delivers parity instead of a null block."""
+    delivers parity instead of a null block.  The persistent compile cache
+    (MEP_COMPILE_CACHE, set by the parent) means a child on a warmed machine
+    re-pays backend init but NOT the pallas/xla compiles — the round-4
+    driver child died exactly there."""
     from multimodal_emotion_processing_tpu import configs
+    from multimodal_emotion_processing_tpu.utils.compile_cache import (
+        cache_dir_from_env, enable_compilation_cache)
+
+    cache = cache_dir_from_env()
+    if cache:
+        try:
+            enable_compilation_cache(cache)
+        except Exception as e:
+            print(f"compile cache unavailable in pallas child: {e!r}",
+                  file=sys.stderr, flush=True)
 
     exp = configs.get(config_name)
     batch = make_batch(exp.model, exp.train.batch_size)
@@ -441,6 +569,23 @@ def main():
     # it AGAIN, so its kill-timeout must budget for it
     t_init = elapsed()
 
+    # Persistent XLA compile cache (round-5): every jitted program this file
+    # compiles is identical run-to-run, so the SECOND driver run on a machine
+    # pays ~zero compile — and the pallas child (which inherits the env var)
+    # skips the compile that killed round 4's pallas block.  Repo-local dir,
+    # gitignored; MEP_COMPILE_CACHE overrides.
+    from multimodal_emotion_processing_tpu.utils.compile_cache import (
+        enable_compilation_cache)
+
+    cache_dir = os.environ.get("MEP_COMPILE_CACHE") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".compile_cache")
+    try:
+        cache_dir = enable_compilation_cache(cache_dir)
+        os.environ["MEP_COMPILE_CACHE"] = cache_dir  # the pallas child's too
+        log(f"persistent compile cache: {cache_dir}")
+    except Exception as e:
+        log(f"persistent compile cache unavailable: {e!r}")
+
     # Soft total budget; each phase below gets a HARD cap (a fraction of it),
     # enforced inside the measurement loops, so no phase can starve the rest
     # the way round 3's 393-s first phase did.  Compile time is the one
@@ -481,44 +626,66 @@ def main():
             "diagnostics": {"error": "xla phase failed"}}))
         return
 
-    # ---- 2-4. data-fed end-to-end + compressed wire formats ----
-    datafed = datafed_med = None
-    res = phase("data-fed", 0.12,
-                lambda dl: measure_jax_datafed(exp, deadline=dl))
+    # ---- 2-4. data-fed end-to-end: the machine's TUNED wire is the PRIMARY
+    # data-fed number (VERDICT r4 item 3 — the framework's own autotuner
+    # picks the wire; reporting f32 as primary recorded the one config the
+    # tuner rejects).  f32 stays as the lossless secondary row, and the
+    # remaining wire format fills its ledger row in the leftover slot. ----
+    tuned = _load_tuned()
+    wire = ((tuned or {}).get("winners") or {}).get("transfer_dtype")
+    wire_src = f"tuned.json winner ({(tuned or {}).get('tuned_at')})"
+    if wire is None:
+        wire, wire_src = "int8", (
+            "default: int8 won every interleaved wire A/B/C "
+            "(ENGINEERING_NOTES 2026-08-18); no tuned transfer_dtype "
+            "recorded on this machine")
+    datafed_tuned = datafed_tuned_med = None
+    res = phase(f"data-fed {wire}-wire (primary)", 0.10,
+                lambda dl: measure_jax_datafed(exp, deadline=dl,
+                                               transfer_dtype=wire))
     if res:
-        datafed, datafed_med, n_w = res
-        log(f"jax[xla] data-fed (host assembly + prefetch + step): "
-            f"best {datafed:.1f} / median {datafed_med:.1f} samples/s "
-            f"({n_w} windows)")
+        datafed_tuned, datafed_tuned_med, n_w = res
+        log(f"jax[xla] data-fed {wire}-wire (host assembly + prefetch + "
+            f"step): best {datafed_tuned:.1f} / median "
+            f"{datafed_tuned_med:.1f} samples/s ({n_w} windows)")
 
-    # int8 before f16: the stronger wire format (interleaved A/B/C,
-    # ENGINEERING_NOTES 2026-08-18: int8 ~2x f32 every round, f16 between);
+    datafed = datafed_med = None
+    res = phase("data-fed f32", 0.07,
+                lambda dl: measure_jax_datafed(exp, deadline=dl, max_epochs=5))
+    if res:
+        datafed, datafed_med, _ = res
+        log(f"jax[xla] data-fed f32 (lossless secondary): best "
+            f"{datafed:.1f} / median {datafed_med:.1f} samples/s")
+
     # NOTE phases run sequentially, so x-vs-x ratios here carry the relay's
-    # ~4x weather — the interleaved A/B/C is the honest comparison
-    datafed_i8 = datafed_i8_med = None
-    res = phase("data-fed int8-wire", 0.06,
-                lambda dl: measure_jax_datafed(exp, deadline=dl, max_epochs=5,
-                                               transfer_dtype="int8"))
+    # ~4x weather — the interleaved A/B/C in ENGINEERING_NOTES is the honest
+    # wire-vs-wire comparison; these rows are per-run ledger entries
+    other_wire = "float16" if wire != "float16" else "int8"
+    datafed_other = datafed_other_med = None
+    res = phase(f"data-fed {other_wire}-wire", 0.04,
+                lambda dl: measure_jax_datafed(exp, deadline=dl, max_epochs=4,
+                                               transfer_dtype=other_wire),
+                skip_if_spent=0.45)
     if res:
-        datafed_i8, datafed_i8_med, _ = res
-        log(f"jax[xla] data-fed int8-wire: best {datafed_i8:.1f} / "
-            f"median {datafed_i8_med:.1f} samples/s")
-    datafed_f16 = datafed_f16_med = None
-    res = phase("data-fed f16-wire", 0.06,
-                lambda dl: measure_jax_datafed(exp, deadline=dl, max_epochs=5,
-                                               transfer_dtype="float16"))
-    if res:
-        datafed_f16, datafed_f16_med, _ = res
-        log(f"jax[xla] data-fed f16-wire: best {datafed_f16:.1f} / "
-            f"median {datafed_f16_med:.1f} samples/s")
+        datafed_other, datafed_other_med, _ = res
+        log(f"jax[xla] data-fed {other_wire}-wire: best {datafed_other:.1f} "
+            f"/ median {datafed_other_med:.1f} samples/s")
+    wire_rows = {wire: (datafed_tuned, datafed_tuned_med),
+                 other_wire: (datafed_other, datafed_other_med)}
+    datafed_i8, datafed_i8_med = wire_rows.get("int8", (None, None))
+    datafed_f16, datafed_f16_med = wire_rows.get("float16", (None, None))
 
     # ---- 5. batch-1 serving latency (the reference's p50 path) ----
-    latency = phase("latency", 0.06, lambda dl: measure_latency(exp, deadline=dl))
+    latency = phase("latency", 0.07, lambda dl: measure_latency(exp, deadline=dl))
     if latency:
-        log(f"batch-1 latency: jax compute p50 "
-            f"{latency['jax_compute']['p50_ms']} ms, e2e p50 "
-            f"{latency['jax_end_to_end']['p50_ms']} ms, torch-cpu p50 "
-            f"{(latency['torch_cpu'] or {}).get('p50_ms')} ms")
+        def _p50(leg):
+            return (latency.get(leg) or {}).get("p50_ms")
+        log(f"batch-1 latency: dispatch floor "
+            f"{latency['dispatch_floor_ms']} ms, jax compute p50 "
+            f"{_p50('jax_compute')} ms, e2e-packed p50 "
+            f"{_p50('jax_end_to_end')} ms, e2e-dict p50 "
+            f"{_p50('jax_e2e_dict_path')} ms, torch-cpu p50 "
+            f"{_p50('torch_cpu')} ms")
 
     # ---- 6. bf16 compute (f32 master weights) ----
     bf16_train = bf16_infer = None
@@ -546,34 +713,61 @@ def main():
         log(f"jax[xla,scan k={scan_k}]: train {scan_train:.1f} samples/s, "
             f"infer {scan_infer:.1f} samples/s")
 
-    # ---- 8. pallas (subprocess-isolated: kill-timeout covers compile
+    # ---- 8. per-family rows (VERDICT r4 item 6) — each family budget-gated
+    # so a slow day degrades to fewer rows, never to a blown budget.  The
+    # flagship's own rows are the main phases above. ----
+    families = {"mosei_trans": {"see": "xla/scan/datafed blocks above"}}
+    fam_names = ["mosei_realformer", "rencecps", "ren_mme", "robot_demo"]
+    for i, fam in enumerate(fam_names):
+        res = phase(f"family {fam}", 0.05,
+                    lambda dl, fam=fam: measure_family(fam, deadline=dl),
+                    skip_if_spent=0.56 + 0.06 * i)
+        families[fam] = res
+        if res:
+            log(f"family {fam}: train {res['train_sps']} / infer "
+                f"{res['infer_sps']} / scan {res.get('scan_train_sps')} "
+                "samples/s")
+
+    # ---- 9. pallas (subprocess-isolated: kill-timeout covers compile
     # hangs; a child process also cannot poison this one with the
-    # pallas→fresh-H2D degradation quirk).  Guaranteed a minimum slot even
-    # on a blown budget — round 3 starved exactly this phase. ----
+    # pallas→fresh-H2D degradation quirk).  Round-5 contract (VERDICT r4
+    # item 1): the slot RESPECTS the remaining budget — skip with an explicit
+    # reason instead of overrunning (round 4's fixed 300 s floor blew the
+    # budget 62% and still delivered nothing).  The persistent compile cache
+    # (wired above, inherited via MEP_COMPILE_CACHE) is what makes a modest
+    # slot survivable: a warmed machine's child pays backend init + measure,
+    # not the ~minutes pallas compile that killed the round-4 child. ----
     pal_train = pal_infer = None
     parity = parity_rel = None
-    # the child re-pays backend init (t_init, pure weather) before any pallas
-    # work — its timeout floors at init + compile-and-measure headroom.
-    # Floor 300 s: a 230 s slot lost the whole block to compile weather on
-    # 2026-08-19 while a 227 s child succeeded hours earlier — the margin
-    # was zero; the parity bits are VERDICT-critical, so overshooting the
-    # soft budget beats losing them
-    pal_timeout = max(1.2 * t_init + 110.0, 300.0,
-                      min(420.0, budget_s - elapsed() + 120.0))
-    res, err = _run_pallas_subprocess(exp.name, pal_timeout)
-    if res is not None:
-        pal_train, pal_infer = res["train_sps"], res["infer_sps"]
-        parity, parity_rel = res["parity"], res["parity_rel"]
-        sps = ("train/infer sps lost to the kill-timeout "
-               f"({res.get('note')})" if pal_train is None else
-               f"train {pal_train:.1f} samples/s, infer "
-               f"{pal_infer:.1f} samples/s")
-        log(f"jax[pallas]: {sps}; forward parity max|xla-pallas| "
-            f"= {parity:.2e} (relative {parity_rel:.2e})")
+    pal_skip = None
+    torch_reserve = 45.0                   # phase 10 must always run
+    # child floor: backend init (re-paid, pure weather) + parity forwards +
+    # a short measure window; compiles assumed cache-warm (cold cache on a
+    # bad day loses throughput but the child still emits parity first)
+    pal_min = 1.2 * t_init + 60.0
+    pal_left = budget_s - elapsed() - torch_reserve
+    if pal_left < pal_min:
+        pal_skip = (f"no budget: {pal_left:.0f}s left after the torch "
+                    f"reserve < {pal_min:.0f}s child minimum "
+                    f"(backend init was {t_init:.0f}s)")
+        log(f"pallas skipped: {pal_skip}")
     else:
-        log(f"pallas phase failed: {err}")
+        pal_timeout = min(300.0, pal_left)
+        res, err = _run_pallas_subprocess(exp.name, pal_timeout)
+        if res is not None:
+            pal_train, pal_infer = res["train_sps"], res["infer_sps"]
+            parity, parity_rel = res["parity"], res["parity_rel"]
+            sps = ("train/infer sps lost to the kill-timeout "
+                   f"({res.get('note')})" if pal_train is None else
+                   f"train {pal_train:.1f} samples/s, infer "
+                   f"{pal_infer:.1f} samples/s")
+            log(f"jax[pallas]: {sps}; forward parity max|xla-pallas| "
+                f"= {parity:.2e} (relative {parity_rel:.2e})")
+        else:
+            pal_skip = f"child failed: {err}"
+            log(f"pallas phase failed: {err}")
 
-    # ---- 9. leftover diagnostics (first to go under budget pressure) ----
+    # ---- 10. leftover diagnostics (first to go under budget pressure) ----
     scan_k_hi = 512
     scan_train_hi = scan_infer_hi = None
     res = phase(f"scan k={scan_k_hi}", 0.08,
@@ -594,7 +788,7 @@ def main():
         log(f"jax[xla] data-fed scan k=8 (measured-loser ledger row): best "
             f"{datafed_scan:.1f} / median {datafed_scan_med:.1f} samples/s")
 
-    # ---- 10. torch-CPU baseline (host-only; always runs) ----
+    # ---- 11. torch-CPU baseline (host-only; always runs) ----
     torch_fallback = False
     try:
         torch_train, torch_infer = measure_torch_cpu(m, batch)
@@ -694,15 +888,22 @@ def main():
                        "infer_sps": r1(pal_infer),
                        "mfu": mfu_of(pal_train, pal_infer),
                        "forward_parity_maxdiff": parity,
-                       "forward_parity_relative": parity_rel},
-            "datafed_train_sps": {"best": r1(datafed),
-                                  "median": r1(datafed_med)},
+                       "forward_parity_relative": parity_rel,
+                       **({"skipped": pal_skip} if pal_skip else {})},
+            # PRIMARY data-fed row: the machine's tuned wire (VERDICT r4
+            # item 3); f32 is the lossless secondary
+            "datafed_train_sps": {"wire": wire, "source": wire_src,
+                                  "best": r1(datafed_tuned),
+                                  "median": r1(datafed_tuned_med)},
+            "datafed_train_sps_f32": {"best": r1(datafed),
+                                      "median": r1(datafed_med)},
             "datafed_train_sps_scan_k8": {"best": r1(datafed_scan),
                                           "median": r1(datafed_scan_med)},
             "datafed_train_sps_f16_wire": {"best": r1(datafed_f16),
                                            "median": r1(datafed_f16_med)},
             "datafed_train_sps_int8_wire": {"best": r1(datafed_i8),
                                             "median": r1(datafed_i8_med)},
+            "families": families,
             "bf16": {"train_sps": r1(bf16_train),
                      "infer_sps": r1(bf16_infer),
                      "mfu": mfu_of(bf16_train, bf16_infer)},
@@ -717,8 +918,7 @@ def main():
             "elapsed_s": round(elapsed(), 1),
         },
     }
-    tuned = _load_tuned()
-    if tuned is not None:
+    if tuned is not None:  # loaded at the datafed phase (wire selection)
         out["diagnostics"]["tuned"] = tuned
     if torch_fallback:
         out["diagnostics"]["torch_fallback"] = True
