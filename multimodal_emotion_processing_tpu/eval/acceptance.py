@@ -40,6 +40,26 @@ from typing import Dict, List, Optional, Sequence
 GOLDEN_DEMO_EXPECTED = {"happ": 0.74, "sadn": 0.85, "ange": 0.02,
                         "disg": 0.02, "surp": 0.02, "fear": 0.43}
 
+# The reference's recorded per-fold best valid losses — the ONLY trained-run
+# numbers it persists (embedded in the checkpoint filenames its eval blocks
+# hard-code; the per-emotion acc/F1 are printed, never stored).  A
+# --train-from-scratch acceptance run reports its own fold losses next to
+# these so a corpus-holder gets the side-by-side without reading the
+# reference source.
+REFERENCE_FOLD_LOSSES = {
+    "mosei_trans": {"losses": [2.18, 2.20, 2.22, 2.17],
+                    "source": "cmu-mosei/run.py:447-453 (model_{1..4}_*.pt)"},
+    "rencecps": {"losses": [2.11, 2.12, 2.09, 2.09],
+                 "source": "rencecps/run.py:245-251 (model_d{1..4}_*.pt)"},
+    "ren_mme": {"losses": [2.47, 2.55, 2.52, 2.54],
+                "source": "Ren-MME/run.py:455-535 (base_{1..4}_*.pt)"},
+    "mosei_realformer": {"losses": [1.33, 1.37],
+                         "source": "others/realformer.py:483-485 "
+                                   "(model_{1,2}_*.pt)"},
+    "robot_demo": {"losses": [1.31, 1.37, 1.39, 1.32],
+                   "source": "robot_demo.py:584-590 (model_{1..4}_*.pt)"},
+}
+
 
 def import_torch_members(config_name: str, pt_paths: Sequence[str],
                          checkpoint_dir: str, *, overrides=None,
@@ -118,12 +138,28 @@ def run_acceptance(
     sweep_thresholds: bool = False,
     force: bool = False,
     quiet: bool = True,
+    train_from_scratch: bool = False,
+    epochs: Optional[int] = None,
 ) -> Dict:
     """The full acceptance flow; returns the report dict (see module
     docstring).  `overrides` exists for the fixture-scale tests — real runs
-    use the reference dimensions unmodified."""
+    use the reference dimensions unmodified.
+
+    `train_from_scratch` (VERDICT r4 item 5): instead of importing trained
+    checkpoints, run the reference's OWN protocol end-to-end — k-fold train
+    on the real tree (the reference's fold carving, plateau LR, >0.009 save
+    guard), then the reference-protocol ensemble eval — and report the
+    per-fold best valid losses next to the reference's recorded ones
+    (REFERENCE_FOLD_LOSSES), so a corpus-holder reproduces the reference's
+    headline numbers with zero CLI knowledge.  `epochs` caps training for
+    smoke runs; None = the config's reference epoch budget."""
     from .. import configs
     from ..data.validate import validate_tree
+
+    if train_from_scratch and torch_ckpts:
+        raise ValueError(
+            "--train-from-scratch trains the ensemble itself; it cannot be "
+            "combined with --torch-ckpts (pick one evidence path)")
 
     exp = configs.with_overrides(configs.get(config_name), overrides)
     report: Dict = {"config": config_name, "data_root": data_root,
@@ -138,6 +174,39 @@ def run_acceptance(
         report["imported_members"] = import_torch_members(
             config_name, torch_ckpts, checkpoint_dir, overrides=overrides,
             force=force)
+
+    if train_from_scratch:
+        from ..pipelines import run_experiment
+
+        res = run_experiment(
+            config_name, synthetic_data=False, data_root=data_root,
+            checkpoint_dir=checkpoint_dir, epochs=epochs, quiet=quiet,
+            overrides=overrides, sweep_thresholds=sweep_thresholds)
+        fam = configs.family(config_name)
+        ref = REFERENCE_FOLD_LOSSES.get(fam)
+        report["trained"] = {
+            "fold_best_valid_losses": [
+                round(min(s.valid_loss for s in h), 4) if h else None
+                for h in res.fold_histories],
+            "epochs_ran": [len(h) for h in res.fold_histories],
+            "reference_expected": ref,
+            "note": ("reference_expected are the reference's RECORDED best "
+                     "valid losses (its checkpoint filenames) for its run "
+                     "on the full corpus — comparable only at the reference "
+                     "dims/epochs on the real tree"),
+        }
+        if res.report is not None:
+            report["metrics"] = res.report
+        if res.sweep is not None:
+            report["sweep"] = {k: v for k, v in res.sweep.items()
+                               if k != "joint"}
+        if configs.family(config_name) == "robot_demo":
+            # trained members are now in the store — the acceptance artifact
+            # for the robot family is the golden-demo block on top of them
+            report["golden_demo"] = _golden_demo(
+                exp, data_root, checkpoint_dir, demo_clips, n_demo)
+        report["ok"] = True
+        return report
 
     if configs.family(config_name) == "robot_demo":
         # the robot corpus has no held-out test split (the reference trains
@@ -173,6 +242,14 @@ def main(argv=None):
                          "destination when --torch-ckpts is given")
     ap.add_argument("--torch-ckpts", nargs="+", default=None,
                     help="reference .pt files to import as the ensemble")
+    ap.add_argument("--train-from-scratch", action="store_true",
+                    help="k-fold train on the real tree (reference protocol) "
+                         "instead of importing checkpoints; reports fold "
+                         "best-valid losses next to the reference's recorded "
+                         "ones")
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="cap training epochs (smoke runs); default = the "
+                         "config's reference epoch budget")
     ap.add_argument("--demo-clips", nargs="+", default=None,
                     help="robot_demo: clip names for the golden-demo block")
     ap.add_argument("--sweep-thresholds", action="store_true")
@@ -191,7 +268,8 @@ def main(argv=None):
         torch_ckpts=args.torch_ckpts, demo_clips=args.demo_clips,
         overrides=parse_overrides(args.set) if args.set else None,
         sweep_thresholds=args.sweep_thresholds, force=args.force,
-        quiet=False)
+        quiet=False, train_from_scratch=args.train_from_scratch,
+        epochs=args.epochs)
     line = json.dumps(report)
     if args.out:
         with open(args.out, "w") as f:

@@ -124,3 +124,74 @@ def test_acceptance_refuses_member_clobber(tmp_path):
     with pytest.raises(ValueError, match="force"):
         run_acceptance("mosei_trans", str(root), **kw)
     assert run_acceptance("mosei_trans", str(root), force=True, **kw)["ok"]
+
+
+def test_acceptance_train_from_scratch_mosei(tmp_path):
+    """--train-from-scratch: validate -> k-fold train on the real tree with
+    the reference protocol -> reference-protocol ensemble eval, ONE report —
+    per-fold best valid losses sit next to the reference's recorded ones
+    (cmu-mosei/run.py:447-453 filenames) for the side-by-side."""
+    from multimodal_emotion_processing_tpu.eval.acceptance import (
+        REFERENCE_FOLD_LOSSES)
+
+    exp = configs.get("mosei_trans")
+    m = dataclasses.replace(exp.model, **MOSEI_OV["model"])
+    root = tmp_path / "corpus"
+    build_mosei_tree(root, m, seed=2)
+
+    report = run_acceptance("mosei_trans", str(root),
+                            checkpoint_dir=str(tmp_path / "ck"),
+                            overrides=MOSEI_OV, train_from_scratch=True,
+                            epochs=2)
+    assert report["ok"] and report["data_check"]["ok"]
+    tr = report["trained"]
+    n_folds = MOSEI_OV["train"]["n_folds"]
+    assert len(tr["fold_best_valid_losses"]) == n_folds
+    assert all(isinstance(x, float) for x in tr["fold_best_valid_losses"])
+    assert all(1 <= e <= 2 for e in tr["epochs_ran"])
+    assert tr["reference_expected"] == REFERENCE_FOLD_LOSSES["mosei_trans"]
+    # the trained ensemble was evaluated with the reference decision protocol
+    per = report["metrics"]["per_emotion"]
+    assert set(per) == set(exp.emotion_names)
+    # trained members landed in the store for later serving/eval
+    from multimodal_emotion_processing_tpu.train.checkpoint import (
+        CheckpointStore)
+    store = CheckpointStore(str(tmp_path / "ck"))
+    assert len(store.best_members("mosei_trans")) == n_folds
+
+
+def test_acceptance_train_from_scratch_robot_golden_demo(tmp_path):
+    """robot_demo --train-from-scratch: train on the real tree, then the
+    golden-demo block runs on the JUST-TRAINED members (no .pt import)."""
+    ov = {
+        "model": {"l_dim": 16, "a_dim": 10, "l_len": 5, "v_len": 6,
+                  "a_len": 7, "dim": 18, "n_heads": 3, "n_layers": 1,
+                  "ffn": 1, "v_dims_multires": (4, 8, 12)},
+        "train": {"batch_size": 4, "n_folds": 2},
+    }
+    exp = configs.get("robot_demo")
+    m = dataclasses.replace(exp.model, **ov["model"])
+    root = tmp_path / "corpus"
+    os.makedirs(root)
+    build_robot_tree(root, m, n_clips=6, seed=9)
+
+    report = run_acceptance("robot_demo", str(root),
+                            checkpoint_dir=str(tmp_path / "ck"),
+                            overrides=ov, train_from_scratch=True, epochs=1,
+                            demo_clips=["clip1[0]"])
+    assert report["ok"]
+    assert len(report["trained"]["fold_best_valid_losses"]) == 2
+    demo = report["golden_demo"]
+    assert set(demo["clips"]) == {"clip1[0]"}
+    assert demo["reference_expected"] == GOLDEN_DEMO_EXPECTED
+    for probs in demo["clips"].values():
+        assert set(probs) == set(exp.emotion_names)
+
+
+def test_acceptance_train_from_scratch_rejects_torch_ckpts(tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="train-from-scratch"):
+        run_acceptance("mosei_trans", str(tmp_path),
+                       checkpoint_dir=str(tmp_path / "ck"),
+                       torch_ckpts=["x.pt"], train_from_scratch=True)
