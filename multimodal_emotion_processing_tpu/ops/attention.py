@@ -85,12 +85,15 @@ def scored_attention(
         scores have a consumer) | 'cp' (kv-sharded over the ambient
         `cp_context` mesh axis).
       emit_scores: False for terminal blocks whose scores have no consumer —
-        the pallas path then skips the scores HBM write (XLA's own DCE covers
-        the einsum path, so 'xla'/'cp' ignore the flag and still return them).
+        the pallas path then skips the scores HBM write, and ring-mode 'cp'
+        never builds its per-device score accumulation (XLA's own DCE covers
+        the einsum path, so 'xla'/psum-'cp' ignore the flag and still
+        return them).
 
     Returns:
       (context (B, Lq, D), scores (B, H, Lq, Lkv)) — scores are post-mask
-      (sharded over the kv axis under 'cp'; None for pallas+emit_scores=False).
+      (sharded over the kv axis under 'cp'; None for pallas/ring-cp with
+      emit_scores=False).
     """
     if impl == "pallas":
         from .pallas_attention import scored_attention_pallas
@@ -113,9 +116,15 @@ def scored_attention(
                                        scored_attention_cp)
 
         mesh, axis, mode = current_cp()
-        fn = ring_scored_attention if mode == "ring" else scored_attention_cp
-        return fn(q, k, v, mask, scores_prev, c,
-                  n_heads=n_heads, mesh=mesh, axis=axis)
+        if mode == "ring":
+            # terminal blocks compose the flash semantics with the ring:
+            # emit_scores=False skips building the per-device (B,H,Lq/N,Lkv)
+            # f32 score accumulation entirely (context_parallel.py)
+            return ring_scored_attention(q, k, v, mask, scores_prev, c,
+                                         n_heads=n_heads, mesh=mesh,
+                                         axis=axis, emit_scores=emit_scores)
+        return scored_attention_cp(q, k, v, mask, scores_prev, c,
+                                   n_heads=n_heads, mesh=mesh, axis=axis)
     return _scored_attention_xla(q, k, v, mask, scores_prev, c, n_heads=n_heads)
 
 

@@ -163,6 +163,7 @@ def ring_scored_attention(
     n_heads: int,
     mesh: Mesh,
     axis: str = "context",
+    emit_scores: bool = True,
 ):
     """Classic RING attention adapted to residual-score chaining.
 
@@ -176,8 +177,18 @@ def ring_scored_attention(
     shard: S is emitted sharded on the q axis — exactly the layout the next
     block consumes its `scores_prev` in, so chaining costs no resharding.
 
+    `emit_scores=False` (terminal blocks — the flash kernel's semantics
+    composed with the ring, VERDICT r4 item 8): the (B, H, Lq/N, Lkv) f32
+    `s_full` accumulation is never BUILT — each hop's score block lives only
+    as the online-softmax temporary, exactly like a flash tile — and the
+    function returns (ctx, None).  The chain into the terminal block is
+    unaffected (scores_prev is still consumed per hop); only the outgoing
+    emission is elided.  The reference's chain semantics
+    (cmu-mosei/run.py:257) are preserved: terminal scores have no consumer.
+
     Requires Lq and Lkv divisible by the axis size.  Returns
-    (ctx q-sharded, scores q-sharded (B, H, Lq, Lkv)).
+    (ctx q-sharded, scores q-sharded (B, H, Lq, Lkv) — or None when
+    emit_scores=False).
     """
     b, lq, d = q.shape
     lkv = k.shape[1]
@@ -206,7 +217,8 @@ def ring_scored_attention(
         m_run = jnp.full((b, n_heads, lq_l, 1), -jnp.inf, jnp.float32)
         z_run = jnp.zeros((b, n_heads, lq_l, 1), jnp.float32)
         acc = jnp.zeros((b, n_heads, lq_l, dh), jnp.float32)
-        s_full = jnp.zeros((b, n_heads, lq_l, lkv), jnp.float32)
+        s_full = (jnp.zeros((b, n_heads, lq_l, lkv), jnp.float32)
+                  if emit_scores else None)
 
         for t in range(n):
             # after t hops of send-to-(i+1), device i holds block (i - t) % N
@@ -219,8 +231,9 @@ def ring_scored_attention(
             sprev_blk = jax.lax.dynamic_slice_in_dim(sl, col0, blk, axis=3)
             s_blk = s_blk + cg * sprev_blk
             s_blk = s_blk - MASK_PENALTY * (1.0 - ml[:, None, None, :])
-            s_full = jax.lax.dynamic_update_slice_in_dim(s_full, s_blk, col0,
-                                                         axis=3)
+            if emit_scores:
+                s_full = jax.lax.dynamic_update_slice_in_dim(
+                    s_full, s_blk, col0, axis=3)
             # online softmax update
             m_new = jnp.maximum(m_run, jnp.max(s_blk, axis=-1, keepdims=True))
             scale = jnp.exp(m_run - m_new)
@@ -234,12 +247,15 @@ def ring_scored_attention(
                 vl = jax.lax.ppermute(vl, axis, fwd_perm)
                 ml = jax.lax.ppermute(ml, axis, fwd_perm)
         ctx = merge_heads((acc / z_run).astype(ql.dtype))
-        return ctx, s_full
+        return (ctx, s_full) if emit_scores else ctx
 
-    shard = jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P(None, axis, None), P(None, axis, None), P(None, axis, None),
-                  P(None, axis), P(None, None, axis, None), P()),
-        out_specs=(P(None, axis, None), P(None, None, axis, None)),
-    )
-    return shard(q, k, v, mask, scores_prev, c)
+    in_specs = (P(None, axis, None), P(None, axis, None), P(None, axis, None),
+                P(None, axis), P(None, None, axis, None), P())
+    if emit_scores:
+        shard = jax.shard_map(
+            local, mesh=mesh, in_specs=in_specs,
+            out_specs=(P(None, axis, None), P(None, None, axis, None)))
+        return shard(q, k, v, mask, scores_prev, c)
+    shard = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                          out_specs=P(None, axis, None))
+    return shard(q, k, v, mask, scores_prev, c), None

@@ -123,6 +123,38 @@ def test_ring_attention_matches_single_device():
                                rtol=1e-5, atol=1e-1)  # masked entries ~ -1e8
 
 
+def test_ring_attention_emit_scores_false_parity():
+    """Terminal-block ring CP (emit_scores=False — flash semantics composed
+    with the ring, VERDICT r4 item 8): the context must equal the
+    score-emitting path exactly (the online-softmax math is unchanged; only
+    the s_full accumulation is elided), scores must come back None, and a
+    chained CONSUMER (scores_prev) must still work in the same call."""
+    from multimodal_emotion_processing_tpu.ops.context_parallel import (
+        ring_scored_attention)
+
+    q, k, v, m, prev, c, h = _inputs(b=2, lq=8, lkv=16, h=2, d=8, seed=11)
+    mesh = _mesh()
+    run = jax.jit(lambda *a: ring_scored_attention(
+        *a, n_heads=h, mesh=mesh, emit_scores=True))
+    run_noemit = jax.jit(lambda *a: ring_scored_attention(
+        *a, n_heads=h, mesh=mesh, emit_scores=False)[0])
+    # with a consumed chain (prev) — the terminal block's real shape
+    ctx_ref, _ = run(q, k, v, m, prev, c)
+    ctx_ne = run_noemit(q, k, v, m, prev, c)
+    np.testing.assert_allclose(np.asarray(ctx_ne), np.asarray(ctx_ref),
+                               rtol=1e-6, atol=1e-6)
+    # eager return contract: (ctx, None)
+    _, s_none = ring_scored_attention(q, k, v, m, prev, c, n_heads=h,
+                                      mesh=mesh, emit_scores=False)
+    assert s_none is None
+    # grads still flow without the score output
+    g = jax.grad(lambda q_: jnp.sum(run_noemit(q_, k, v, m, prev, c) ** 2))(q)
+    g_ref = jax.grad(
+        lambda q_: jnp.sum(run(q_, k, v, m, prev, c)[0] ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_ring_attention_chained_and_grads():
     """Two chained ring blocks (q-sharded score handoff) match the reference
