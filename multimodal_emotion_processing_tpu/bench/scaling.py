@@ -94,6 +94,16 @@ def measure_point(name, spec, *, dtype="float32", impl="xla",
     ms = best_window_ms(one, batch, steps=steps, reps=reps)
     best = b * 1e3 / ms
     f_tr = fl.train_flops_per_sample(exp.model)
+
+    # inference leg (VERDICT r4 item 4: scale-preset INFERENCE MFU on the
+    # record, not just train) — same point, same dtype, forward-only FLOPs
+    predict = eng.make_predict_step(model, impl=impl, dtype=dtype)
+    fetch_scalar(predict(state.params, batch))  # compile
+    inf_ms = best_window_ms(lambda b_: predict(state.params, b_), batch,
+                            steps=steps, reps=reps)
+    inf_best = b * 1e3 / inf_ms
+    f_inf = fl.forward_flops_per_sample(exp.model)
+
     # device peak HBM (the number remat exists to move); absent on some
     # backends (CPU) — report null there
     stats = getattr(jax.local_devices()[0], "memory_stats", lambda: None)()
@@ -108,6 +118,10 @@ def measure_point(name, spec, *, dtype="float32", impl="xla",
         "train_gflops_per_sample": round(f_tr / 1e9, 2),
         "achieved_tflops": round(best * f_tr / 1e12, 2),
         "mfu": round(fl.mfu(best, f_tr), 4),
+        "infer_sps": round(inf_best, 1),
+        "infer_ms_per_step": round(inf_ms, 2),
+        "infer_achieved_tflops": round(inf_best * f_inf / 1e12, 2),
+        "infer_mfu": round(fl.mfu(inf_best, f_inf), 4),
         "compile_s": round(compile_s, 1),
     }
 

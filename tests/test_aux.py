@@ -268,10 +268,12 @@ def test_scaling_bench_point_smoke(monkeypatch):
     spec = dict(dim=16, n_heads=2, l_len=4, v_len=6, a_len=8, batch=4)
     row = scaling.measure_point("tiny", spec, dtype="float32", steps=2, reps=1)
     for key in ("train_sps", "ms_per_step", "mfu", "achieved_tflops",
-                "train_gflops_per_sample", "compile_s"):
+                "train_gflops_per_sample", "compile_s",
+                "infer_sps", "infer_ms_per_step", "infer_mfu",
+                "infer_achieved_tflops"):
         assert key in row, key
-    assert row["train_sps"] > 0
-    assert 0 <= row["mfu"] < 1
+    assert row["train_sps"] > 0 and row["infer_sps"] > 0
+    assert 0 <= row["mfu"] < 1 and 0 <= row["infer_mfu"] < 1
     assert row["point"] == "tiny" and row["batch"] == 4
     # bf16 path traces too (dtype threads through TrainConfig.compute_dtype)
     row16 = scaling.measure_point("tiny", spec, dtype="bfloat16",
