@@ -255,13 +255,19 @@ def robot_demo() -> ExperimentConfig:
 # s512 24.7 -> 23.2 best-of (+6%; attention is a smaller share at dim 512),
 # s1024 110.7 -> 91.1 (+21%).  Old definitions stay on record in
 # docs/ENGINEERING_NOTES.md.
+# batch_size per point = the measured MFU-saturation batch on one v5e
+# (round-5 sweep, ENGINEERING_NOTES "MFU scaling sweep"): s256 keeps gaining
+# to B=256 (14.7% -> 18.2% train MFU; B=512 regresses), s512 to B=64
+# (30.8% -> 32.9%; B=128 flat), s1024's B=64 headline (43.8%) becomes the
+# preset default instead of a --batch override.  Round-4 precedent: dh is
+# pinned at dim/heads = 128 (the v5e lane width).
 SCALE_POINTS = {
     "s256": dict(dim=256, n_heads=2, l_len=64, v_len=128, a_len=256,
-                 batch_size=64),
+                 batch_size=256),
     "s512": dict(dim=512, n_heads=4, l_len=128, v_len=256, a_len=512,
-                 batch_size=32),
+                 batch_size=64),
     "s1024": dict(dim=1024, n_heads=8, l_len=128, v_len=256, a_len=512,
-                  batch_size=16),
+                  batch_size=64),
 }
 
 

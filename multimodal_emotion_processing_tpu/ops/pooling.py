@@ -28,8 +28,12 @@ def seq_max(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _fwd(x):
-    idx = jnp.argmax(x, axis=1)  # (B, D)
-    out = jnp.take_along_axis(x, idx[:, None, :], axis=1)[:, 0, :]
+    idx = jnp.argmax(x, axis=1)  # (B, D) — backward-routing residual ONLY
+    # the VALUE comes from the plain max reduce, not a gather at idx: the
+    # (B,D)-index take_along_axis compiled to a per-element gather costing
+    # ~1.3 ms/step at s512 (xplane 2026-08-20) for bytes a reduce covers in
+    # ~0.1; x[b, idx[b,d], d] IS max(x[b,:,d]), so the values are identical
+    out = jnp.max(x, axis=1)
     return out, (idx, x.shape[1])
 
 
