@@ -405,7 +405,11 @@ def measure_latency(exp, *, deadline: float):
     zero = jax.device_put(jnp.zeros((), jnp.float32))
     fetch_scalar(triv(zero))  # compile
     floor_times = []
-    for _ in range(20):
+    # 5-rep minimum, 20 target; deadline-bounded past the minimum so a
+    # stalled relay (73 s round-trips observed) can't turn 20 trivial
+    # round-trips into minutes
+    while len(floor_times) < 20 and (len(floor_times) < 5
+                                     or time.perf_counter() < deadline):
         t0 = time.perf_counter()
         fetch_scalar(triv(zero))
         floor_times.append(time.perf_counter() - t0)

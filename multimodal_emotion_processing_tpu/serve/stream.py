@@ -138,6 +138,17 @@ class StreamingPredictor:
 
     def _pack(self, sample: Dict[str, np.ndarray]) -> np.ndarray:
         self._build_packed(sample)
+        for k, shp in zip(self._pack_keys, self._pack_shapes):
+            got = tuple(np.asarray(sample[k]).shape)
+            if got != shp:
+                # the packed program bakes the first sample's shapes in; a
+                # mismatched later sample would silently slice garbage —
+                # fail loudly instead (per-config shapes are fixed, so this
+                # only fires on caller error)
+                raise ValueError(
+                    f"packed predict: sample[{k!r}] shape {got} != "
+                    f"{shp} from warmup; use a predictor per config/shape "
+                    "or predict_unpacked()")
         return np.concatenate(
             [np.asarray(sample[k], self._wire).ravel()
              for k in self._pack_keys])

@@ -620,6 +620,23 @@ def test_streaming_predictor_packed_path_parity():
     assert pr1.shape == (len(exp.thresholds),)
 
 
+def test_streaming_predictor_packed_rejects_shape_drift():
+    """The packed program bakes the warmup sample's shapes in; a later
+    sample with different shapes must fail loudly, not slice garbage."""
+    import pytest
+
+    exp = tiny_exp("mosei_trans")
+    model = build_model(exp)
+    ps = [model.init(jax.random.PRNGKey(0))]
+    sp = StreamingPredictor(model, ps, offsets=exp.thresholds)
+    sample = synthetic_dataset("mosei_trans", exp.model, 1, seed=1)[0]
+    sp.predict(sample)
+    bad = dict(sample)
+    bad["a"] = np.concatenate([sample["a"], sample["a"]], axis=-2)
+    with pytest.raises(ValueError, match="packed predict"):
+        sp.predict(bad)
+
+
 def test_streaming_predictor_packed_f16_wire():
     """wire_dtype='float16' halves the packed put bytes; probabilities stay
     within feature-quantization tolerance of the f32 wire."""
